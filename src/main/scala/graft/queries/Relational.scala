@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators (SURVEY §2.4 joins, §2.5 aggregations, §2.6
+  * windows/sorts/limits/set-ops, §2.3 projections/filters), re-expressed as
+  * declarative DataFrame plans so Catalyst supplies pushdown, pruning, join
+  * strategy and whole-stage codegen (SURVEY §4).
+  *
+  * Numeric parity with the DuckDB oracle: all money/rate arithmetic is exact
+  * DECIMAL, cast to DOUBLE only in the final projection; divisions happen only
+  * between already-bit-identical doubles/longs. Every query is totally ordered
+  * by a unique key so row order matches too.
+  */
+object Relational {
+
+  // --- decimal helpers (Spark side) -----------------------------------------
+  private def money(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def rate(c: Column): Column = c.cast(DecimalType(8, 4))
+  private def oneMinus(c: Column): Column = (lit(1) - rate(c)).cast(DecimalType(5, 4))
+  private def onePlus(c: Column): Column = (lit(1) + rate(c)).cast(DecimalType(5, 4))
+  /** price * (1-disc), re-anchored to a fixed exact type so further products stay in range */
+  private def discPrice(price: Column, disc: Column): Column =
+    (money(price) * oneMinus(disc)).cast(DecimalType(18, 8))
+
+  /** Final projection of an exact decimal aggregate, engine-parity safe.
+    *
+    * Rules (measured against DuckDB 1.x):
+    *   - decimal re-scaling is FORBIDDEN mid-plan: Spark casts HALF_UP while
+    *     DuckDB truncates, so any scale reduction can differ by 1 ulp;
+    *   - a scale-4 decimal casts to double identically in both engines (the
+    *     unscaled value stays below 2^53 → single correctly-rounded step), so
+    *     scale-≤4 sums may be projected as DOUBLE via [[toDbl]];
+    *   - scale-8/12 sums keep their exact DECIMAL type, widened to the same
+    *     (38, s) on both sides via [[decOut]]/[[DecOut]] — values then compare
+    *     exactly whatever the driver's canonicalization.
+    */
+  private def toDbl(c: Column): Column =
+    c.cast(DecimalType(38, 4)).cast(DoubleType)
+  private def ToDbl(x: String) = s"CAST(CAST($x AS DECIMAL(38,4)) AS DOUBLE)"
+  private def decOut(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
+  private def DecOut(x: String, scale: Int) = s"CAST($x AS DECIMAL(38,$scale))"
+
+  // --- decimal helpers (DuckDB side — identical formulas) -------------------
+  private def M(c: String) = s"CAST($c AS DECIMAL(12,4))"
+  private def R(c: String) = s"CAST($c AS DECIMAL(8,4))"
+  private def OneMinus(c: String) = s"CAST(1 - ${R(c)} AS DECIMAL(5,4))"
+  private def OnePlus(c: String) = s"CAST(1 + ${R(c)} AS DECIMAL(5,4))"
+  private def DiscPrice(p: String, d: String) = s"CAST(${M(p)} * ${OneMinus(d)} AS DECIMAL(18,8))"
+
+  /** Q1 — pricing summary (TPC-H Q1 shape). Reference analogue: the
+    * grouped-mean metric aggregation of CaffeOnSpark.test
+    * (caffe-grid/src/main/scala/com/yahoo/ml/caffe/CaffeOnSpark.scala:396-418)
+    * + word-count style hash agg (tools/Vocab.scala:31).
+    * Scale notes: partial (map-side) aggregation on 6 tight group keys; the
+    * shuffle moves only |groups| rows per partition. Filter + column pruning
+    * reach the parquet scan.
+    */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q1_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${ToDbl(s"sum(${M("l_quantity")})")} AS sum_qty,
+       |  ${ToDbl(s"sum(${M("l_extendedprice")})")} AS sum_base_price,
+       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")})", 8)} AS sum_disc_price,
+       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")} * ${OnePlus("l_tax")})", 12)} AS sum_charge,
+       |  ${ToDbl(s"sum(${R("l_discount")})")} AS sum_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        toDbl(sum(money(col("l_quantity")))).as("sum_qty"),
+        toDbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 8).as("sum_disc_price"),
+        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount")) * onePlus(col("l_tax"))), 12).as("sum_charge"),
+        toDbl(sum(rate(col("l_discount")))).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q2 — filter + projection (SURVEY P1/P3: selectExpr projection
+    * ImageDataFrame.scala:40-45, null/predicate filters LMDB.scala:36).
+    * Raw column passthrough — no arithmetic, so doubles are bit-exact.
+    * Scale notes: predicate + projection push to the scan (PushedFilters /
+    * ReadSchema); no shuffle except the final order.
+    */
+  val q2FilterProject: QueryDef = QueryDef.sql(
+    "q2_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_quantity < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType) &&
+        col("l_quantity") < 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q3 — multiway equi-join + grouped revenue (SURVEY J1: the image×caption
+    * pair-RDD hash join, tools/Conversions.scala:78-83, done declaratively).
+    * Scale notes: nation/region/customer are small dims → explicit broadcast;
+    * only the lineitem⋈orders join shuffles, on the join key. AQE can further
+    * coalesce post-shuffle partitions.
+    */
+  val q3JoinRevenue: QueryDef = QueryDef.sql(
+    "q3_join_revenue",
+    s"""SELECT n_name,
+       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")})", 8)} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 8).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Q4 — left-semi join (EXISTS). Spark `left_semi` keeps the probe-side row
+    * once regardless of match multiplicity — no fan-out, no dedup pass.
+    */
+  val q4SemiJoin: QueryDef = QueryDef.sql(
+    "q4_semi_join",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast(TimestampType))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Q5 — left-anti join (NOT EXISTS): customers with no orders. */
+  val q5AntiJoin: QueryDef = QueryDef.sql(
+    "q5_anti_join",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q6 — global top-k (SURVEY W1: vocab `sortBy(-count).take(k)`,
+    * tools/Vocab.scala:31-36). Spark plans TakeOrderedAndProject — per
+    * partition top-k then a driver-side merge of k·P rows, never a full sort.
+    */
+  val q6TopK: QueryDef = QueryDef.sql(
+    "q6_topk",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |ORDER BY p_retailprice DESC, p_partkey
+      |LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(25)
+  }
+
+  /** Q7 — ranking window (SURVEY W2: zipWithIndex ranking,
+    * CaffeOnSpark.scala:366, as a proper analytic window): top-3 orders per
+    * customer. Scale notes: one shuffle on o_custkey; rank predicate applied
+    * before any further join would be.
+    */
+  val q7WindowRank: QueryDef = QueryDef.sql(
+    "q7_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Q8 — running-sum window: per-supplier cumulative shipped quantity.
+    * DECIMAL inside the running sum so every prefix is exact in both engines.
+    */
+  val q8WindowRunning: QueryDef = QueryDef.sql(
+    "q8_window_running",
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  CAST(CAST(sum(${M("l_quantity")}) OVER (
+       |    PARTITION BY l_suppkey
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS running_qty
+       |FROM lineitem
+       |WHERE l_suppkey <= 10
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(money(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Q9 — set ops (SURVEY W3 union multiplexing, minus the locality pinning):
+    * nations that have customers but no suppliers, via UNION/EXCEPT-style
+    * composition. Integer-only → exact.
+    */
+  val q9SetOps: QueryDef = QueryDef.sql(
+    "q9_set_ops",
+    """SELECT n_nationkey FROM (
+      |  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      |  EXCEPT
+      |  SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier) t
+      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer").select(col("c_nationkey").as("n_nationkey")).distinct()
+    val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")).distinct()
+    c.except(sup).orderBy("n_nationkey")
+  }
+
+  /** Q10 — distinct aggregates (SURVEY §2.5 note: absent in reference, free in
+    * Spark). Single-row, integer-only.
+    */
+  val q10Distinct: QueryDef = QueryDef.sql(
+    "q10_distinct",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(*) AS n_rows
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Q11 — group-size min/max (SURVEY A3: partition-size min/max
+    * CaffeOnSpark.scala:187-199, re-keyed on data instead of partition id so
+    * it is deterministic). Two-level aggregation, both with map-side partials.
+    */
+  val q11GroupStats: QueryDef = QueryDef.sql(
+    "q11_group_stats",
+    """SELECT min(c) AS min_group, max(c) AS max_group, count(*) AS n_groups
+      |FROM (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey) t""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("min_group"), max(col("c")).as("max_group"),
+        count(lit(1)).as("n_groups"))
+  }
+
+  /** Q12 — rollup (grouping-set aggregate; free via Catalyst Expand).
+    * NULLS FIRST ordering matches Spark's asc default.
+    */
+  val q12Rollup: QueryDef = QueryDef.sql(
+    "q12_rollup",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${ToDbl(s"sum(${M("l_quantity")})")} AS sum_qty,
+       |  count(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(toDbl(sum(money(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Q13 — scalar filtered aggregate (TPC-H Q6 shape): revenue-delta probe.
+    * The whole plan is scan→filter→partial agg→single-row exchange; filters
+    * push to parquet row groups.
+    */
+  val q13ScalarAgg: QueryDef = QueryDef.sql(
+    "q13_scalar_agg",
+    s"""SELECT ${DecOut(s"sum(${M("l_extendedprice")} * ${R("l_discount")})", 8)} AS revenue_delta,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        decOut(sum(money(col("l_extendedprice")) * rate(col("l_discount"))), 8).as("revenue_delta"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q14 — correlated-style having: customers whose order count exceeds a
+    * threshold, with their total spend. Join + two aggs.
+    */
+  val q14Having: QueryDef = QueryDef.sql(
+    "q14_having",
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |  ${ToDbl(s"sum(${M("o_totalprice")})")} AS total_spend
+       |FROM orders
+       |GROUP BY o_custkey
+       |HAVING count(*) >= 15
+       |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        toDbl(sum(money(col("o_totalprice")))).as("total_spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, q2FilterProject, q3JoinRevenue, q4SemiJoin, q5AntiJoin,
+    q6TopK, q7WindowRank, q8WindowRunning, q9SetOps, q10Distinct,
+    q11GroupStats, q12Rollup, q13ScalarAgg, q14Having)
+}
