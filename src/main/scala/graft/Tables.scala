@@ -16,6 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright —
+    // read it as a long and rebuild a microsecond timestamp (the generator
+    // emits exact-µs values, verified ns % 1000 == 0, so this is lossless).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
+        .getOrElse(df)
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

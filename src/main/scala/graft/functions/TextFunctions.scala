@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (tokenize / fingerprint / shingle / quality), built on Spark SQL
+  * higher-order functions so everything stays inside whole-stage codegen —
+  * no Scala UDF, no serialization breaks.
+  *
+  * Reference semantics mirrored: the `sentence2Words` regex tokenizer
+  * (reference tools/Conversions.scala:22-29) and vocab build
+  * (tools/Vocab.scala:28-43), generalized to the documents table.
+  *
+  * Engine-parity notes (DuckDB oracle): `split`/`string_split_regex`,
+  * `ascii`/`unicode`, and left-fold hashes behave identically; the rolling
+  * hash seeds with 0 so Spark's `aggregate(arr, 0, f)` equals DuckDB's
+  * `list_reduce(arr, f)` (which seeds with the first element).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens, empties dropped. */
+  def tokens(c: String): Column =
+    expr(s"filter(split(lower($c), '[^a-z0-9]+'), x -> x != '')")
+
+  /** DuckDB-equivalent SQL for [[tokens]]. */
+  def TokensSql(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Polynomial rolling hash of the whole string (document fingerprint):
+    * fold of `acc*31 + codepoint (mod 1e9+7)` over the characters.
+    */
+  def fingerprint(c: String): Column =
+    expr(s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
+      s"(acc, x) -> (acc * 31 + x) % 1000000007)")
+
+  def FingerprintSql(c: String): String =
+    s"list_reduce([unicode(ch)::BIGINT for ch in regexp_extract_all($c, '.')], " +
+      s"(acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  /** Same rolling hash over an array of strings (shingle/band hashing):
+    * hashes each element then folds — stable across engines.
+    */
+  def arrayFingerprint(arr: String): Column =
+    expr(s"aggregate(transform($arr, s -> aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, " +
+      s"(acc, x) -> (acc * 31 + x) % 1000000007)), 0L, (acc, h) -> (acc * 1000003 + h) % 1000000007)")
+
+  /** Word n-grams (shingles) as space-joined strings; empty below n tokens. */
+  def wordBigrams(toks: Column): Column = {
+    val t = toks
+    when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB bigram comprehension over an aliased token list `t`. */
+  val WordBigramsOverT: String = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
+}

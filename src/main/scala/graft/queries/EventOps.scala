@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators over the `events` table. The reference has no
+  * streaming surface (SURVEY §2.10) — these are the rebuild's extension
+  * capabilities: event-time windowing, gap sessionization, as-of join and
+  * semi-structured JSON extraction, written as batch plans whose streaming
+  * twins (Structured Streaming with watermarks) live in graft.streaming.
+  */
+object EventOps {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 4))
+  private def toDbl(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(38, 4)).cast(DoubleType)
+  private def SumVal(x: String) =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE)"
+
+  /** Q22 — event-time tumbling window aggregation (hourly): the batch twin of
+    * `groupBy(window($"ts","1 hour"))`. Shuffle key (hour, type) is tight;
+    * partial aggregation makes the shuffle O(|buckets|).
+    */
+  val q22EventsHourly: QueryDef = QueryDef.sql(
+    "q22_events_hourly",
+    s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+       |  count(*) AS n, ${SumVal("value")} AS sum_value
+       |FROM events
+       |GROUP BY date_trunc('hour', ts), event_type
+       |ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), toDbl(sum(money(col("value")))).as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Q23 — gap-based sessionization (30-min inactivity): lag→flag→cumsum→
+    * aggregate, the portable formulation of `session_window`. One shuffle on
+    * user_id; timestamps compare in exact microseconds in both engines.
+    */
+  val q23Sessionize: QueryDef = QueryDef.sql(
+    "q23_sessionize",
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end, ${SumVal("value")} AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        toDbl(sum(money(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Q24 — as-of join: latest order at-or-before each event's timestamp for
+    * the event's user (composition path (a) from the custom-operator
+    * preference order: equi-join on the key + time filter + per-event top-1).
+    * Scale notes: the join key (user) bounds fan-out to orders-per-user; a
+    * sort-merge AsOfJoinExec is the dedicated-operator upgrade if fan-out
+    * grows. Inner semantics: events with no prior order drop out.
+    */
+  val q24AsofJoin: QueryDef = QueryDef.sql(
+    "q24_asof_join",
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val o = Tables(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    // The per-event "latest order" is max(struct(date, key)) — an aggregate
+    // with map-side partials, so the join fan-out collapses before the
+    // shuffle (vs. a row_number window, which must shuffle + sort every
+    // joined row). Struct ordering is lexicographic = (date DESC, key DESC)
+    // top-1 semantics of the oracle.
+    e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Q25 — semi-structured extraction: JSON path into typed column, then
+    * aggregate. Map-side JSON parse stays in codegen; shuffle only carries
+    * the 5 event_type groups.
+    */
+  val q25JsonExtract: QueryDef = QueryDef.sql(
+    "q25_json_extract",
+    """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract)
+}

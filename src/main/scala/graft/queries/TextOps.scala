@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.7 string/
+  * text functions + the LLM-pipeline additions: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting, vocab build).
+  *
+  * All plans are scan→project→(optional explode/agg) — map-side-heavy, no
+  * driver materialization, shuffles only on small aggregate keys, so they
+  * scale linearly with document count.
+  */
+object TextOps {
+
+  private val toks = tokens("text")
+  private val ToksSql = TokensSql("text")
+
+  /** Q15 — tokenizer + per-doc token stats (SURVEY T1, reference
+    * tools/Conversions.scala:22-29). Pure map: no shuffle except final sort.
+    */
+  val q15TokenStats: QueryDef = QueryDef.sql(
+    "q15_token_stats",
+    s"""SELECT doc_id, len(t) AS n_tokens, t[1] AS first_token, t[-1] AS last_token, n_chars
+       |FROM (SELECT doc_id, n_chars, $ToksSql AS t FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        element_at(col("t"), 1).as("first_token"),
+        element_at(col("t"), -1).as("last_token"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Q16 — vocabulary build: global word frequency top-k (SURVEY T2/W1,
+    * reference tools/Vocab.scala:28-43 `sortBy(-count).take(k)`).
+    * explode→hash-agg with map-side partials→TakeOrderedAndProject; the
+    * full word-count table never leaves the executors.
+    */
+  val q16VocabTopk: QueryDef = QueryDef.sql(
+    "q16_vocab_topk",
+    s"""SELECT word, count(*) AS n
+       |FROM (SELECT unnest($ToksSql) AS word FROM documents)
+       |GROUP BY word
+       |ORDER BY n DESC, word
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+  }
+
+  /** Q17 — document fingerprint: polynomial rolling hash over every char
+    * (LLM-pipeline fingerprinting; SURVEY §7.2 step 7). Map-only.
+    */
+  val q17Fingerprint: QueryDef = QueryDef.sql(
+    "q17_fingerprint",
+    s"""SELECT doc_id, ${FingerprintSql("text")} AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), fingerprint("text").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Q18 — text quality scoring: token stats, punctuation ratio, stopword
+    * ratio, composite score. Ratios divide already-identical ints/doubles so
+    * the doubles are bit-exact cross-engine. Map-only.
+    */
+  val q18TextQuality: QueryDef = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+    val stopIn = stop.map(w => s"'$w'").mkString(", ")
+    QueryDef.sql(
+      "q18_text_quality",
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE len_sum / n_tokens END AS avg_token_len,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END AS stop_ratio,
+         |  n_punct / n_chars AS punct_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END * 0.3
+         |    + (1.0 - n_punct / n_chars) * 0.3
+         |    + least(n_tokens / 100.0, 1.0) * 0.4 AS quality_score
+         |FROM (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    len(list_filter(t, x -> x IN ($stopIn))) AS n_stop,
+         |    list_reduce(list_prepend(0, [len(x)::BIGINT for x in t]), (a,b) -> a+b) AS len_sum,
+         |    length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM (SELECT doc_id, text, $ToksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), toks.as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          expr(s"size(filter(t, x -> x IN ($stopIn)))").as("n_stop"),
+          expr("aggregate(t, 0L, (a, x) -> a + length(x))").as("len_sum"),
+          (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).as("n_punct"),
+          length(col("text")).as("n_chars"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+          when(col("n_tokens") === 0, 0.0).otherwise(col("len_sum") / col("n_tokens")).as("avg_token_len"),
+          when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")).as("stop_ratio"),
+          (col("n_punct") / col("n_chars")).as("punct_ratio"),
+          (when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")) * 0.3
+            + (lit(1.0) - col("n_punct") / col("n_chars")) * 0.3
+            + least(col("n_tokens") / 100.0, lit(1.0)) * 0.4).as("quality_score"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Q19 — language-ID heuristic: marker-word hit counts per language with a
+    * deterministic argmax (LLM-pipeline language-ID; an n-gram refinement
+    * lives in the Scala API). Map-only.
+    */
+  val q19LangId: QueryDef = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "es" -> Seq("el", "la", "los", "que"),
+      "fr" -> Seq("le", "les", "et", "est"))
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val hitsSqls = markers.map { case (l, ws) =>
+      s"len(list_filter(t, x -> x IN (${inList(ws)}))) AS ${l}_hits" }
+    val hitsSpark = markers.map { case (l, ws) =>
+      expr(s"size(filter(t, x -> x IN (${inList(ws)})))").as(s"${l}_hits") }
+    val caseSql =
+      """CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |     WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |     WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |     WHEN fr_hits > 0 THEN 'fr'
+        |     ELSE 'unknown' END""".stripMargin
+    QueryDef.sql(
+      "q19_langid",
+      s"""SELECT doc_id, lang AS actual, en_hits, de_hits, es_hits, fr_hits,
+         |  $caseSql AS predicted
+         |FROM (SELECT doc_id, lang, ${hitsSqls.mkString(",\n    ")}
+         |      FROM (SELECT doc_id, lang, $ToksSql AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang"), toks.as("t")): _*)
+        .select(Seq(col("doc_id"), col("lang")) ++ hitsSpark: _*)
+        .select(col("doc_id"), col("lang").as("actual"),
+          col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"),
+          expr(caseSql).as("predicted"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Q20 — exact deduplication: group identical texts by content hash, keep
+    * min doc_id as canonical (LLM-pipeline exact dedup). Shuffle key is the
+    * md5, so 100 TB dedup shards evenly; md5 is identical across engines.
+    */
+  val q20DedupExact: QueryDef = QueryDef.sql(
+    "q20_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+  }
+
+  /** Q21 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted-
+    * index self-join, |∩|/|∪| over exact ints (LLM-pipeline n-gram dedup).
+    * Scale notes: the shingle join is the textbook inverted-index plan —
+    * shuffle keyed on shingle, skew bounded because repeated shingles are
+    * capped by doc pairs sharing them; MinHash/LSH (q22+) is the sublinear
+    * path for 100 TB, this is the exact verifier used inside its buckets.
+    */
+  val q21NgramJaccard: QueryDef = QueryDef.sql(
+    "q21_ngram_jaccard",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, ${graft.functions.TextFunctions.WordBigramsOverT} AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+       |  inter / (sa.n + sb.n - inter) AS jaccard
+       |FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |      FROM sh x JOIN sh y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |      GROUP BY x.doc_id, y.doc_id) p
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE inter / (sa.n + sb.n - inter) >= 0.06
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    // Shingles are joined by their 64-bit rolling hash, not the string —
+    // long-key shuffles/joins move ~4× fewer bytes than 15-char strings and
+    // hash/compare faster; the same hash runs in the oracle so any collision
+    // is deterministic and identical on both sides.
+    // The shingle relation feeds three plan branches (both join sides + the
+    // size table); persist it so tokenize+explode+distinct runs once
+    // (SURVEY Y5 — explicit persist only at real reuse points).
+    val sh = docs
+      .select(col("doc_id"), wordBigrams(toks).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("s"))
+      .select(col("doc_id"), fingerprint("s").as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = sh.as("x"); val y = sh.as("y")
+    x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.06)
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
+    q20DedupExact, q21NgramJaccard)
+}

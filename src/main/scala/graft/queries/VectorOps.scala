@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding/vector operators over the `embeddings` table: element-wise
+  * vector aggregation (SURVEY A1 VectorMean) and similarity search
+  * (LLM-pipeline brute-force top-k + near-dup pairs).
+  *
+  * Float parity strategy: embedding elements are float32; each is cast to
+  * DECIMAL(18,9) (exact to within one decimal ulp of the shortest double
+  * repr, identical in both engines), after which every sum/product is exact
+  * decimal arithmetic — order-independent, so shuffles and partial aggs
+  * can't perturb results.
+  */
+object VectorOps {
+
+  /** Q26 — element-wise vector mean per label (SURVEY A1: the VectorMean
+    * UDAF, reference VectorMean.scala:17-64, reformulated as
+    * posexplode→partial-agg→rebuild). Scale notes: the explode shards the
+    * (label, idx) key space across executors — the classic way to aggregate
+    * billions of vectors without a per-executor dense buffer; the typed
+    * Aggregator twin (graft.agg.VectorMean) is the low-latency small-N path.
+    * Sum unscaled stays < 2^53 at scale 9 so the final double is exact.
+    */
+  val q26VectorMean: QueryDef = QueryDef.sql(
+    "q26_vector_mean",
+    """SELECT label, list(m ORDER BY idx) AS mean_vec, sum(cnt) / count(*) AS n_vecs
+      |FROM (
+      |  SELECT label, idx, count(*) AS cnt,
+      |    CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+      |  FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
+      |        FROM embeddings)
+      |  GROUP BY label, idx)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("label"), col("idx"))
+      .agg((sum(col("v").cast(DecimalType(18, 9))).cast(DecimalType(38, 9))
+        .cast(DoubleType) / count(lit(1))).as("m"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("mean_vec"),
+        (sum(col("cnt")) / count(lit(1))).as("n_vecs"))
+      .orderBy("label")
+  }
+
+  /** Q27 — brute-force maximum-inner-product top-k against a fixed query
+    * vector (LLM-pipeline similarity search baseline). Map-only scan +
+    * TakeOrderedAndProject: at 100 TB this is one pass, no shuffle — the
+    * pattern IVF/LSH variants prune. Query vector is broadcast.
+    */
+  val q27DotTopk: QueryDef = QueryDef.sql(
+    "q27_dot_topk",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ${DotDecSql("e.embedding", "q.qv")} AS dot
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY dot DESC, vec_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), dotDec("embedding", "qv").as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Q28 — embedding near-duplicate pairs, blocked by label (LLM-pipeline
+    * embedding-similarity dedup). Blocking bounds the quadratic term to
+    * within-block pairs — the same role LSH buckets play at scale; the
+    * block key becomes the shuffle key so blocks are processed in parallel.
+    */
+  val q28EmbeddingNeardup: QueryDef = QueryDef.sql(
+    "q28_embedding_neardup",
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       |  ${DotDecSql("a.embedding", "b.embedding")} AS dot
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${DotDecSql("a.embedding", "b.embedding")} > CAST(0.25 AS DECIMAL(38,18))
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      // codegen'd double prefilter: |double dot − exact decimal dot| < ~3e-8
+      // for dim-64 unit-scale vectors, so a 1e-6 margin can't change the
+      // survivor set; the expensive exact-decimal dot runs only on survivors.
+      .filter(org.apache.spark.sql.graft.VectorExpressions.float_dot(col("ea"), col("eb")) > 0.25 - 1e-6)
+      .withColumn("dot", dotDec("ea", "eb"))
+      .filter(col("dot") > lit("0.25").cast(DecimalType(38, 18)))
+      .select(col("id_a"), col("id_b"), col("label"), col("dot"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q26VectorMean, q27DotTopk, q28EmbeddingNeardup)
+}

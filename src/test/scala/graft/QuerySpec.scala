@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator smoke + semantic checks on sf0.001. The DuckDB hash-match
+  * gate runs driver-side; these assert plan-independent invariants so
+  * `sbt test` catches breakage without the oracle.
+  */
+class QuerySpec extends SparkSpec {
+
+  test("every registered query has a unique name and runs") {
+    val names = SparkEntry.defs.map(_.name)
+    assert(names.distinct.size == names.size)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("oracle map only references registered queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 pricing summary: group count and total row conservation") {
+    val df = queries.Relational.q1PricingSummary.fn(spark, sf)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val li = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp")).count()
+    assert(total == li)
+  }
+
+  test("q7 window rank: at most 3 rows per customer, rn in 1..3") {
+    val df = queries.Relational.q7WindowRank.fn(spark, sf)
+    val bad = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(bad == 0)
+    assert(df.agg(max("rn")).head.getInt(0) <= 3)
+  }
+
+  test("q20 exact dedup conserves documents") {
+    val df = queries.TextOps.q20DedupExact.fn(spark, sf)
+    val docs = Tables(spark, sf, "documents").count()
+    assert(df.agg(sum("n_copies")).head.getLong(0) == docs)
+  }
+
+  test("q23 sessionize: session bounds ordered, events conserved") {
+    val df = queries.EventOps.q23Sessionize.fn(spark, sf)
+    assert(df.filter(col("session_start") > col("session_end")).count() == 0)
+    val events = Tables(spark, sf, "events").count()
+    assert(df.agg(sum("n_events")).head.getLong(0) == events)
+  }
+
+  test("q24 as-of join: picked order is at or before the event ts") {
+    val df = queries.EventOps.q24AsofJoin.fn(spark, sf)
+    assert(df.filter(col("o_orderdate") > col("ts")).count() == 0)
+    assert(df.count() <= Tables(spark, sf, "events").count())
+  }
+
+  test("q27 top-k dot: monotonically non-increasing") {
+    val rows = queries.VectorOps.q27DotTopk.fn(spark, sf).collect()
+    val dots = rows.map(r => BigDecimal(r.getDecimal(r.fieldIndex("dot"))))
+    assert(dots.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(rows.length == 20)
+  }
+}
