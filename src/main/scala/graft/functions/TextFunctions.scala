@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Spark SQL text of [[tokens]] (for embedding in larger exprs). */
+  def tokensSparkSql(c: String): String =
+    s"filter(split(lower($c), '[^a-z0-9]+'), x -> x != '')"
+
   /** Lowercased alphanumeric tokens, empties dropped. */
-  def tokens(c: String): Column =
-    expr(s"filter(split(lower($c), '[^a-z0-9]+'), x -> x != '')")
+  def tokens(c: String): Column = expr(tokensSparkSql(c))
 
   /** DuckDB-equivalent SQL for [[tokens]]. */
   def TokensSql(c: String): String =

@@ -1,0 +1,187 @@
+package graft.ml
+
+import graft.agg.VectorMean
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's four dataflow programs (SURVEY §2.8 M1–M4: train,
+  * trainWithValidation, test, features — CaffeOnSpark.scala:164,239,396,427)
+  * rebuilt Spark-native for a linear model:
+  *
+  *   - the RDMA/socket gradient allreduce (A7, socket_sync.cpp:117-182)
+  *     becomes `RDD.treeAggregate` — partials combine map-side, merge in a
+  *     tree, and the driver holds only O(dim) state;
+  *   - the executor-singleton CaffeProcessor (M6) disappears: each iteration
+  *     is a pure function of (broadcast weights, partition iterator);
+  *   - partition alignment + sync barriers (M8, Y1-Y3) are unnecessary
+  *     because treeAggregate is itself the synchronization point;
+  *   - snapshots (K5) are a Parquet write of the weight vector.
+  *
+  * At 100 TB the per-iteration cost is one pass over the cached training
+  * RDD with O(dim) shuffle traffic per partition — the same communication
+  * pattern MLlib's GradientDescent uses.
+  */
+final case class TrainConfig(
+    lr: Double = 1.0,
+    iters: Int = 50,
+    l2: Double = 1e-4,
+    validateEvery: Int = 10)
+
+class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Serializable {
+
+  /** M1 `train`: synchronous full-batch gradient descent. Input rows:
+    * (features: Seq[Float], y: 0/1 double).
+    */
+  def fit(data: RDD[(Array[Float], Double)]): Array[Double] = {
+    val cached =
+      if (data.getStorageLevel == StorageLevel.NONE) data.persist(StorageLevel.MEMORY_AND_DISK)
+      else data
+    val n = cached.count().toDouble
+    val sc = cached.sparkContext
+    var w = new Array[Double](dim)
+    var it = 0
+    while (it < cfg.iters) {
+      val bw = sc.broadcast(w)
+      // grad partials: (grad sums, loss sum) — merged associatively in a tree
+      val (grad, _) = cached.treeAggregate((new Array[Double](dim), 0.0))(
+        seqOp = { case ((g, l), (x, y)) =>
+          val p = sigmoid(dot(bw.value, x))
+          val err = p - y
+          var i = 0
+          while (i < dim) { g(i) += err * x(i); i += 1 }
+          (g, l - (y * math.log(math.max(p, 1e-15)) +
+            (1 - y) * math.log(math.max(1 - p, 1e-15))))
+        },
+        combOp = { case ((g1, l1), (g2, l2)) =>
+          var i = 0
+          while (i < dim) { g1(i) += g2(i); i += 1 }
+          (g1, l1 + l2)
+        })
+      var i = 0
+      val next = new Array[Double](dim)
+      while (i < dim) {
+        next(i) = w(i) - cfg.lr * (grad(i) / n + cfg.l2 * w(i))
+        i += 1
+      }
+      w = next
+      bw.destroy()
+      it += 1
+    }
+    cached.unpersist(blocking = false)
+    w
+  }
+
+  /** M2 `trainWithValidation`: interleaves fit iterations with validation
+    * metric rows; returns the metrics DataFrame (schema mirrors the
+    * reference's per-validation [accuracy, loss] DF,
+    * CaffeOnSpark.scala:355-357) — validation data is broadcast-joined
+    * implicitly by being an RDD evaluated with the current weights
+    * (replacing the location-pinned UnionRDD W3/Y4 machinery).
+    */
+  def fitWithValidation(
+      spark: SparkSession,
+      train: RDD[(Array[Float], Double)],
+      validation: RDD[(Array[Float], Double)]): (Array[Double], DataFrame) = {
+    val cached = train.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count().toDouble
+    val sc = cached.sparkContext
+    var w = new Array[Double](dim)
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    var it = 0
+    while (it < cfg.iters) {
+      val bw = sc.broadcast(w)
+      val (grad, _) = cached.treeAggregate((new Array[Double](dim), 0.0))(
+        seqOp = { case ((g, l), (x, y)) =>
+          val p = sigmoid(dot(bw.value, x)); val err = p - y
+          var i = 0; while (i < dim) { g(i) += err * x(i); i += 1 }
+          (g, l)
+        },
+        combOp = { case ((g1, l1), (g2, l2)) =>
+          var i = 0; while (i < dim) { g1(i) += g2(i); i += 1 }
+          (g1, l1 + l2)
+        })
+      var i = 0
+      val next = new Array[Double](dim)
+      while (i < dim) { next(i) = w(i) - cfg.lr * (grad(i) / n + cfg.l2 * w(i)); i += 1 }
+      w = next
+      if ((it + 1) % cfg.validateEvery == 0 || it == cfg.iters - 1) {
+        val (acc, loss) = evaluate(validation, w)
+        metrics += ((it + 1, acc, loss))
+      }
+      it += 1
+    }
+    cached.unpersist(blocking = false)
+    import spark.implicits._
+    (w, metrics.toSeq.toDF("iteration", "accuracy", "loss"))
+  }
+
+  /** M3 `features`: forward pass emitting (SampleID, one Array[Float] column
+    * per requested output blob) — schema shape of CaffeOnSpark.scala:479.
+    */
+  def features(df: DataFrame, idCol: String, featCol: String,
+      weights: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val bw = spark.sparkContext.broadcast(weights)
+    val schema = StructType(Seq(
+      StructField("SampleID", StringType, nullable = false),
+      StructField("ip1", ArrayType(FloatType), nullable = false),
+      StructField("prob", ArrayType(FloatType), nullable = false)))
+    val rows = df.select(col(idCol).cast(StringType), col(featCol)).rdd.map { r =>
+      val x = r.getSeq[Float](1).toArray
+      val z = dot(bw.value, x)
+      val p = sigmoid(z)
+      Row(r.getString(0), Seq(z.toFloat), Seq(p.toFloat, (1 - p).toFloat))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** M4 `test`: features + element-wise VectorMean per output column
+    * (CaffeOnSpark.scala:396-418). Returns blob→mean map.
+    */
+  def test(df: DataFrame, idCol: String, featCol: String,
+      weights: Array[Double]): Map[String, Seq[Double]] = {
+    val f = features(df, idCol, featCol, weights)
+    Seq("ip1" -> 1, "prob" -> 2).map { case (name, dim_) =>
+      val vm = udaf(new VectorMean(dim_))
+      name -> f.agg(vm(col(name))).head().getSeq[Double](0)
+    }.toMap
+  }
+
+  def evaluate(data: RDD[(Array[Float], Double)], w: Array[Double]): (Double, Double) = {
+    val (correct, loss, n) = data.map { case (x, y) =>
+      val p = sigmoid(dot(w, x))
+      val pred = if (p >= 0.5) 1.0 else 0.0
+      (if (pred == y) 1L else 0L,
+        -(y * math.log(math.max(p, 1e-15)) + (1 - y) * math.log(math.max(1 - p, 1e-15))),
+        1L)
+    }.treeAggregate((0L, 0.0, 0L))(
+      { case ((c, l, n0), (c1, l1, n1)) => (c + c1, l + l1, n0 + n1) },
+      { case ((c, l, n0), (c1, l1, n1)) => (c + c1, l + l1, n0 + n1) })
+    (correct.toDouble / n, loss / n)
+  }
+
+  private def dot(w: Array[Double], x: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(w.length, x.length)
+    while (i < n) { s += w(i) * x(i); i += 1 }
+    s
+  }
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+}
+
+object LogisticRegression {
+  /** K5 snapshot: persist/restore weights as Parquet. */
+  def saveWeights(spark: SparkSession, w: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+  def loadWeights(spark: SparkSession, path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).orderBy("idx").collect()
+    rows.map(_.getDouble(1))
+  }
+}

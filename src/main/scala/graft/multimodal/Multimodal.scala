@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (LLM-pipeline): media as opaque binary columns
+  * with typed metadata, batch-oriented decode/transform stages.
+  *
+  * Mirrors the reference's image sample tuple
+  * (id, label, channels, height, width, encoded, data — ImageDataSource
+  * .scala:27-29, FIXTURES §2) as a case class with Dataset encoders, and its
+  * decode/resize stage (ImageDataSource.scala:124-151, native Mat decode)
+  * as per-partition batch transforms.
+  *
+  * DECODE IS A DETERMINISTIC STUB: no image codec ships in this
+  * environment, so `stubDecode` fabricates dimensions/pixels from the bytes
+  * (clearly marked). Everything around it — schema, encoders, partition
+  * batching, the resize/frame-sample kernels operating on raw HWC buffers —
+  * is real and tested; swapping `stubDecode` for a javax.imageio/opencv
+  * decode changes one function.
+  */
+final case class MediaSample(
+    id: String,
+    label: String,
+    channels: Int,
+    height: Int,
+    width: Int,
+    encoded: Boolean,
+    data: Array[Byte])
+
+object Multimodal {
+
+  /** STUB decode (deterministic fake): dims derived from payload length,
+    * "pixels" are the payload cycled through an HWC buffer. Replace with a
+    * real codec to decode actual media; callers are codec-agnostic.
+    */
+  def stubDecode(s: MediaSample): MediaSample = {
+    if (!s.encoded) s
+    else {
+      val w = 1 + (s.data.length % 64)
+      val h = 1 + (s.data.length / 64) % 64
+      val c = 3
+      val px = new Array[Byte](w * h * c)
+      var i = 0
+      while (i < px.length) { px(i) = s.data(i % math.max(s.data.length, 1)); i += 1 }
+      MediaSample(s.id, s.label, c, h, w, encoded = false, px)
+    }
+  }
+
+  /** Nearest-neighbour resize over a raw HWC buffer — real kernel. */
+  def resizeNearest(s: MediaSample, outW: Int, outH: Int): MediaSample = {
+    require(!s.encoded, "decode before resize")
+    val out = new Array[Byte](outW * outH * s.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = y * s.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * s.width / outW
+        var ch = 0
+        while (ch < s.channels) {
+          out((y * outW + x) * s.channels + ch) =
+            s.data((sy * s.width + sx) * s.channels + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    s.copy(height = outH, width = outW, data = out)
+  }
+
+  /** Sample every k-th frame of a frame-major payload (video stand-in). */
+  def frameSample(payload: Array[Byte], frameBytes: Int, everyK: Int): Seq[Array[Byte]] = {
+    require(frameBytes > 0 && everyK > 0)
+    val nFrames = payload.length / frameBytes
+    (0 until nFrames by everyK).map { f =>
+      java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)
+    }
+  }
+
+  /** Dataset pipeline: decode + resize as one per-partition batch stage
+    * (iterator-chained like the reference's transformer thread, minus the
+    * cross-task singleton M6 anti-pattern — each partition is pure).
+    */
+  def decodeAndResize(ds: Dataset[MediaSample], outW: Int, outH: Int): Dataset[MediaSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(s => resizeNearest(stubDecode(s), outW, outH)))
+  }
+
+  /** Build a MediaSample dataset from the documents table, payload = utf8
+    * bytes (the environment's stand-in for real media blobs).
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaSample] = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"), col("lang").as("label"),
+        lit(0).as("channels"), lit(0).as("height"), lit(0).as("width"),
+        lit(true).as("encoded"), col("text").cast("binary").as("data"))
+      .as[MediaSample]
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Sketch-based near-duplicate detection (LLM-pipeline dedup, SURVEY §7.2
+  * step 7): MinHash+LSH banding and SimHash, both expressed with fixed
+  * integer hash families so the DuckDB oracle reproduces every signature
+  * bit-for-bit. Exact-jaccard variants live in TextOps.q21; embedding-space
+  * near-dup in VectorOps.q28.
+  */
+object DedupOps {
+
+  private val P = 1000000007L
+  /** Fixed MinHash family: 16 odd multipliers/offsets (deterministic, spliced
+    * into both engines as literals).
+    */
+  private val hashA: Seq[Long] = (1 to 16).map(i => (i * 2654435761L) % P | 1L)
+  private val hashB: Seq[Long] = (1 to 16).map(i => (i * 1315423911L) % P)
+  private val ASpark = hashA.mkString("array(", "L, ", "L)")
+  private val BSpark = hashB.mkString("array(", "L, ", "L)")
+  private val ADuck = hashA.mkString("[", "::BIGINT, ", "::BIGINT]")
+  private val BDuck = hashB.mkString("[", "::BIGINT, ", "::BIGINT]")
+
+  private val ToksSql = TokensSql("text")
+
+  /** Q31 — MinHash+LSH near-dup candidates with exact-Jaccard verification.
+    *
+    * Pipeline (identical in both engines): word-bigram shingles → 64-bit
+    * rolling hash → 16 minhashes ((a·h+b) mod p) → 4 bands of 4 rows → band
+    * hash → candidate pairs sharing ≥1 band → exact Jaccard via the shingle
+    * inverted index.
+    *
+    * Scale notes (the point of LSH): candidate generation joins on
+    * (band, band_hash) — sub-quadratic, shuffle keyed by band hash — and the
+    * expensive exact verify runs only on candidates. Banding parameters
+    * (16 sigs, 4×4) put the S-curve threshold at ≈ (1/4)^(1/4) ≈ 0.71.
+    */
+  val q31MinhashLsh: QueryDef = QueryDef.sql(
+    "q31_minhash_lsh",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+       |fps AS (SELECT doc_id, list(fp ORDER BY fp) AS fps FROM sh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([($ADuck[j] * fp + $BDuck[j]) % $P for fp in fps])
+       |     for j in range(1, 17)] AS sig
+       |  FROM fps),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |    list_reduce(sig[4*j+1 : 4*j+4], (a, b) -> (a * 31 + b) % $P) AS bh
+       |  FROM sig, unnest([0, 1, 2, 3]) AS t(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
+       |  inter / (sa.n + sb.n - inter) AS jaccard
+       |FROM (SELECT c.a, c.b, count(*) AS inter
+       |      FROM cand c
+       |      JOIN sh p ON p.doc_id = c.a
+       |      JOIN sh q ON q.doc_id = c.b AND q.fp = p.fp
+       |      GROUP BY c.a, c.b) i
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("s"))
+      .select(col("doc_id"), fingerprint("s").as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = sh.groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+    val sig = fps.select(col("doc_id"),
+      expr(s"transform(sequence(1, 16), j -> " +
+        s"array_min(transform(fps, fp -> (element_at($ASpark, j) * fp + element_at($BSpark, j)) % $P)))").as("sig"))
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"aggregate(slice(sig, 4*band+1, 4), 0L, (a, b) -> (a * 31 + b) % $P)").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "a"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b2").withColumnRenamed("fp", "fp2"),
+        col("b") === col("b2") && col("fp") === col("fp2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** Q32 — SimHash document sketch: 32-bit signature from term-frequency
+    * weighted token-hash bits. Map-only (the sketch is the shuffle-free part;
+    * hamming-bucketed pair generation is the library follow-up).
+    */
+  val q32Simhash: QueryDef = QueryDef.sql(
+    "q32_simhash",
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [CASE WHEN list_sum([((th >> j) & 1)*2 - 1 for th in ths]) > 0
+       |          THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 32)]),
+       |    (a, b) -> a + b) AS simhash,
+       |  len(ths) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"transform(${tokensSparkSql("text")}, t0 -> " +
+          "aggregate(transform(split(t0, ''), ch -> ascii(ch)), 0L, " +
+          "(acc, x) -> (acc * 31 + x) % 1000000007))").as("ths"))
+      .select(col("doc_id"),
+        expr("aggregate(transform(sequence(0, 31), j -> " +
+          "CASE WHEN aggregate(transform(ths, th -> (shiftright(th, j) & 1)*2 - 1), 0L, (a,b) -> a+b) > 0 " +
+          "THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, b) -> a + b)").as("simhash"),
+        size(col("ths")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q31MinhashLsh, q32Simhash)
+}

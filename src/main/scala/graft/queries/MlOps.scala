@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked projections of the ML dataflow surface (SURVEY §2.8): the
+  * forward pass (`features`, M3) and metric aggregation (`test`, M4) of a
+  * linear scorer with fixed deterministic weights, expressed decimal-exact
+  * so DuckDB reproduces them bit-for-bit. The trained variants (M1/M2 —
+  * gradient descent via treeAggregate) live in graft.ml and are covered by
+  * convergence tests instead (floating-point training is inherently
+  * iteration-order sensitive, not oracle material).
+  */
+object MlOps {
+
+  /** Fixed scorer weights: one decimal digit each, exact in DECIMAL(5,1). */
+  private val weights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
+  private val wSparkArr = weights.map(w => s"CAST($w AS DECIMAL(5,1))").mkString("array(", ", ", ")")
+  private val wDuckArr = weights.map(w => s"CAST($w AS DECIMAL(5,1))").mkString("[", ", ", "]")
+
+  /** Q29 — `features` forward pass (reference CaffeOnSpark.scala:427-438):
+    * per-sample linear score ("ip1" blob) + sign prediction. Map-only, the
+    * weight vector rides into codegen as a literal (broadcast-equivalent).
+    */
+  val q29Features: QueryDef = QueryDef.sql(
+    "q29_features",
+    s"""SELECT vec_id AS sample_id, label,
+       |  CAST(list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) AS DECIMAL(38,10)) AS ip1,
+       |  list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred
+       |FROM embeddings
+       |ORDER BY sample_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("sample_id"), col("label"),
+        expr(s"CAST(aggregate(zip_with(embedding, $wSparkArr, " +
+          "(x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * y AS DECIMAL(25,10))), " +
+          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) AS DECIMAL(38,10))").as("ip1"))
+      .withColumn("pred", col("ip1") > 0)
+      .orderBy("sample_id")
+  }
+
+  /** Q30 — `test` metric aggregation (reference CaffeOnSpark.scala:396-418):
+    * per-label accuracy of the q29 scorer against the deterministic target
+    * y = (e[0] + e[1] > 0). Exact-int count ratio → bit-identical accuracy.
+    */
+  val q30TestMetrics: QueryDef = QueryDef.sql(
+    "q30_test_metrics",
+    s"""SELECT label, count(*) AS n,
+       |  sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS n_correct,
+       |  sum(CASE WHEN pred = y THEN 1 ELSE 0 END) / count(*) AS accuracy
+       |FROM (
+       |  SELECT label,
+       |    list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |                 for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred,
+       |    CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))
+       |      + CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9)) > 0 AS y
+       |  FROM embeddings)
+       |GROUP BY label
+       |ORDER BY label""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label"),
+        expr(s"aggregate(zip_with(embedding, $wSparkArr, " +
+          "(x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * y AS DECIMAL(25,10))), " +
+          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) > 0").as("pred"),
+        expr("CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,9)) " +
+          "+ CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)) > 0").as("y"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("y"), 1).otherwise(0)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct") / col("n"))
+      .orderBy("label")
+  }
+
+  val all: Seq[QueryDef] = Seq(q29Features, q30TestMetrics)
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events schema.
+  *
+  * The reference has no stream processing (SURVEY §2.10 — its queues are
+  * intra-JVM pipelining); this module is the rebuild's extension capability:
+  * the same event-time operators as queries.EventOps, expressed as
+  * incremental plans with watermarks so they run identically over a bounded
+  * directory (tests) or an unbounded source (production).
+  *
+  * State-store sizing at scale: both aggregations key state by
+  * (window/session × group) — state is O(active windows), evicted by the
+  * watermark, never O(events).
+  */
+object EventStreams {
+
+  /** The events schema as a stream source expects it: ts arrives as raw
+    * nanos (parquet TIMESTAMP(NANOS) read via nanosAsLong) and is rebuilt
+    * to a microsecond timestamp, mirroring graft.Tables.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a streaming view of an events parquet path. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of q22_events_hourly: tumbling event-time window with a
+    * watermark bounding state and late data.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming twin of q23_sessionize: native session_window with a 30-min
+    * gap — Spark merges/evicts session state under the watermark.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Run a bounded stream to completion into an in-memory table and return
+    * the result (test/bench harness; `availableNow` processes the whole
+    * directory then stops).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

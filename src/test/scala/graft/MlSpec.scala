@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.{LogisticRegression, TrainConfig}
+import org.apache.spark.sql.functions._
+
+/** Convergence + shape tests mirroring the reference's InterleaveTest
+  * (final accuracy > 0.8, loss decreasing; InterleaveTest.scala:36-57) and
+  * the features/test schema checks (PythonApiTest.py:39-45), on a
+  * deterministic separable target y = (e0 + e1 > 0).
+  */
+class MlSpec extends SparkSpec {
+
+  private def labeled = {
+    val emb = Tables(spark, sf, "embeddings")
+    emb.select(col("vec_id"), col("embedding")).rdd.map { r =>
+      val x = r.getSeq[Float](1).toArray
+      val y = if (x(0) + x(1) > 0) 1.0 else 0.0
+      (x, y)
+    }
+  }
+
+  test("train converges: accuracy > 0.8, better than initial") {
+    val lr = new LogisticRegression(64, TrainConfig(lr = 2.0, iters = 60))
+    val data = labeled
+    val w0 = new Array[Double](64)
+    val (acc0, _) = lr.evaluate(data, w0)
+    val w = lr.fit(data)
+    val (acc, loss) = lr.evaluate(data, w)
+    assert(acc > 0.8, s"accuracy $acc")
+    assert(acc > acc0)
+    assert(loss < 0.693) // below ln 2 = untrained loss
+  }
+
+  test("trainWithValidation emits metric rows with increasing iteration") {
+    val lr = new LogisticRegression(64, TrainConfig(lr = 2.0, iters = 30, validateEvery = 10))
+    val (_, metrics) = lr.fitWithValidation(spark, labeled, labeled)
+    val rows = metrics.orderBy("iteration").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20, 30))
+    val accs = rows.map(_.getDouble(1))
+    assert(accs.last >= accs.head)
+  }
+
+  test("features emits SampleID + Array[Float] blob columns; test aggregates them") {
+    val lr = new LogisticRegression(64)
+    val emb = Tables(spark, sf, "embeddings")
+    val w = Array.tabulate(64)(i => ((i * 37) % 21 - 10) / 10.0)
+    val f = lr.features(emb, "vec_id", "embedding", w)
+    assert(f.columns.toSeq == Seq("SampleID", "ip1", "prob"))
+    assert(f.count() == emb.count())
+    val m = lr.test(emb, "vec_id", "embedding", w)
+    assert(m("prob").length == 2)
+    assert(math.abs(m("prob").sum - 1.0) < 1e-6) // p and 1-p mean to 1
+  }
+
+  test("weight snapshot round-trips through parquet") {
+    val w = Array.tabulate(64)(_ * 0.5)
+    val path = java.nio.file.Files.createTempDirectory("wts").toString + "/w"
+    LogisticRegression.saveWeights(spark, w, path)
+    assert(LogisticRegression.loadWeights(spark, path).toSeq == w.toSeq)
+  }
+}

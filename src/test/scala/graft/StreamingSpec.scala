@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming twins agree with their batch formulations on bounded input.
+  *
+  * Append-mode watermark semantics: windows/sessions not yet closed by the
+  * final watermark are withheld at end-of-stream, so the checks are
+  * (a) every EMITTED row matches its batch twin exactly, and (b) only rows
+  * near the stream's end may be withheld.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // file stream sources require a directory, not a bare file
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly counts: emitted windows equal batch windows") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(
+      EventStreams.hourlyCounts(stream), "hourly_t")
+    val batch = queries.EventOps.q22EventsHourly.fn(spark, sf)
+      .withColumnRenamed("n", "n_b")
+    val joined = got.join(batch, Seq("bucket", "event_type"), "inner")
+    // every emitted row has a batch twin with identical count
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n") =!= col("n_b")).count() == 0)
+    // withheld rows are only those the final watermark hadn't closed
+    val maxTs = Tables(spark, sf, "events").agg(max("ts")).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3 * 3600 * 1000L)
+    val missing = batch.join(got.select("bucket", "event_type"),
+      Seq("bucket", "event_type"), "left_anti")
+    assert(missing.filter(col("bucket") < cutoff).count() == 0)
+  }
+
+  test("streaming sessionization: emitted sessions equal batch sessions") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(
+      EventStreams.sessionize(stream), "sessions_t")
+    val batch = queries.EventOps.q23Sessionize.fn(spark, sf)
+      .withColumnRenamed("n_events", "n_b")
+    val joined = got.join(batch, Seq("user_id", "session_start"), "inner")
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n_events") =!= col("n_b")).count() == 0)
+    assert(got.filter(col("session_start") > col("session_end")).count() == 0)
+  }
+}
