@@ -70,6 +70,61 @@ object Multimodal {
     s.copy(height = outH, width = outW, data = out)
   }
 
+  /** P8 (LmdbRDD.scala:270-281): channel-planar CHW bytes → interleaved HWC.
+    * Real kernel — the reference runs this on every LMDB-decoded sample.
+    */
+  def chwToHwc(data: Array[Byte], channels: Int, height: Int, width: Int): Array[Byte] = {
+    require(data.length == channels * height * width)
+    val out = new Array[Byte](data.length)
+    val hw = height * width
+    var c = 0
+    while (c < channels) {
+      var p = 0
+      while (p < hw) {
+        out(p * channels + c) = data(c * hw + p)
+        p += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** P10 crop (FloatDataTransformer crop param): top-left (x0,y0) crop of an
+    * HWC buffer.
+    */
+  def crop(s: MediaSample, x0: Int, y0: Int, w: Int, h: Int): MediaSample = {
+    require(!s.encoded && x0 + w <= s.width && y0 + h <= s.height)
+    val out = new Array[Byte](w * h * s.channels)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(s.data, ((y0 + y) * s.width + x0) * s.channels,
+        out, y * w * s.channels, w * s.channels)
+      y += 1
+    }
+    s.copy(width = w, height = h, data = out)
+  }
+
+  /** P10 mirror (horizontal flip) of an HWC buffer. */
+  def mirror(s: MediaSample): MediaSample = {
+    require(!s.encoded)
+    val out = new Array[Byte](s.data.length)
+    var y = 0
+    while (y < s.height) {
+      var x = 0
+      while (x < s.width) {
+        var c = 0
+        while (c < s.channels) {
+          out((y * s.width + x) * s.channels + c) =
+            s.data((y * s.width + (s.width - 1 - x)) * s.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    s.copy(data = out)
+  }
+
   /** Sample every k-th frame of a frame-major payload (video stand-in). */
   def frameSample(payload: Array[Byte], frameBytes: Int, everyK: Int): Seq[Array[Byte]] = {
     require(frameBytes > 0 && everyK > 0)

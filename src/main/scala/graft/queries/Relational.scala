@@ -346,8 +346,23 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Q35 — approximate distinct counts via HLL++ sketches. No oracle: HLL
+    * register layouts differ per engine, so the driver records a rows-only
+    * check; the exact counterpart is q10. At scale this is the
+    * one-pass/no-shuffle-of-keys replacement for count(DISTINCT).
+    */
+  val q35ApproxDistinct: QueryDef = QueryDef.rowsOnly("q35_approx_distinct") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q2FilterProject, q3JoinRevenue, q4SemiJoin, q5AntiJoin,
     q6TopK, q7WindowRank, q8WindowRunning, q9SetOps, q10Distinct,
-    q11GroupStats, q12Rollup, q13ScalarAgg, q14Having)
+    q11GroupStats, q12Rollup, q13ScalarAgg, q14Having, q35ApproxDistinct)
 }

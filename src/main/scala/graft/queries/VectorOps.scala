@@ -99,5 +99,62 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q26VectorMean, q27DotTopk, q28EmbeddingNeardup)
+  /** Fixed random-hyperplane family for sign-LSH: 8 planes × 64 integer
+    * coefficients in [-9, 9], generated by a deterministic formula and
+    * spliced into both engines as literals.
+    */
+  private val planes: Seq[Seq[Int]] =
+    Seq.tabulate(8, 64)((j, i) => ((j * 97 + i * 31) % 19) - 9)
+
+  private def bucketSpark: String = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(embedding, $arr, " +
+        "(x, pc) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * pc AS DECIMAL(30,9))), " +
+        s"CAST(0 AS DECIMAL(38,9)), (a, b) -> CAST(a + b AS DECIMAL(38,9))) > 0 " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private def bucketDuck: String = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * ($arr)[i] " +
+        s"for i in range(1, 65)]) > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Q34 — bucketed approximate nearest neighbours: sign-LSH (random
+    * hyperplane) bucket per vector, exact max-inner-product top-k restricted
+    * to the query's bucket.
+    *
+    * This is the sublinear scale path q27's brute force motivates: the
+    * bucket id is computed map-only at ingest, the search probes one bucket
+    * (a partition-prunable predicate at 100 TB when bucket is a partition
+    * or Z-order key) and ranks only its members.
+    */
+  val q34AnnLsh: QueryDef = QueryDef.sql(
+    "q34_ann_lsh",
+    s"""WITH b AS (SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.bucket, ${DotDecSql("e.embedding", "q.qv")} AS dot
+       |FROM b e, q
+       |WHERE e.bucket = q.qb AND e.vec_id <> 0
+       |ORDER BY dot DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+      .withColumn("bucket", expr(bucketSpark))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qb"))
+      .select(col("vec_id"), col("label"), col("bucket"), dotDec("embedding", "qv").as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.Interop
+import graft.multimodal.{MediaSample, Multimodal}
+import graft.operators.Partitioning
+import graft.tools.Converters
+import org.apache.spark.sql.functions._
+
+/** Coverage for the remaining SURVEY §2 utility operators: P2/P5/P6/P8/P10,
+  * S3/K2/K3 seqfile + metrics sinks, Y2 fixed-size partitioning, A3 stats.
+  */
+class OperatorUtilSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P5/P6: label from array, ml vector conversion") {
+    val df = Seq((Seq(3.5f, 1.0f), "a")).toDF("arr", "id")
+    assert(df.select(Interop.labelFromArray(col("arr"))).head.getDouble(0) == 3.5)
+    val v = df.select(Interop.toMlVector(col("arr")).as("v")).head
+      .getAs[org.apache.spark.ml.linalg.Vector]("v")
+    assert(v.toArray.toSeq == Seq(3.5, 1.0))
+  }
+
+  test("P2: optional columns defaulted, required enforced") {
+    val df = Seq(("x", 1)).toDF("data", "label")
+    val out = Interop.withDefaults(df, required = Seq("data", "label"),
+      defaults = Map("channels" -> lit(1), "encoded" -> lit(false)))
+    assert(out.columns.toSet == Set("data", "label", "channels", "encoded"))
+    assert(out.head.getAs[Int]("channels") == 1)
+    intercept[IllegalArgumentException] {
+      Interop.withDefaults(df, required = Seq("missing"), defaults = Map.empty)
+    }
+  }
+
+  test("P10: scaleTensor multiplies elementwise") {
+    val df = Seq(Seq(2.0f, 4.0f)).toDF("t")
+    val got = df.select(Interop.scaleTensor(col("t"), 0.5).as("s"))
+      .head.getSeq[Float](0)
+    assert(got == Seq(1.0f, 2.0f))
+  }
+
+  test("P8: CHW to HWC reorder round-trips pixel values") {
+    // 2 channels, 2x2: CHW = [c0: 0,1,2,3][c1: 10,11,12,13]
+    val chw = Array[Byte](0, 1, 2, 3, 10, 11, 12, 13)
+    val hwc = Multimodal.chwToHwc(chw, channels = 2, height = 2, width = 2)
+    assert(hwc.toSeq == Seq[Byte](0, 10, 1, 11, 2, 12, 3, 13))
+  }
+
+  test("P10: crop and mirror kernels") {
+    val px = Array.tabulate(4 * 2)(_.toByte) // 4x2, 1 channel
+    val s = MediaSample("1", "x", 1, 2, 4, encoded = false, px)
+    val c = Multimodal.crop(s, x0 = 1, y0 = 0, w = 2, h = 2)
+    assert(c.data.toSeq == Seq[Byte](1, 2, 5, 6))
+    val m = Multimodal.mirror(s)
+    assert(m.data.toSeq == Seq[Byte](3, 2, 1, 0, 7, 6, 5, 4))
+  }
+
+  test("S3/K3: sequence file round-trip") {
+    val df = Seq(("s1", 7, Array[Byte](1, 2)), ("s2", 9, Array[Byte](3)))
+      .toDF("SampleID", "label", "data")
+    val path = java.nio.file.Files.createTempDirectory("seq").toString + "/sf"
+    Converters.writeSequenceFile(df, path)
+    val back = Converters.readSequenceFile(spark, path).orderBy("SampleID").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "s1" && back(0).getInt(1) == 7)
+    assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2))
+  }
+
+  test("K2: metrics sink writes one json line") {
+    val path = java.nio.file.Files.createTempDirectory("metrics").toString + "/m"
+    Converters.writeMetrics(spark, Map("accuracy" -> Seq(0.9), "loss" -> Seq(0.1, 0.2)), path)
+    val lines = spark.read.text(path).collect().map(_.getString(0))
+    assert(lines.length == 1)
+    assert(lines.head.contains(""""accuracy": [0.9]"""))
+  }
+
+  test("Y2/A3: fixed-size repartition yields equal partitions") {
+    val df = (1 to 100).toDF("n")
+    val fixed = Partitioning.repartitionFixedSize(df, 10, Seq("n"))
+    assert(fixed.count() == 100)
+    val (mn, mx, np) = Partitioning.partitionSizeStats(fixed)
+    assert(np == 10 && mn == 10 && mx == 10)
+  }
+}
