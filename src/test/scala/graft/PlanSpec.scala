@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards for the 100 TB posture (SURVEY §4): the
+  * properties that make these queries scale — filter/column pushdown to the
+  * parquet scan, broadcast joins for dims, TakeOrderedAndProject for top-k,
+  * partial aggregation — asserted against the planned text so a refactor
+  * can't silently trade them away.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: predicates and projection push down to the parquet scan") {
+    val p = planOf(queries.Relational.q2FilterProject.fn(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    // (the PushedFilters list is truncated in toString; the shipdate filter
+    // proves pushdown reached the scan, DataFilters shows the quantity one)
+    assert(p.contains("l_quantity#"), "quantity filter missing from scan")
+    // pruned read schema: no l_discount/l_tax in the scan
+    assert(!p.contains("l_discount"), "column pruning lost")
+  }
+
+  test("q3: dimension joins broadcast; no shuffle on dim side") {
+    val p = planOf(queries.Relational.q3JoinRevenue.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q6: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf(queries.Relational.q6TopK.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q16: vocab top-k aggregates with map-side partials") {
+    val p = planOf(queries.TextOps.q16VocabTopk.fn(spark, sf))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q27: brute-force ANN is scan + broadcast + top-k (no shuffle of the corpus)") {
+    val p = planOf(queries.VectorOps.q27DotTopk.fn(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for a 1-row query")
+  }
+
+  test("q1: aggregation is partial + final (map-side combine)") {
+    val p = planOf(queries.Relational.q1PricingSummary.fn(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert("partial".r.findFirstIn(p).isDefined, p.take(800))
+  }
+}

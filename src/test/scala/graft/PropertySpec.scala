@@ -1,0 +1,86 @@
+package graft
+
+import graft.agg.VectorMean
+import graft.multimodal.{MediaSample, Multimodal}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property tests (SURVEY §5 rebuild strategy: "VectorMean property tests
+  * (ScalaCheck)"): algebraic invariants the distributed plans rely on —
+  * pure-function properties, no Spark session, run by sbt's ScalaCheck
+  * framework.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val vecGen = Gen.listOfN(4, Gen.chooseNum(-100f, 100f))
+
+  property("VectorMean: arbitrary partial split merges to the global mean") =
+    Prop.forAll(Gen.nonEmptyListOf(vecGen), Gen.chooseNum(0, 1000)) { (data, seed) =>
+      val vm = new VectorMean(4)
+      val split = seed % (data.size + 1)
+      val (l, r) = data.splitAt(split)
+      val bufL = l.foldLeft(vm.zero)((b, v) => vm.reduce(b, v))
+      val bufR = r.foldLeft(vm.zero)((b, v) => vm.reduce(b, v))
+      val merged = vm.finish(vm.merge(bufL, bufR))
+      val expected = (0 until 4).map(i => data.map(_(i).toDouble).sum / data.size)
+      merged.zip(expected).forall { case (g, e) =>
+        math.abs(g - e) < 1e-6 * math.max(1.0, math.abs(e))
+      }
+    }
+
+  property("chwToHwc: permutation — preserves byte multiset and length") =
+    Prop.forAll(Gen.chooseNum(1, 4), Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (c, h, w) =>
+      val data = Array.tabulate(c * h * w)(i => (i * 13 % 251).toByte)
+      val out = Multimodal.chwToHwc(data, c, h, w)
+      out.length == data.length && out.sorted.toSeq == data.sorted.toSeq
+    }
+
+  property("resizeNearest: output dims and identity at same size") =
+    Prop.forAll(Gen.chooseNum(1, 12), Gen.chooseNum(1, 12), Gen.chooseNum(1, 12), Gen.chooseNum(1, 12)) {
+      (w, h, ow, oh) =>
+        val s = MediaSample("p", "x", 3, h, w, encoded = false,
+          Array.tabulate(w * h * 3)(i => (i % 251).toByte))
+        val r = Multimodal.resizeNearest(s, ow, oh)
+        val identity = Multimodal.resizeNearest(s, w, h)
+        r.width == ow && r.height == oh && r.data.length == ow * oh * 3 &&
+          identity.data.toSeq == s.data.toSeq
+    }
+
+  property("mirror is an involution") =
+    Prop.forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) { (w, h) =>
+      val s = MediaSample("p", "x", 3, h, w, encoded = false,
+        Array.tabulate(w * h * 3)(i => (i * 7 % 251).toByte))
+      Multimodal.mirror(Multimodal.mirror(s)).data.toSeq == s.data.toSeq
+    }
+
+  private val rollingHashRef: String => Long =
+    _.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+
+  property("rolling hash: prefix composition h(a+b) depends only on h(a) and b") =
+    Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val hab = rollingHashRef(a + b)
+      val comp = b.foldLeft(rollingHashRef(a))((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+      hab == comp
+    }
+}
+
+/** Spark-dependent property-style checks (seeded loops — the SQL expression
+  * must agree with the reference Scala fold on arbitrary ASCII input).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint expression matches the reference Scala fold on random ASCII") {
+    val rnd = new scala.util.Random(42)
+    val texts = Seq.fill(50) {
+      val len = rnd.nextInt(80)
+      Seq.fill(len)((32 + rnd.nextInt(95)).toChar)
+        .mkString.replace("'", "x").replace("\\", "y")
+    }.filter(_.nonEmpty)
+    val got = texts.toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint("text"))
+      .as[Long].collect().toSeq
+    val expected = texts.map(t =>
+      t.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L))
+    assert(got == expected)
+  }
+}
