@@ -16,7 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Plan-fragment cache: repeated loads of the same table otherwise re-list
+  // the directory and re-read parquet footers on every query — measurable
+  // when a bench run plans 38 queries back to back. Keyed per session so
+  // Verify/Bench/test sessions don't cross.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright —
     // read it as a long and rebuild a microsecond timestamp (the generator
     // emits exact-µs values, verified ns % 1000 == 0, so this is lossless).

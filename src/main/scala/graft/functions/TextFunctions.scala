@@ -31,11 +31,12 @@ object TextFunctions {
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Polynomial rolling hash of the whole string (document fingerprint):
-    * fold of `acc*31 + codepoint (mod 1e9+7)` over the characters.
+    * fold of `acc*31 + codepoint (mod 1e9+7)` over the characters. Runs as
+    * the native RollingHash expression (one call per value, tight loop) —
+    * semantically identical to the SQL-lambda fold.
     */
   def fingerprint(c: String): Column =
-    expr(s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
-      s"(acc, x) -> (acc * 31 + x) % 1000000007)")
+    org.apache.spark.sql.graft.SketchExpressions.rolling_hash(expr(c))
 
   def FingerprintSql(c: String): String =
     s"list_reduce([unicode(ch)::BIGINT for ch in regexp_extract_all($c, '.')], " +

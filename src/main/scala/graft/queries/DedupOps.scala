@@ -18,8 +18,6 @@ object DedupOps {
     */
   private val hashA: Seq[Long] = (1 to 16).map(i => (i * 2654435761L) % P | 1L)
   private val hashB: Seq[Long] = (1 to 16).map(i => (i * 1315423911L) % P)
-  private val ASpark = hashA.mkString("array(", "L, ", "L)")
-  private val BSpark = hashB.mkString("array(", "L, ", "L)")
   private val ADuck = hashA.mkString("[", "::BIGINT, ", "::BIGINT]")
   private val BDuck = hashB.mkString("[", "::BIGINT, ", "::BIGINT]")
 
@@ -75,9 +73,12 @@ object DedupOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fps = sh.groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+    // native MinHashSignature: one tight loop per doc instead of
+    // |shingles| × 16 interpreted lambda evaluations; same (a·h+b) mod p
+    // minima as the oracle's comprehension.
     val sig = fps.select(col("doc_id"),
-      expr(s"transform(sequence(1, 16), j -> " +
-        s"array_min(transform(fps, fp -> (element_at($ASpark, j) * fp + element_at($BSpark, j)) % $P)))").as("sig"))
+      org.apache.spark.sql.graft.SketchExpressions
+        .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
     val bands = sig
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("band"),
@@ -116,15 +117,10 @@ object DedupOps {
        |  SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
     Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        expr(s"transform(${tokensSparkSql("text")}, t0 -> " +
-          "aggregate(transform(split(t0, ''), ch -> ascii(ch)), 0L, " +
-          "(acc, x) -> (acc * 31 + x) % 1000000007))").as("ths"))
-      .select(col("doc_id"),
-        expr("aggregate(transform(sequence(0, 31), j -> " +
-          "CASE WHEN aggregate(transform(ths, th -> (shiftright(th, j) & 1)*2 - 1), 0L, (a,b) -> a+b) > 0 " +
-          "THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, b) -> a + b)").as("simhash"),
+      .select(col("doc_id"), token_hashes(tokens("text")).as("ths"))
+      .select(col("doc_id"), simhash32(col("ths")).as("simhash"),
         size(col("ths")).as("n_tokens"))
       .orderBy("doc_id")
   }
