@@ -125,5 +125,51 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q31MinhashLsh, q32Simhash)
+  /** Q39 — SimHash near-dup pairs via byte-band blocking: pairs sharing any
+    * of the 4 signature bytes are candidates; survivors need hamming ≤ 3
+    * (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands intact, so recall
+    * is exact for that radius). Candidate join is keyed on (band, byte) —
+    * sub-quadratic, like q31's LSH bands.
+    */
+  val q39SimhashNeardup: QueryDef = QueryDef.sql(
+    "q39_simhash_neardup",
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [CASE WHEN list_sum([((th >> j) & 1)*2 - 1 for th in ths]) > 0
+       |            THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 32)]),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM (SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
+       |        FROM documents)),
+       |bands AS (
+       |  SELECT doc_id, simhash, j AS band, (simhash >> (8*j)) & 255 AS byte
+       |  FROM sig, unnest([0, 1, 2, 3]) AS t(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
+    val sig = Tables(s, dir, "documents")
+      .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("byte", expr("shiftright(simhash, 8*band) & 255"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup)
 }

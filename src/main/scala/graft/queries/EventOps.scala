@@ -130,6 +130,27 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Q41 — sliding event-time windows (1 h window, 15 min slide): each event
+    * lands in 4 overlapping buckets, generated by exact integer epoch
+    * arithmetic (the batch twin of `window(ts, "1 hour", "15 minutes")`).
+    * Explode-then-aggregate: shuffle carries (bucket, type) partials only.
+    */
+  val q41SlidingWindow: QueryDef = QueryDef.sql(
+    "q41_sliding_window",
+    s"""SELECT make_timestamp(CAST((epoch_us(ts) // 900000000 - k) * 900000000 AS BIGINT)) AS win_start,
+       |  event_type, count(*) AS n, ${SumVal("value")} AS sum_value
+       |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+       |GROUP BY 1, 2
+       |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("win_start",
+        timestamp_micros(expr("(unix_micros(ts) div 900000000 - k) * 900000000")))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), toDbl(sum(money(col("value")))).as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract)
+    q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract, q41SlidingWindow)
 }

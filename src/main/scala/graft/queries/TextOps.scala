@@ -215,7 +215,28 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  /** Q40 — token counting for training-data budgeting: whitespace tokens vs
+    * a BPE-ish segmentation (letter runs / digit runs / single symbols —
+    * the pre-tokenizer shape of byte-pair encoders). Map-only; regexp counts
+    * use RE2-compatible patterns that Java regex interprets identically.
+    */
+  val q40TokenCount: QueryDef = QueryDef.sql(
+    "q40_token_count",
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '[ ]+'), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, '[ ]+'), x -> x != ''))").as("ws_tokens"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("bpeish_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
-    q20DedupExact, q21NgramJaccard)
+    q20DedupExact, q21NgramJaccard, q40TokenCount)
 }
