@@ -96,17 +96,15 @@ object EventOps {
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
     val o = Tables(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    // The per-event "latest order" is max(struct(date, key)) — an aggregate
-    // with map-side partials, so the join fan-out collapses before the
-    // shuffle (vs. a row_number window, which must shuffle + sort every
-    // joined row). Struct ordering is lexicographic = (date DESC, key DESC)
-    // top-1 semantics of the oracle.
-    e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-      .groupBy(col("event_id"), col("user_id"), col("ts"))
-      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("best.o_orderkey").as("o_orderkey"),
-        col("best.o_orderdate").as("o_orderdate"))
+    // Runs on the engine's native AsOfJoinExec (org.apache.spark.sql.graft):
+    // co-partition by key, sort (key, time), ONE merge pass with O(1) state —
+    // no |events|×|orders-per-user| fan-out, no second shuffle, unlike the
+    // compose formulation (join + top-1 aggregate) it replaces. Tie-break on
+    // o_orderkey matches the oracle's (date DESC, key DESC) top-1.
+    org.apache.spark.sql.graft.AsOf.join(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"))
+      .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
       .orderBy("event_id")
   }
 

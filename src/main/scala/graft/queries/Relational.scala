@@ -162,18 +162,21 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Q5 — left-anti join (NOT EXISTS): customers with no orders. */
+  /** Q5 — left-anti join (NOT EXISTS): orders with no lineitems (a real,
+    * populated anti set in this data — customers all have orders, so the
+    * customer variant would be a vacuous check).
+    */
   val q5AntiJoin: QueryDef = QueryDef.sql(
     "q5_anti_join",
-    """SELECT c_custkey, c_name
-      |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    val c = Tables(s, dir, "customer")
+    """SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
     val o = Tables(s, dir, "orders")
-    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+    val li = Tables(s, dir, "lineitem")
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
   }
 
   /** Q6 — global top-k (SURVEY W1: vocab `sortBy(-count).take(k)`,
@@ -239,19 +242,20 @@ object Relational {
   }
 
   /** Q9 — set ops (SURVEY W3 union multiplexing, minus the locality pinning):
-    * nations that have customers but no suppliers, via UNION/EXCEPT-style
-    * composition. Integer-only → exact.
+    * order keys that exist in `orders` but never ship a lineitem — a
+    * populated EXCEPT at every scale factor (nation-key variants are vacuous
+    * here: suppliers cover all nations). Integer-only → exact.
     */
   val q9SetOps: QueryDef = QueryDef.sql(
     "q9_set_ops",
-    """SELECT n_nationkey FROM (
-      |  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    """SELECT k FROM (
+      |  SELECT DISTINCT o_orderkey AS k FROM orders
       |  EXCEPT
-      |  SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier) t
-      |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
-    val c = Tables(s, dir, "customer").select(col("c_nationkey").as("n_nationkey")).distinct()
-    val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")).distinct()
-    c.except(sup).orderBy("n_nationkey")
+      |  SELECT DISTINCT l_orderkey AS k FROM lineitem) t
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders").select(col("o_orderkey").as("k")).distinct()
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey").as("k")).distinct()
+    o.except(li).orderBy("k")
   }
 
   /** Q10 — distinct aggregates (SURVEY §2.5 note: absent in reference, free in

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_norm"),
       new ExpressionInfo(classOf[FloatVectorNorm].getName, "float_norm"),
       (children: Seq[Expression]) => FloatVectorNorm(children.head)))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
