@@ -30,8 +30,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Steady-state warmup: run every query once at the smallest SF. The
+    // generated whole-stage code is identical across scale factors (plans
+    // differ only in file paths), so this fills the codegen cache and JITs
+    // the hot loops; the measured runs below then reflect execution, not
+    // first-call compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
