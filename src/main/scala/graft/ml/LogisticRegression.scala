@@ -75,6 +75,62 @@ class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Ser
     w
   }
 
+  /** M1 variant — minibatch local SGD with per-epoch model averaging: each
+    * partition steps its own replica over minibatches (the reference's
+    * per-batch `solver->Step(1)` pattern, CaffeNet.cpp:707-729), and the
+    * epoch boundary plays the role of the gradient allreduce — replicas are
+    * count-weighted averaged into the next broadcast weights. One pass +
+    * O(dim·partitions) driver traffic per epoch, no per-batch sync: the
+    * communication-efficient regime for wide clusters.
+    */
+  def fitLocalSgd(data: RDD[(Array[Float], Double)], epochs: Int = 5,
+      batchSize: Int = 64): Array[Double] = {
+    val cached =
+      if (data.getStorageLevel == StorageLevel.NONE) data.persist(StorageLevel.MEMORY_AND_DISK)
+      else data
+    val sc = cached.sparkContext
+    val lr0 = cfg.lr
+    val l2 = cfg.l2
+    val d = dim
+    var w = new Array[Double](d)
+    var epoch = 0
+    while (epoch < epochs) {
+      val bw = sc.broadcast(w)
+      val partials = cached.mapPartitions { it =>
+        val wl = bw.value.clone()
+        var n = 0L
+        it.grouped(batchSize).foreach { batch =>
+          val g = new Array[Double](d)
+          batch.foreach { case (x, y) =>
+            var s = 0.0
+            var i = 0
+            while (i < d) { s += wl(i) * x(i); i += 1 }
+            val err = 1.0 / (1.0 + math.exp(-s)) - y
+            i = 0
+            while (i < d) { g(i) += err * x(i); i += 1 }
+          }
+          var i = 0
+          while (i < d) {
+            wl(i) -= lr0 * (g(i) / batch.size + l2 * wl(i)); i += 1
+          }
+          n += batch.size
+        }
+        Iterator((wl, n))
+      }.collect()
+      val total = math.max(partials.map(_._2).sum, 1L).toDouble
+      val next = new Array[Double](d)
+      partials.foreach { case (wl, n) =>
+        var i = 0
+        while (i < d) { next(i) += wl(i) * (n / total); i += 1 }
+      }
+      w = next
+      bw.destroy()
+      epoch += 1
+    }
+    cached.unpersist(blocking = false)
+    w
+  }
+
   /** M2 `trainWithValidation`: interleaves fit iterations with validation
     * metric rows; returns the metrics DataFrame (schema mirrors the
     * reference's per-validation [accuracy, loss] DF,

@@ -156,5 +156,74 @@ object VectorOps {
       .limit(10)
   }
 
-  val all: Seq[QueryDef] = Seq(q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh)
+  /** Q42 — IVF-style approximate nearest neighbours: coarse quantization
+    * (assign every vector to its nearest centroid), then probe only the
+    * query's cell and rank it exactly.
+    *
+    * Centroids here are the per-label mean vectors (one k-means step from a
+    * labeled warm start — the training loop in graft.ml is the iterator).
+    * Cross-engine determinism: centroids are decimal-exact means cast to
+    * double (identical), distances are sequential left-to-right double
+    * folds (identical IEEE), argmin ties break on label id. At scale the
+    * assignment is the ingest-time map; the probe reads one cell — the IVF
+    * complement to q34's hyperplane buckets.
+    */
+  val q42AnnIvf: QueryDef = {
+    val CentroidsSql =
+      """SELECT label AS c_label, list(m ORDER BY idx) AS centroid
+        |  FROM (
+        |    SELECT label, idx,
+        |      CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+        |    FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
+        |          FROM embeddings)
+        |    GROUP BY label, idx)
+        |  GROUP BY label""".stripMargin
+    val DistSql = // sequential fold => bit-identical to Spark's aggregate()
+      "list_reduce([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) " +
+        "for i in range(1, len(e.embedding)+1)], (a, b) -> a + b)"
+    QueryDef.sql(
+      "q42_ann_ivf",
+      s"""WITH centroids AS ($CentroidsSql),
+         |assigned AS (
+         |  SELECT vec_id, label, embedding, cell FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.c_label AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
+         |    FROM embeddings e, centroids c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, e.cell, ${DotDecSql("e.embedding", "q.qv")} AS dot
+         |FROM assigned e, q
+         |WHERE e.cell = q.qcell AND e.vec_id <> 0
+         |ORDER BY dot DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val centroids = emb
+        .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+        .groupBy(col("c_label"), col("idx"))
+        .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 9)))
+          .cast(DecimalType(38, 9)).cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy(col("c_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("centroid"))
+      val dist = expr(
+        "aggregate(zip_with(embedding, centroid, (x, c) -> " +
+          "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+          "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("d", dist)
+        .groupBy(col("vec_id"), col("label"), col("embedding"))
+        .agg(min(struct(col("d"), col("c_label"))).as("best"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("best.c_label").as("cell"))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+      assigned.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("cell") === col("qcell"))
+        .select(col("vec_id"), col("label"), col("cell"), dotDec("embedding", "qv").as("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh, q42AnnIvf)
 }

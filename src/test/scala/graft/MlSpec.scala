@@ -31,6 +31,15 @@ class MlSpec extends SparkSpec {
     assert(loss < 0.693) // below ln 2 = untrained loss
   }
 
+  test("minibatch local SGD with model averaging converges") {
+    val lr = new LogisticRegression(64, TrainConfig(lr = 1.0))
+    val data = labeled
+    val w = lr.fitLocalSgd(data, epochs = 8, batchSize = 32)
+    val (acc, loss) = lr.evaluate(data, w)
+    assert(acc > 0.8, s"accuracy $acc")
+    assert(loss < 0.693)
+  }
+
   test("trainWithValidation emits metric rows with increasing iteration") {
     val lr = new LogisticRegression(64, TrainConfig(lr = 2.0, iters = 30, validateEvery = 10))
     val (_, metrics) = lr.fitWithValidation(spark, labeled, labeled)
