@@ -73,5 +73,87 @@ object SqlSurface {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(q36Intersect, q37Pivot, q38Median)
+  /** Q43 — analytic window breadth: lag/lead/first/last over each
+    * customer's order timeline. Raw value passthrough → exact; total order
+    * (custkey, date, key) fixes frame contents in both engines.
+    */
+  val q43LagLead: QueryDef = QueryDef.sql(
+    "q43_lag_lead",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_orderdate) OVER w AS prev_date,
+      |  lead(o_orderdate) OVER w AS next_date,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_date"),
+        lead(col("o_orderdate"), 1).over(w).as("next_date"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Q44 — string function breadth: LIKE filter, substring, concat, case
+    * transforms, replace, lpad. Pure string passthrough → exact.
+    */
+  val q44Strings: QueryDef = QueryDef.sql(
+    "q44_strings",
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 8)) AS head,
+      |  replace(p_type, ' ', '_') AS type_slug,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  length(p_name) AS name_len
+      |FROM part
+      |WHERE p_name LIKE '%a%' AND p_size >= 10
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .filter(col("p_name").like("%a%") && col("p_size") >= 10)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("head"),
+        regexp_replace(col("p_type"), " ", "_").as("type_slug"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_pad"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+  }
+
+  /** Q45 — correlated scalar subquery (Catalyst decorrelates it to a join +
+    * aggregate — SURVEY §4 "subquery decorrelation built-in"): customers
+    * richer than their nation's average balance. The average is a
+    * scale-4-exact decimal → double, so the comparison is identical in both
+    * engines.
+    */
+  val q45CorrelatedSubquery: QueryDef = QueryDef.sql(
+    "q45_correlated_subquery",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+    // expressed through the SQL correlation so Catalyst's decorrelation
+    // rule (RewriteCorrelatedScalarSubquery) plans it — the point of the
+    // operator — rather than hand-writing the join.
+    c.createOrReplaceTempView("graft_q45_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM graft_q45_customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*)
+        |  FROM graft_q45_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q36Intersect, q37Pivot, q38Median, q43LagLead, q44Strings, q45CorrelatedSubquery)
 }
