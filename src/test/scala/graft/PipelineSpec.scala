@@ -1,0 +1,71 @@
+package graft
+
+import graft.ml.{LogisticRegression, TrainConfig}
+import graft.text.{CaptionCodec, Vocab}
+import graft.tools.Converters
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline: the composed engine driving a full training-data
+  * flow — dedup → quality filter → vocab → encode on the text side, and
+  * train → features → test-metrics → snapshot on the model side. This is
+  * the integration shape a user of the engine runs; each stage is the
+  * operator the per-query suites verify in isolation.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("text pipeline: dedup -> quality filter -> vocab -> encode -> decode") {
+    val docs = Tables(spark, sf, "documents")
+
+    // 1. exact dedup (q20 operator shape): keep canonical doc per content hash
+    val canonical = docs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("h", "rn")
+    assert(canonical.count() > 0 && canonical.count() <= docs.count())
+
+    // 2. quality filter (q18 shape): keep docs with enough tokens
+    val toks = graft.functions.TextFunctions.tokens("text")
+    val kept = canonical.filter(size(toks) >= 10)
+    assert(kept.count() > 0)
+
+    // 3. vocab + caption encode/decode round-trip over the kept corpus
+    val vocab = Vocab.toMap(Vocab.build(kept, "text", vocabSize = 500))
+    assert(vocab(Vocab.UNK) == Vocab.UNK_ID)
+    val sample = kept.limit(20)
+    val enc = CaptionCodec.encode(sample, "text", vocab, len = 32)
+    val dec = CaptionCodec.decode(enc, "target_sentence", "decoded", vocab)
+    // every decoded prefix must equal the original's first tokens (cutoff 32)
+    dec.select(col("text"), col("decoded")).collect().foreach { r =>
+      val orig = r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val got = r.getString(1).split(" ").filter(_.nonEmpty)
+      assert(got.toSeq == orig.take(got.length).toSeq)
+    }
+  }
+
+  test("model pipeline: train -> features -> metrics -> snapshot round-trip") {
+    val emb = Tables(spark, sf, "embeddings")
+    val data = emb.select("vec_id", "embedding").rdd.map { r =>
+      val x = r.getSeq[Float](1).toArray
+      (x, if (x(0) + x(1) > 0) 1.0 else 0.0)
+    }
+    val lr = new LogisticRegression(64, TrainConfig(lr = 2.0, iters = 40))
+    val w = lr.fit(data)
+    val (acc, _) = lr.evaluate(data, w)
+    assert(acc > 0.8)
+
+    val feats = lr.features(emb, "vec_id", "embedding", w)
+    assert(feats.count() == emb.count())
+
+    val metrics = lr.test(emb, "vec_id", "embedding", w)
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Converters.writeMetrics(spark, metrics, s"$dir/metrics")
+    assert(spark.read.text(s"$dir/metrics").count() == 1)
+
+    LogisticRegression.saveWeights(spark, w, s"$dir/weights")
+    val w2 = LogisticRegression.loadWeights(spark, s"$dir/weights")
+    assert(w2.toSeq == w.toSeq)
+    val (acc2, _) = lr.evaluate(data, w2)
+    assert(acc2 == acc)
+  }
+}
