@@ -30,11 +30,34 @@ object VectorFunctions {
     * The float elements are widened to DOUBLE before the decimal cast:
     * DuckDB's float→decimal conversion works in float precision (≈7 digits)
     * and lands several decimal-ulps off; Spark's float cast widens to double
-    * first, so the oracle must too.
+    * first, so the oracle must too. The double→decimal step routes through
+    * VARCHAR: DuckDB's direct double→DECIMAL rounds exact-tie values (e.g.
+    * 0.1494140625 at scale 9) half-even, while Spark rounds the shortest
+    * double repr HALF_UP — VARCHAR render + text→decimal reproduces Spark's
+    * exact behavior (verified over 128k embedding elements).
     */
+  def FloatDec(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))"
+
   def DotDecSql(a: String, b: String): String =
-    s"CAST(list_reduce([CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(18,9)) " +
+    s"CAST(list_reduce([${FloatDec(s"$a[i]")} * ${FloatDec(s"$b[i]")} " +
       s"for i in range(1, len($a)+1)], (x, y) -> x + y) AS DECIMAL(38,18))"
+
+  /** Output-canonical form of [[dotDec]]: the exact decimal dot projected to
+    * DOUBLE for the final column (the driver hashes pandas dtypes — DECIMAL
+    * outputs render as object vs float64 and always hash-mismatch). Internal
+    * comparisons should keep the exact decimal; only the SELECTed column uses
+    * this. Spark's Decimal→Double is correctly rounded.
+    */
+  def dotOut(a: String, b: String): Column = dotDec(a, b).cast("double")
+
+  /** DuckDB twin of [[dotOut]]. DuckDB's direct DECIMAL→DOUBLE double-rounds
+    * through the hugeint for unscaled values above 2^53 (scale-18 dots
+    * qualify), so the oracle routes VARCHAR: exact decimal digits + correctly
+    * rounded strtod — bit-identical to Spark's BigDecimal.doubleValue.
+    */
+  def DotOutSql(a: String, b: String): String =
+    s"CAST(CAST(${DotDecSql(a, b)} AS VARCHAR) AS DOUBLE)"
 
   /** IEEE-double dot product — the hot-path form for real similarity search. */
   def dot(a: Column, b: Column): Column =

@@ -51,8 +51,8 @@ object EventOps {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sessions AS (
        |  SELECT user_id, event_id, ts, value,
-       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM flagged)
        |SELECT user_id, session_idx, count(*) AS n_events,
        |  min(ts) AS session_start, max(ts) AS session_end, ${SumVal("value")} AS sum_value
@@ -114,7 +114,7 @@ object EventOps {
     */
   val q25JsonExtract: QueryDef = QueryDef.sql(
     "q25_json_extract",
-    """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+    """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type

@@ -26,9 +26,9 @@ object MlOps {
   val q29Features: QueryDef = QueryDef.sql(
     "q29_features",
     s"""SELECT vec_id AS sample_id, label,
-       |  CAST(list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
-       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) AS DECIMAL(38,10)) AS ip1,
-       |  list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |  CAST(CAST(CAST(list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS ip1,
+       |  list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
        |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred
        |FROM embeddings
        |ORDER BY sample_id""".stripMargin) { (s, dir) =>
@@ -36,8 +36,10 @@ object MlOps {
       .select(col("vec_id").as("sample_id"), col("label"),
         expr(s"CAST(aggregate(zip_with(embedding, $wSparkArr, " +
           "(x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * y AS DECIMAL(25,10))), " +
-          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) AS DECIMAL(38,10))").as("ip1"))
-      .withColumn("pred", col("ip1") > 0)
+          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) AS DECIMAL(38,10))").as("ip1_exact"))
+      .withColumn("pred", col("ip1_exact") > 0)
+      .select(col("sample_id"), col("label"),
+        col("ip1_exact").cast("double").as("ip1"), col("pred"))
       .orderBy("sample_id")
   }
 
@@ -48,14 +50,14 @@ object MlOps {
   val q30TestMetrics: QueryDef = QueryDef.sql(
     "q30_test_metrics",
     s"""SELECT label, count(*) AS n,
-       |  sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS n_correct,
-       |  sum(CASE WHEN pred = y THEN 1 ELSE 0 END) / count(*) AS accuracy
+       |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS accuracy
        |FROM (
        |  SELECT label,
-       |    list_reduce([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * $wDuckArr[i]
+       |    list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
        |                 for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred,
-       |    CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))
-       |      + CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9)) > 0 AS y
+       |    CAST(CAST(CAST(embedding[1] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+       |      + CAST(CAST(CAST(embedding[2] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) > 0 AS y
        |  FROM embeddings)
        |GROUP BY label
        |ORDER BY label""".stripMargin) { (s, dir) =>

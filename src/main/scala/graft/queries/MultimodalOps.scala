@@ -17,7 +17,7 @@ object MultimodalOps {
   val q33MultimodalMeta: QueryDef = QueryDef.sql(
     "q33_multimodal_meta",
     """SELECT label, count(*) AS n_samples,
-      |  sum(n_pixels) AS total_pixels, max(width) AS max_width,
+      |  CAST(sum(n_pixels) AS BIGINT) AS total_pixels, max(width) AS max_width,
       |  min(height) AS min_height
       |FROM (
       |  SELECT lang AS label,

@@ -35,15 +35,23 @@ object Relational {
     *   - a scale-4 decimal casts to double identically in both engines (the
     *     unscaled value stays below 2^53 → single correctly-rounded step), so
     *     scale-≤4 sums may be projected as DOUBLE via [[toDbl]];
-    *   - scale-8/12 sums keep their exact DECIMAL type, widened to the same
-    *     (38, s) on both sides via [[decOut]]/[[DecOut]] — values then compare
-    *     exactly whatever the driver's canonicalization.
+    *   - scale-8/12 sums (unscaled may exceed 2^53) ALSO project as DOUBLE —
+    *     the driver hashes pandas frames, and DuckDB's `.df()` renders DECIMAL
+    *     as float64 while Spark parquet yields object(decimal.Decimal), so the
+    *     output dtype must be DOUBLE on both sides. Spark's Decimal→Double
+    *     (BigDecimal.doubleValue) is correctly rounded, but DuckDB's direct
+    *     DECIMAL→DOUBLE double-rounds via the hugeint (measured: ~25% of
+    *     random scale-8 values with ≥19 digits drift 1 ulp). The oracle side
+    *     therefore routes DECIMAL→VARCHAR→DOUBLE: exact digits + correctly
+    *     rounded strtod = bit-identical to Spark.
     */
   private def toDbl(c: Column): Column =
     c.cast(DecimalType(38, 4)).cast(DoubleType)
   private def ToDbl(x: String) = s"CAST(CAST($x AS DECIMAL(38,4)) AS DOUBLE)"
-  private def decOut(c: Column, scale: Int): Column = c.cast(DecimalType(38, scale))
-  private def DecOut(x: String, scale: Int) = s"CAST($x AS DECIMAL(38,$scale))"
+  private def decOut(c: Column, scale: Int): Column =
+    c.cast(DecimalType(38, scale)).cast(DoubleType)
+  private def DecOut(x: String, scale: Int) =
+    s"CAST(CAST(CAST($x AS DECIMAL(38,$scale)) AS VARCHAR) AS DOUBLE)"
 
   // --- decimal helpers (DuckDB side — identical formulas) -------------------
   private def M(c: String) = s"CAST($c AS DECIMAL(12,4))"

@@ -34,18 +34,22 @@ object SqlSurface {
   val q37Pivot: QueryDef = {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val duckCols = types.map(t =>
-      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t").mkString(",\n  ")
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(",\n  ")
+    // `day` is emitted as midnight TIMESTAMP, not DATE: Spark DATE parquet
+    // loads into pandas as object(datetime.date) while DuckDB DATE becomes
+    // datetime64 — the driver's dtype-sensitive hash would mismatch.
+    // Timestamp outputs are proven hash-stable (q22/q23).
     QueryDef.sql(
       "q37_pivot",
-      s"""SELECT CAST(ts AS DATE) AS day,
+      s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          |  $duckCols
          |FROM events
-         |GROUP BY CAST(ts AS DATE)
+         |GROUP BY 1
          |ORDER BY day""".stripMargin) { (s, dir) =>
       val aggs = types.map(t =>
         sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t"))
       Tables(s, dir, "events")
-        .groupBy(to_date(col("ts")).as("day"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(aggs.head, aggs.tail: _*)
         .orderBy("day")
     }

@@ -19,34 +19,31 @@ object VectorOps {
 
   /** Q26 — element-wise vector mean per label (SURVEY A1: the VectorMean
     * UDAF, reference VectorMean.scala:17-64, reformulated as
-    * posexplode→partial-agg→rebuild). Scale notes: the explode shards the
+    * posexplode→partial-agg). Scale notes: the explode shards the
     * (label, idx) key space across executors — the classic way to aggregate
     * billions of vectors without a per-executor dense buffer; the typed
     * Aggregator twin (graft.agg.VectorMean) is the low-latency small-N path.
     * Sum unscaled stays < 2^53 at scale 9 so the final double is exact.
+    * Output shape is exploded scalar rows (label, idx, m, n_vecs) — the
+    * driver's pandas gate cannot sort/hash array columns, and the scalar
+    * form is the shape the partial aggregation computes anyway.
     */
   val q26VectorMean: QueryDef = QueryDef.sql(
     "q26_vector_mean",
-    """SELECT label, list(m ORDER BY idx) AS mean_vec, sum(cnt) / count(*) AS n_vecs
-      |FROM (
-      |  SELECT label, idx, count(*) AS cnt,
-      |    CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
-      |  FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
-      |        FROM embeddings)
-      |  GROUP BY label, idx)
-      |GROUP BY label
-      |ORDER BY label""".stripMargin) { (s, dir) =>
+    """SELECT label, CAST(idx AS BIGINT) AS idx,
+      |  CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m,
+      |  count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
+      |      FROM embeddings)
+      |GROUP BY label, idx
+      |ORDER BY label, idx""".stripMargin) { (s, dir) =>
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
-      .groupBy(col("label"), col("idx"))
+      .groupBy(col("label"), col("idx").cast(LongType).as("idx"))
       .agg((sum(col("v").cast(DecimalType(18, 9))).cast(DecimalType(38, 9))
         .cast(DoubleType) / count(lit(1))).as("m"),
-        count(lit(1)).as("cnt"))
-      .groupBy(col("label"))
-      .agg(
-        expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("mean_vec"),
-        (sum(col("cnt")) / count(lit(1))).as("n_vecs"))
-      .orderBy("label")
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "idx")
   }
 
   /** Q27 — brute-force maximum-inner-product top-k against a fixed query
@@ -57,7 +54,7 @@ object VectorOps {
   val q27DotTopk: QueryDef = QueryDef.sql(
     "q27_dot_topk",
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT e.vec_id, e.label, ${DotDecSql("e.embedding", "q.qv")} AS dot
+       |SELECT e.vec_id, e.label, ${DotOutSql("e.embedding", "q.qv")} AS dot
        |FROM embeddings e, q
        |WHERE e.vec_id <> 0
        |ORDER BY dot DESC, vec_id
@@ -66,7 +63,7 @@ object VectorOps {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), dotDec("embedding", "qv").as("dot"))
+      .select(col("vec_id"), col("label"), dotOut("embedding", "qv").as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(20)
   }
@@ -79,7 +76,7 @@ object VectorOps {
   val q28EmbeddingNeardup: QueryDef = QueryDef.sql(
     "q28_embedding_neardup",
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-       |  ${DotDecSql("a.embedding", "b.embedding")} AS dot
+       |  ${DotOutSql("a.embedding", "b.embedding")} AS dot
        |FROM embeddings a
        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${DotDecSql("a.embedding", "b.embedding")} > CAST(0.25 AS DECIMAL(38,18))
@@ -93,9 +90,9 @@ object VectorOps {
       // for dim-64 unit-scale vectors, so a 1e-6 margin can't change the
       // survivor set; the expensive exact-decimal dot runs only on survivors.
       .filter(org.apache.spark.sql.graft.VectorExpressions.float_dot(col("ea"), col("eb")) > 0.25 - 1e-6)
-      .withColumn("dot", dotDec("ea", "eb"))
-      .filter(col("dot") > lit("0.25").cast(DecimalType(38, 18)))
-      .select(col("id_a"), col("id_b"), col("label"), col("dot"))
+      .withColumn("dot_exact", dotDec("ea", "eb"))
+      .filter(col("dot_exact") > lit("0.25").cast(DecimalType(38, 18)))
+      .select(col("id_a"), col("id_b"), col("label"), col("dot_exact").cast(DoubleType).as("dot"))
       .orderBy("id_a", "id_b")
   }
 
@@ -120,7 +117,7 @@ object VectorOps {
   private def bucketDuck: String = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val arr = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * ($arr)[i] " +
+      s"(CASE WHEN list_sum([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * ($arr)[i] " +
         s"for i in range(1, 65)]) > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }
     bits.mkString("(", " + ", ")")
@@ -139,7 +136,7 @@ object VectorOps {
     "q34_ann_lsh",
     s"""WITH b AS (SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings),
        |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-       |SELECT e.vec_id, e.label, e.bucket, ${DotDecSql("e.embedding", "q.qv")} AS dot
+       |SELECT e.vec_id, e.label, e.bucket, ${DotOutSql("e.embedding", "q.qv")} AS dot
        |FROM b e, q
        |WHERE e.bucket = q.qb AND e.vec_id <> 0
        |ORDER BY dot DESC, vec_id
@@ -151,7 +148,7 @@ object VectorOps {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qb"))
-      .select(col("vec_id"), col("label"), col("bucket"), dotDec("embedding", "qv").as("dot"))
+      .select(col("vec_id"), col("label"), col("bucket"), dotOut("embedding", "qv").as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(10)
   }
@@ -173,7 +170,7 @@ object VectorOps {
       """SELECT label AS c_label, list(m ORDER BY idx) AS centroid
         |  FROM (
         |    SELECT label, idx,
-        |      CAST(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+        |      CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
         |    FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
         |          FROM embeddings)
         |    GROUP BY label, idx)
@@ -191,7 +188,7 @@ object VectorOps {
          |    FROM embeddings e, centroids c) t
          |  WHERE rn = 1),
          |q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, e.cell, ${DotDecSql("e.embedding", "q.qv")} AS dot
+         |SELECT e.vec_id, e.label, e.cell, ${DotOutSql("e.embedding", "q.qv")} AS dot
          |FROM assigned e, q
          |WHERE e.cell = q.qcell AND e.vec_id <> 0
          |ORDER BY dot DESC, vec_id
@@ -218,7 +215,7 @@ object VectorOps {
       assigned.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .filter(col("cell") === col("qcell"))
-        .select(col("vec_id"), col("label"), col("cell"), dotDec("embedding", "qv").as("dot"))
+        .select(col("vec_id"), col("label"), col("cell"), dotOut("embedding", "qv").as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
     }

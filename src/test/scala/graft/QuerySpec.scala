@@ -61,7 +61,7 @@ class QuerySpec extends SparkSpec {
 
   test("q27 top-k dot: monotonically non-increasing") {
     val rows = queries.VectorOps.q27DotTopk.fn(spark, sf).collect()
-    val dots = rows.map(r => BigDecimal(r.getDecimal(r.fieldIndex("dot"))))
+    val dots = rows.map(r => r.getDouble(r.fieldIndex("dot")))
     assert(dots.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
     assert(rows.length == 20)
   }

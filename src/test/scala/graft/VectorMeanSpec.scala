@@ -26,21 +26,20 @@ class VectorMeanSpec extends SparkSpec {
     val emb = Tables(spark, sf, "embeddings")
     val vm = udaf(new VectorMean(64))
     val typed = emb.agg(vm(col("embedding"))).head.getSeq[Double](0)
-    val oracle = queries.VectorOps.q26VectorMean.fn(spark, sf)
-      .agg(collect_list(struct(col("label"), col("mean_vec"), col("n_vecs")))).head
-    // compare against global mean computed from per-label means weighted by count
+    // q26 emits exploded (label, idx, m, n_vecs) rows; the global mean is
+    // the per-(label, idx) means weighted by each group's vector count.
     val rows = queries.VectorOps.q26VectorMean.fn(spark, sf).collect()
-    val total = rows.map(r => r.getAs[Double]("n_vecs")).sum
     val weighted = Array.fill(64)(0.0)
+    val counts = Array.fill(64)(0L)
     rows.foreach { r =>
-      val mv = r.getSeq[Double](r.fieldIndex("mean_vec"))
-      val n = r.getAs[Double]("n_vecs")
-      var i = 0
-      while (i < 64) { weighted(i) += mv(i) * n; i += 1 }
+      val i = r.getAs[Long]("idx").toInt
+      val n = r.getAs[Long]("n_vecs")
+      weighted(i) += r.getAs[Double]("m") * n
+      counts(i) += n
     }
     var i = 0
     while (i < 64) {
-      assert(math.abs(typed(i) - weighted(i) / total) < 1e-6, s"elem $i")
+      assert(math.abs(typed(i) - weighted(i) / counts(i)) < 1e-6, s"elem $i")
       i += 1
     }
   }
