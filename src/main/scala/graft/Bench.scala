@@ -8,12 +8,23 @@ import org.apache.spark.sql.SparkSession
   * Materialization is a `noop` datasource write, not `count()` — count lets
   * Catalyst drop projections (a scan-only plan would "win" dishonestly);
   * noop executes the full physical plan and discards rows on the executors.
-  * A warmup pass on the flagship absorbs JVM/codegen start-up cost.
+  *
+  * Measurement: each query runs SPARK_GRAFT_RUNS times (default 3) after a
+  * full warmup pass, and the reported figure is the MEDIAN — single-shot
+  * local[32] timings drift up to 2× run-to-run (observed across rounds on
+  * byte-identical code), which is noise, not signal.
+  *
+  * Auditability: the same JSON line is also written to a bare file
+  * (SPARK_GRAFT_BENCH_OUT, default BENCH.json in the working directory), so
+  * the result parses even if a log framework decorates stdout. Per-query
+  * failures are NOT silently timed: they are excluded from `queries` and
+  * reported in an `errors` object.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,20 +54,41 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q21_ngram_jaccard,q24_asof_join → bench a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      .flatMap { case (name, fn) =>
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              System.err.println(s"[bench] FAILED $name: ${errors(name)}")
+              None
+          }
+        }
+        if (times.isEmpty) None
+        else Some(name -> times.sorted.apply(times.size / 2)) // median
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }
