@@ -12,12 +12,11 @@ import org.apache.spark.sql.functions._
   * decode/resize stage (ImageDataSource.scala:124-151, native Mat decode)
   * as per-partition batch transforms.
   *
-  * DECODE IS A DETERMINISTIC STUB: no image codec ships in this
-  * environment, so `stubDecode` fabricates dimensions/pixels from the bytes
-  * (clearly marked). Everything around it — schema, encoders, partition
-  * batching, the resize/frame-sample kernels operating on raw HWC buffers —
-  * is real and tested; swapping `stubDecode` for a javax.imageio/opencv
-  * decode changes one function.
+  * Decode is REAL (javax.imageio, in the JDK): JPEG/PNG/BMP/GIF bytes →
+  * interleaved HWC byte buffer, BGR channel order for color (matching the
+  * reference's OpenCV Mat convention), undecodable samples skipped —
+  * ImageDataSource.scala:136-151 semantics. Resize/crop/mirror/CHW kernels
+  * operate on the same raw buffers.
   */
 final case class MediaSample(
     id: String,
@@ -30,20 +29,59 @@ final case class MediaSample(
 
 object Multimodal {
 
-  /** STUB decode (deterministic fake): dims derived from payload length,
-    * "pixels" are the payload cycled through an HWC buffer. Replace with a
-    * real codec to decode actual media; callers are codec-agnostic.
+  /** Real image decode via javax.imageio (P7; reference
+    * ImageDataSource.scala:136-151 + native Mat decode, jcaffe/Mat.java:58-76).
+    *
+    * `numChannels` mirrors the reference's decode-mode switch: 1 forces
+    * grayscale (CV_LOAD_IMAGE_GRAYSCALE), 3 forces color
+    * (CV_LOAD_IMAGE_COLOR), anything else keeps the image's own model
+    * (CV_LOAD_IMAGE_UNCHANGED). Output is an interleaved HWC buffer, BGR
+    * channel order for color — the OpenCV Mat layout every downstream kernel
+    * (resize/crop/mirror/CHW) expects. Undecodable payloads return None and
+    * are skipped by the pipeline, like the reference's "Skipped image" path.
     */
-  def stubDecode(s: MediaSample): MediaSample = {
-    if (!s.encoded) s
+  def decode(s: MediaSample, numChannels: Int = 0): Option[MediaSample] = {
+    if (!s.encoded) Some(s)
     else {
-      val w = 1 + (s.data.length % 64)
-      val h = 1 + (s.data.length / 64) % 64
-      val c = 3
-      val px = new Array[Byte](w * h * c)
-      var i = 0
-      while (i < px.length) { px(i) = s.data(i % math.max(s.data.length, 1)); i += 1 }
-      MediaSample(s.id, s.label, c, h, w, encoded = false, px)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(s.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val wantGray = numChannels match {
+            case 1 => true
+            case 3 => false
+            case _ => img.getColorModel.getNumColorComponents == 1
+          }
+          val c = if (wantGray) 1 else 3
+          val out = new Array[Byte](w * h * c)
+          val rgbRow = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rgbRow, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = rgbRow(x)
+              val r = (p >> 16) & 0xff
+              val g = (p >> 8) & 0xff
+              val b = p & 0xff
+              if (wantGray) {
+                // OpenCV BGR→GRAY weights: 0.299 R + 0.587 G + 0.114 B
+                out(y * w + x) = math.round(0.299f * r + 0.587f * g + 0.114f * b).toByte
+              } else {
+                val off = (y * w + x) * 3
+                out(off) = b.toByte
+                out(off + 1) = g.toByte
+                out(off + 2) = r.toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Some(MediaSample(s.id, s.label, c, h, w, encoded = false, out))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
@@ -137,10 +175,14 @@ object Multimodal {
   /** Dataset pipeline: decode + resize as one per-partition batch stage
     * (iterator-chained like the reference's transformer thread, minus the
     * cross-task singleton M6 anti-pattern — each partition is pure).
+    * Undecodable samples drop out (reference ImageDataSource.scala:144-151:
+    * decode-failed Mats are skipped, the batch keeps filling).
     */
-  def decodeAndResize(ds: Dataset[MediaSample], outW: Int, outH: Int): Dataset[MediaSample] = {
+  def decodeAndResize(ds: Dataset[MediaSample], outW: Int, outH: Int,
+      numChannels: Int = 0): Dataset[MediaSample] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(s => resizeNearest(stubDecode(s), outW, outH)))
+    ds.mapPartitions(_.flatMap(s =>
+      decode(s, numChannels).map(resizeNearest(_, outW, outH))))
   }
 
   /** Build a MediaSample dataset from the documents table, payload = utf8

@@ -4,10 +4,11 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked slice of the multimodal surface: metadata derivation over
-  * opaque binary payloads (the deterministic contract of
-  * graft.multimodal.Multimodal.stubDecode). The byte-level decode/resize
-  * kernels are exercised by MultimodalSpec; this query pins the
-  * schema/metadata path the 100 TB pipeline shuffles on.
+  * opaque binary payloads (deterministic dims from payload size — the
+  * schema/metadata path the 100 TB pipeline shuffles on). The real
+  * javax.imageio decode and the byte-level resize/crop/mirror kernels are
+  * exercised by MultimodalSpec (image fixtures are generated in-test; the
+  * documents table holds text payloads, not media).
   */
 object MultimodalOps {
 

@@ -1,17 +1,52 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import graft.multimodal.{MediaSample, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("stubDecode: deterministic dims from payload length, HWC buffer") {
-    val s = MediaSample("1", "en", 0, 0, 0, encoded = true, Array.fill(130)(7.toByte))
-    val d = Multimodal.stubDecode(s)
-    assert(!d.encoded)
-    assert(d.width == 1 + 130 % 64 && d.height == 1 + (130 / 64) % 64 && d.channels == 3)
-    assert(d.data.length == d.width * d.height * 3)
-    // determinism
-    assert(Multimodal.stubDecode(s).data.toSeq == d.data.toSeq)
+  /** Encode a 2x2 image with known RGB pixels to the given format. */
+  private def fixture(format: String): Array[Byte] = {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("decode: real PNG → HWC BGR buffer with exact pixel values") {
+    val s = MediaSample("1", "en", 0, 0, 0, encoded = true, fixture("png"))
+    val d = Multimodal.decode(s, numChannels = 3).get
+    assert(!d.encoded && d.width == 2 && d.height == 2 && d.channels == 3)
+    // BGR interleaved (OpenCV Mat convention): red pixel = (0, 0, 255)
+    assert(d.data.slice(0, 3).map(_ & 0xff).toSeq == Seq(0, 0, 255))
+    assert(d.data.slice(3, 6).map(_ & 0xff).toSeq == Seq(0, 255, 0))
+    assert(d.data.slice(6, 9).map(_ & 0xff).toSeq == Seq(255, 0, 0))
+    assert(d.data.slice(9, 12).map(_ & 0xff).toSeq == Seq(255, 255, 255))
+  }
+
+  test("decode: real JPEG decodes with correct dims; grayscale mode gives 1 channel") {
+    val s = MediaSample("1", "en", 0, 0, 0, encoded = true, fixture("jpg"))
+    val d = Multimodal.decode(s).get
+    assert(d.width == 2 && d.height == 2 && d.channels == 3)
+    val g = Multimodal.decode(s.copy(), numChannels = 1).get
+    assert(g.channels == 1 && g.data.length == 4)
+    // white pixel → near-255 gray (JPEG is lossy; 2x2 chroma bleed ≈ ±10)
+    assert((g.data(3) & 0xff) >= 240)
+  }
+
+  test("decode: undecodable payload is skipped (None), not an error") {
+    val junk = MediaSample("1", "en", 0, 0, 0, encoded = true,
+      "definitely not an image".getBytes)
+    assert(Multimodal.decode(junk).isEmpty)
+    val empty = MediaSample("2", "en", 0, 0, 0, encoded = true, Array.emptyByteArray)
+    assert(Multimodal.decode(empty).isEmpty)
   }
 
   test("resizeNearest: exact dims, corner pixels preserved") {
@@ -32,10 +67,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).toSeq == (20 until 30).map(_.toByte))
   }
 
-  test("decodeAndResize pipeline runs distributed over documents") {
-    val ds = Multimodal.fromDocuments(spark, sf)
-    val out = Multimodal.decodeAndResize(ds, 8, 8).collect()
-    assert(out.length == Tables(spark, sf, "documents").count())
+  test("decodeAndResize pipeline runs distributed over real encoded images") {
+    import spark.implicits._
+    val png = fixture("png")
+    val jpg = fixture("jpg")
+    val samples = (0 until 20).map { i =>
+      MediaSample(i.toString, "en", 0, 0, 0, encoded = true,
+        if (i % 2 == 0) png else jpg)
+    } :+ MediaSample("junk", "en", 0, 0, 0, encoded = true, Array[Byte](1, 2, 3))
+    val ds = spark.createDataset(samples).repartition(4)
+    val out = Multimodal.decodeAndResize(ds, 8, 8, numChannels = 3).collect()
+    // the undecodable sample drops out; all decodable ones resize to 8x8x3
+    assert(out.length == 20)
     assert(out.forall(s => s.width == 8 && s.height == 8 && s.data.length == 8 * 8 * 3))
+  }
+
+  test("decodeAndResize skips text payloads from documents (not images)") {
+    val ds = Multimodal.fromDocuments(spark, sf)
+    assert(Multimodal.decodeAndResize(ds, 8, 8).count() == 0)
   }
 }
