@@ -50,6 +50,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally Caches.clearAll(spark)
     }
 
     // SPARK_GRAFT_ONLY=q21_ngram_jaccard,q24_asof_join → bench a subset
@@ -68,7 +69,7 @@ object Bench {
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               System.err.println(s"[bench] FAILED $name: ${errors(name)}")
               None
-          }
+          } finally Caches.clearAll(spark) // each run pays its full cost
         }
         if (times.isEmpty) None
         else Some(name -> times.sorted.apply(times.size / 2)) // median

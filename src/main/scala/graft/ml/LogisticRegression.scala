@@ -1,9 +1,8 @@
 package graft.ml
 
 import graft.agg.VectorMean
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -84,7 +83,16 @@ class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Ser
     * communication-efficient regime for wide clusters.
     */
   def fitLocalSgd(data: RDD[(Array[Float], Double)], epochs: Int = 5,
-      batchSize: Int = 64): Array[Double] = {
+      batchSize: Int = 64): Array[Double] =
+    fitLocalSgdFrom(data, new Array[Double](dim), epochs, batchSize)
+
+  /** Warm-start form of [[fitLocalSgd]] — the epoch-scheduler building
+    * block (Y3): each partition-pruned round continues from the previous
+    * round's weights, mirroring the reference's interleaved training
+    * (CaffeOnSpark.scala:284-312).
+    */
+  def fitLocalSgdFrom(data: RDD[(Array[Float], Double)], init: Array[Double],
+      epochs: Int, batchSize: Int): Array[Double] = {
     val cached =
       if (data.getStorageLevel == StorageLevel.NONE) data.persist(StorageLevel.MEMORY_AND_DISK)
       else data
@@ -92,7 +100,7 @@ class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Ser
     val lr0 = cfg.lr
     val l2 = cfg.l2
     val d = dim
-    var w = new Array[Double](d)
+    var w = init.clone()
     var epoch = 0
     while (epoch < epochs) {
       val bw = sc.broadcast(w)
@@ -116,13 +124,26 @@ class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Ser
           n += batch.size
         }
         Iterator((wl, n))
-      }.collect()
-      val total = math.max(partials.map(_._2).sum, 1L).toDouble
-      val next = new Array[Double](d)
-      partials.foreach { case (wl, n) =>
-        var i = 0
-        while (i < d) { next(i) += wl(i) * (n / total); i += 1 }
       }
+      // Count-weighted replica average via treeAggregate: partials combine
+      // in a tree and the driver receives ONE O(dim) vector — a collect()
+      // here would pull O(dim × partitions) to the driver every epoch,
+      // which OOMs at real cluster widths.
+      val (sumW, total) = partials.treeAggregate((new Array[Double](d), 0L))(
+        seqOp = { case ((acc, tn), (wl, n)) =>
+          var i = 0
+          while (i < d) { acc(i) += wl(i) * n; i += 1 }
+          (acc, tn + n)
+        },
+        combOp = { case ((a1, n1), (a2, n2)) =>
+          var i = 0
+          while (i < d) { a1(i) += a2(i); i += 1 }
+          (a1, n1 + n2)
+        })
+      val denom = math.max(total, 1L).toDouble
+      val next = new Array[Double](d)
+      var i = 0
+      while (i < d) { next(i) = sumW(i) / denom; i += 1 }
       w = next
       bw.destroy()
       epoch += 1
@@ -177,22 +198,22 @@ class LogisticRegression(dim: Int, cfg: TrainConfig = TrainConfig()) extends Ser
 
   /** M3 `features`: forward pass emitting (SampleID, one Array[Float] column
     * per requested output blob) — schema shape of CaffeOnSpark.scala:479.
+    *
+    * Pure column expressions: the dot product is the repo's codegen'd
+    * FloatVectorDot (weights ride in as an array literal, the
+    * broadcast-equivalent for O(dim) constants), sigmoid is built-in exp —
+    * the whole forward pass stays inside whole-stage codegen with no RDD
+    * hop, no Row boxing, and Catalyst can prune/push around it.
     */
   def features(df: DataFrame, idCol: String, featCol: String,
       weights: Array[Double]): DataFrame = {
-    val spark = df.sparkSession
-    val bw = spark.sparkContext.broadcast(weights)
-    val schema = StructType(Seq(
-      StructField("SampleID", StringType, nullable = false),
-      StructField("ip1", ArrayType(FloatType), nullable = false),
-      StructField("prob", ArrayType(FloatType), nullable = false)))
-    val rows = df.select(col(idCol).cast(StringType), col(featCol)).rdd.map { r =>
-      val x = r.getSeq[Float](1).toArray
-      val z = dot(bw.value, x)
-      val p = sigmoid(z)
-      Row(r.getString(0), Seq(z.toFloat), Seq(p.toFloat, (1 - p).toFloat))
-    }
-    spark.createDataFrame(rows, schema)
+    val wLit = lit(weights.map(_.toFloat))
+    val z = org.apache.spark.sql.graft.VectorExpressions.float_dot(col(featCol), wLit)
+    df.select(col(idCol).cast(StringType).as("SampleID"), z.as("z"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .select(col("SampleID"),
+        array(col("z").cast(FloatType)).as("ip1"),
+        array(col("p").cast(FloatType), (lit(1.0) - col("p")).cast(FloatType)).as("prob"))
   }
 
   /** M4 `test`: features + element-wise VectorMean per output column

@@ -60,6 +60,35 @@ class MlSpec extends SparkSpec {
     val m = lr.test(emb, "vec_id", "embedding", w)
     assert(m("prob").length == 2)
     assert(math.abs(m("prob").sum - 1.0) < 1e-6) // p and 1-p mean to 1
+    // the forward pass is pure column expressions — no RDD scan node
+    // (the old df.rdd.map formulation planned an ExistingRDD)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
+      s"features plan fell out of SQL:\n$plan")
+  }
+
+  test("Y3: round-robin epoch slices partition the data exactly, no shuffle, and train") {
+    import graft.operators.Partitioning
+    val data = labeled.repartition(6).persist()
+    try {
+      val slices = Partitioning.roundRobinEpochs(data, 3)
+      assert(slices.length == 3)
+      assert(slices.map(_.getNumPartitions).toSeq == Seq(2, 2, 2))
+      // narrow prune dependency — no shuffle anywhere in the slice lineage
+      assert(slices.forall(s =>
+        !s.dependencies.exists(_.isInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]])))
+      // the slices cover every row exactly once
+      assert(slices.map(_.count()).sum == data.count())
+      val keys = slices.flatMap(_.map(_._1.take(2).toSeq).collect())
+      assert(keys.length == data.count())
+      // sequential warm-start training over the rounds converges like the
+      // reference's interleaved epochs
+      val lr = new LogisticRegression(64, TrainConfig(lr = 1.0))
+      var w = new Array[Double](64)
+      slices.foreach { slice => w = lr.fitLocalSgdFrom(slice, w, epochs = 3, batchSize = 32) }
+      val (acc, _) = lr.evaluate(data, w)
+      assert(acc > 0.8, s"accuracy $acc")
+    } finally { data.unpersist(); () }
   }
 
   test("weight snapshot round-trips through parquet") {

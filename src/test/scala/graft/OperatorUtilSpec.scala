@@ -79,5 +79,23 @@ class OperatorUtilSpec extends SparkSpec {
     assert(fixed.count() == 100)
     val (mn, mx, np) = Partitioning.partitionSizeStats(fixed)
     assert(np == 10 && mn == 10 && mx == 10)
+    // global order is preserved: partition p holds sorted rows [10p+1, 10p+10]
+    val perPart = fixed.rdd.glom().collect()
+    assert(perPart.zipWithIndex.forall { case (rows, p) =>
+      rows.map(_.getInt(0)).toSeq == (p * 10 + 1 to p * 10 + 10)
+    })
+  }
+
+  test("Y2: ragged last partition; no single-task global Sort/Window in the plan") {
+    val df = (1 to 95).toDF("n")
+    val fixed = Partitioning.repartitionFixedSize(df, 10, Seq("n"))
+    val (mn, mx, np) = Partitioning.partitionSizeStats(fixed)
+    assert(np == 10 && mn == 5 && mx == 10)
+    // the sort stage must be the parallel range-exchange form, never a
+    // zero-partitionBy Window (which plans a SinglePartition exchange)
+    val sortedPlan = df.repartitionByRange(org.apache.spark.sql.functions.col("n"))
+      .sortWithinPartitions("n").queryExecution.executedPlan.toString
+    assert(!sortedPlan.contains("Window"))
+    assert(!sortedPlan.toLowerCase.contains("singlepartition"))
   }
 }

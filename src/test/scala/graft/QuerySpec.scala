@@ -21,6 +21,16 @@ class QuerySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("query-scoped persists do not leak: cache is empty after a run + clearAll") {
+    // q21 and q31 persist their shingle relations; the runner contract is
+    // Caches.clearAll after each materialization
+    queries.TextOps.q21NgramJaccard.fn(spark, sf).write.format("noop").mode("overwrite").save()
+    queries.DedupOps.q31MinhashLsh.fn(spark, sf).write.format("noop").mode("overwrite").save()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // persists were real
+    Caches.clearAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
