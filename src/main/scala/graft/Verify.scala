@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any STALE output from a previous dump — a leftover result
+        // would make downstream compares silently pass on old code
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
       finally Caches.clearAll(spark) // query-scoped persists must not leak
     }

@@ -125,11 +125,49 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Q39 — SimHash near-dup pairs via byte-band blocking: pairs sharing any
-    * of the 4 signature bytes are candidates; survivors need hamming ≤ 3
-    * (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands intact, so recall
-    * is exact for that radius). Candidate join is keyed on (band, byte) —
-    * sub-quadratic, like q31's LSH bands.
+  /** Q39 blocking tables: the 32-bit signature splits into 6 blocks
+    * (6,6,5,5,5,5 bits); a pair with hamming ≤ 3 has ≥ 3 clean blocks, so
+    * the table keyed on exactly that clean 3-block combination matches —
+    * C(6,3) = 20 tables, each key ~16 bits (packed into 6-bit fields).
+    * Recall at radius 3 stays EXACT (same output as naive banding), but
+    * bucket occupancy drops from N/256 per 8-bit byte-band to ~N/65536 per
+    * table: candidate volume shrinks ~50× and, at 100 TB, the per-bucket
+    * quadratic term stops being the bottleneck (Manku et al., WWW'07
+    * "Detecting Near-Duplicates for Web Crawling" block-permutation
+    * scheme).
+    */
+  private val blockWidths = Seq(6, 6, 5, 5, 5, 5)
+  private val blockOffsets = Seq(26, 20, 15, 10, 5, 0)
+  private val combos = (0 until 6).combinations(3).toSeq // 20 tables
+  private def arrOf(f: Seq[Int] => Int): Seq[Int] = combos.map(f)
+  private val offA = arrOf(c => blockOffsets(c(0)))
+  private val offB = arrOf(c => blockOffsets(c(1)))
+  private val offC = arrOf(c => blockOffsets(c(2)))
+  private val mskA = arrOf(c => (1 << blockWidths(c(0))) - 1)
+  private val mskB = arrOf(c => (1 << blockWidths(c(1))) - 1)
+  private val mskC = arrOf(c => (1 << blockWidths(c(2))) - 1)
+  /** Packed 3-block key; `idx` is the 1-based table index expression.
+    * Structurally identical in Spark SQL and DuckDB SQL; the array lookup
+    * and right-shift are spliced per engine (Spark has shiftright(), not
+    * the `>>` operator; DuckDB the reverse).
+    */
+  private def bhExpr(at: (Seq[Int], String) => String,
+      shr: (String, String) => String, idx: String): String = {
+    def blk(off: Seq[Int], msk: Seq[Int]) =
+      s"(${shr("simhash", at(off, idx))} & ${at(msk, idx)})"
+    s"(${blk(offA, mskA)} * 4096 + ${blk(offB, mskB)} * 64 + ${blk(offC, mskC)})"
+  }
+  private def sparkAt(xs: Seq[Int], idx: String) =
+    s"element_at(array(${xs.mkString(",")}), $idx)"
+  private def duckAt(xs: Seq[Int], idx: String) =
+    s"([${xs.mkString(",")}][$idx])"
+  private def sparkShr(x: String, n: String) = s"shiftright($x, $n)"
+  private def duckShr(x: String, n: String) = s"($x >> $n)"
+
+  /** Q39 — SimHash near-dup pairs via 3-block combination blocking (see
+    * above): candidates are pairs sharing any of the 20 ~16-bit table keys;
+    * survivors need hamming ≤ 3. The candidate join is keyed on
+    * (table, key) — sub-quadratic with ~65536 buckets per table.
     */
   val q39SimhashNeardup: QueryDef = QueryDef.sql(
     "q39_simhash_neardup",
@@ -142,12 +180,12 @@ object DedupOps {
        |  FROM (SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
        |        FROM documents)),
        |bands AS (
-       |  SELECT doc_id, simhash, j AS band, (simhash >> (8*j)) & 255 AS byte
-       |  FROM sig, unnest([0, 1, 2, 3]) AS t(j)),
+       |  SELECT doc_id, simhash, cid AS band, ${bhExpr(duckAt, duckShr, "cid+1")} AS bh
+       |  FROM sig, unnest(range(0, 20)) AS t(cid)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
        |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
        |FROM cand
        |WHERE bit_count(xor(ha, hb)) <= 3
@@ -156,10 +194,10 @@ object DedupOps {
     val sig = Tables(s, dir, "documents")
       .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
     val bands = sig
-      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("byte", expr("shiftright(simhash, 8*band) & 255"))
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(19))).as("band"))
+      .withColumn("bh", expr(bhExpr(sparkAt, sparkShr, "band+1")))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
         col("y.doc_id").as("b"), col("y.simhash").as("hb"))

@@ -165,19 +165,34 @@ object TextOps {
       .orderBy("canonical_id")
   }
 
+  /** Document-frequency cap for q21 shingles: a shingle present in k docs
+    * generates k·(k−1)/2 candidate pairs, so one stopword-like shingle in
+    * 1% of a 100 TB corpus would emit ~10^14 pairs on its own. Shingles
+    * above the cap carry no near-dup signal (they're corpus-common) and are
+    * dropped from BOTH the intersection and the set sizes — mirrored in the
+    * oracle SQL so the query stays bit-exact.
+    */
+  private val DfCap = 50
+
   /** Q21 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted-
     * index self-join, |∩|/|∪| over exact ints (LLM-pipeline n-gram dedup).
     * Scale notes: the shingle join is the textbook inverted-index plan —
-    * shuffle keyed on shingle, skew bounded because repeated shingles are
-    * capped by doc pairs sharing them; MinHash/LSH (q22+) is the sublinear
-    * path for 100 TB, this is the exact verifier used inside its buckets.
+    * shuffle keyed on shingle; the document-frequency cap bounds per-key
+    * fan-out at ≤ DfCap docs (≤ DfCap² pairs per shingle), which is what
+    * makes the plan survive shingle-key skew at 100×. MinHash/LSH (q31) is
+    * the sublinear path for 100 TB; this is the exact verifier used inside
+    * its buckets.
     */
   val q21NgramJaccard: QueryDef = QueryDef.sql(
     "q21_ngram_jaccard",
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
        |  FROM (SELECT doc_id, ${graft.functions.TextFunctions.WordBigramsOverT} AS bg
        |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+       |sh AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sh0)
+       |  WHERE df <= $DfCap),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
        |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
        |  inter / (sa.n + sb.n - inter) AS jaccard
@@ -193,14 +208,20 @@ object TextOps {
     // long-key shuffles/joins move ~4× fewer bytes than 15-char strings and
     // hash/compare faster; the same hash runs in the oracle so any collision
     // is deterministic and identical on both sides.
-    // The shingle relation feeds three plan branches (both join sides + the
-    // size table); persist it so tokenize+explode+distinct runs once
-    // (SURVEY Y5 — explicit persist only at real reuse points).
+    // The DF cap is a count-over-window keyed on fp: the same fp-hash
+    // exchange the pair join needs, so Catalyst reuses the shuffle.
+    // The capped shingle relation feeds three plan branches (both join
+    // sides + the size table); persist it so tokenize+explode+distinct+cap
+    // runs once (SURVEY Y5 — explicit persist only at real reuse points).
     val sh = docs
       .select(col("doc_id"), wordBigrams(toks).as("bg"))
       .select(col("doc_id"), explode(col("bg")).as("s"))
       .select(col("doc_id"), fingerprint("s").as("fp"))
       .distinct()
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= DfCap)
+      .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val x = sh.as("x"); val y = sh.as("y")
