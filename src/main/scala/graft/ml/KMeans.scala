@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer
+  * behind the IVF coarse quantizer (q42). Analogous role to the reference's
+  * training loop (CaffeOnSpark.scala:164-238) but expressed as DataFrame
+  * plans end to end.
+  *
+  * Cross-engine determinism (the properties the oracle relies on):
+  *   - centroids are element-wise means computed in exact DECIMAL(38,9)
+  *     (order-independent sums — safe under shuffles and partial aggs),
+  *     projected to double only at the end;
+  *   - distances are sequential left-to-right double folds (identical IEEE
+  *     evaluation in any engine);
+  *   - argmin ties break on the smaller cell id via struct ordering.
+  *
+  * Scale notes: `centroids` shards the (cell, idx) key space (no dense
+  * per-executor buffer; same shape as q26); `assign` broadcasts the k·dim
+  * centroid table and reduces per vector with a vec_id-keyed partial
+  * aggregate — the embedding itself stays OUT of the shuffle key, riding
+  * as an aggregation-buffer payload (first()).
+  */
+object KMeans {
+
+  /** Element-wise decimal-exact mean per `keyCol` → (c_label, centroid). */
+  def centroids(vecs: DataFrame, keyCol: String): DataFrame =
+    vecs
+      .select(col(keyCol).as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("c_label"), col("idx"))
+      .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 9)))
+        .cast(DecimalType(38, 9)).cast(DoubleType) / count(lit(1))).as("m"))
+      .groupBy(col("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("centroid"))
+
+  /** Squared L2 distance, sequential double fold (engine-stable). */
+  private val dist = expr(
+    "aggregate(zip_with(embedding, centroid, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+
+  /** Assign every vector to its nearest centroid →
+    * (vec_id, label, embedding, cell). The reduction groups on vec_id ONLY:
+    * a wide group key carrying the embedding array would hash/compare
+    * 64 floats per row in the exchange; as a first() payload it moves once
+    * per map-side partial instead.
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", dist)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("c_label"))).as("best"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best.c_label").as("cell"))
+
+  /** Lloyd iterations from a warm-start assignment column: each step
+    * recomputes cell centroids from the current assignment and reassigns.
+    * Returns the final assignment (vec_id, label, embedding, cell).
+    */
+  def lloyd(vecs: DataFrame, warmStartCol: String, steps: Int): DataFrame = {
+    var assigned = assign(vecs, centroids(
+      vecs.withColumn("__k", col(warmStartCol)), "__k"))
+    var i = 1
+    while (i < steps) {
+      assigned = assign(vecs, centroids(assigned, "cell"))
+      i += 1
+    }
+    assigned
+  }
+
+  /** Mean within-cluster squared distance of an assignment (diagnostic). */
+  def sse(assigned: DataFrame): Double =
+    assigned
+      .join(broadcast(centroids(assigned, "cell").withColumnRenamed("c_label", "cell")), "cell")
+      .withColumn("d", dist)
+      .agg(avg(col("d"))).head().getDouble(0)
+}

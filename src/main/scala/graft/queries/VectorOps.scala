@@ -96,12 +96,22 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Fixed random-hyperplane family for sign-LSH: 8 planes × 64 integer
+  /** Fixed random-hyperplane family for sign-LSH: 16 planes × 64 integer
     * coefficients in [-9, 9], generated by a deterministic formula and
-    * spliced into both engines as literals.
+    * spliced into both engines as literals. 16 planes → 2^16 buckets: at
+    * 100 TB the probe reads ~N/65536 of the corpus per probed bucket
+    * (vs N/256 with 8 planes), with recall recovered by multiprobe below.
     */
   private val planes: Seq[Seq[Int]] =
-    Seq.tabulate(8, 64)((j, i) => ((j * 97 + i * 31) % 19) - 9)
+    Seq.tabulate(16, 64)((j, i) => ((j * 97 + i * 31) % 19) - 9)
+
+  /** Multiprobe masks: all 16-bit patterns with ≤2 bits set (1 + 16 + 120 =
+    * 137). Probing `qb XOR mask` visits every bucket within hamming 2 of
+    * the query's — the standard recall/selectivity trade for wide sign-LSH
+    * (probes cover ~137/65536 ≈ 0.2% of the corpus instead of 1/256).
+    */
+  private val probeMasks: Seq[Int] =
+    (0 until 65536).filter(Integer.bitCount(_) <= 2)
 
   private def bucketSpark: String = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
@@ -123,93 +133,86 @@ object VectorOps {
     bits.mkString("(", " + ", ")")
   }
 
-  /** Q34 — bucketed approximate nearest neighbours: sign-LSH (random
-    * hyperplane) bucket per vector, exact max-inner-product top-k restricted
-    * to the query's bucket.
+  /** Q34 — bucketed approximate nearest neighbours: 16-plane sign-LSH
+    * bucket per vector, hamming-≤2 multiprobe around the query's bucket,
+    * exact max-inner-product ranking of the probed members.
     *
     * This is the sublinear scale path q27's brute force motivates: the
-    * bucket id is computed map-only at ingest, the search probes one bucket
-    * (a partition-prunable predicate at 100 TB when bucket is a partition
-    * or Z-order key) and ranks only its members.
+    * bucket id is computed map-only at ingest; the search probes 137 of
+    * 65536 buckets (a partition-prunable IN-list at 100 TB when bucket is
+    * a partition or Z-order key — each probed bucket holds ~N/65536 rows)
+    * and ranks only their members. The probe list is tiny and broadcast;
+    * the corpus joins it on the bucket key with no shuffle of the corpus.
     */
   val q34AnnLsh: QueryDef = QueryDef.sql(
     "q34_ann_lsh",
     s"""WITH b AS (SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings),
-       |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-       |SELECT e.vec_id, e.label, e.bucket, ${DotOutSql("e.embedding", "q.qv")} AS dot
-       |FROM b e, q
-       |WHERE e.bucket = q.qb AND e.vec_id <> 0
+       |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |probes AS (SELECT xor(q.qb, m) AS pb, q.qv FROM q, unnest([${probeMasks.mkString(",")}]) AS t(m))
+       |SELECT e.vec_id, e.label, e.bucket, ${DotOutSql("e.embedding", "p.qv")} AS dot
+       |FROM b e JOIN probes p ON e.bucket = p.pb
+       |WHERE e.vec_id <> 0
        |ORDER BY dot DESC, vec_id
        |LIMIT 10""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
       .withColumn("bucket", expr(bucketSpark))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    val probes = q
+      .select(col("qv"), col("qb"), explode(lit(probeMasks.toArray)).as("mask"))
+      .select(col("qv"), expr("qb ^ mask").as("pb"))
     emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .filter(col("bucket") === col("qb"))
+      .join(broadcast(probes), col("bucket") === col("pb"))
       .select(col("vec_id"), col("label"), col("bucket"), dotOut("embedding", "qv").as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(10)
   }
 
-  /** Q42 — IVF-style approximate nearest neighbours: coarse quantization
-    * (assign every vector to its nearest centroid), then probe only the
-    * query's cell and rank it exactly.
+  /** Q42 — IVF approximate nearest neighbours: k-means coarse quantization
+    * (graft.ml.KMeans — labeled warm start + one Lloyd refinement), then
+    * probe only the query's cell and rank it exactly.
     *
-    * Centroids here are the per-label mean vectors (one k-means step from a
-    * labeled warm start — the training loop in graft.ml is the iterator).
     * Cross-engine determinism: centroids are decimal-exact means cast to
     * double (identical), distances are sequential left-to-right double
-    * folds (identical IEEE), argmin ties break on label id. At scale the
-    * assignment is the ingest-time map; the probe reads one cell — the IVF
-    * complement to q34's hyperplane buckets.
+    * folds (identical IEEE), argmin ties break on cell id. The assignment
+    * reduction groups on vec_id only — the embedding rides as an
+    * aggregation payload, NOT in the shuffle key. At scale the assignment
+    * is the ingest-time map; the probe reads one cell — the IVF complement
+    * to q34's hyperplane buckets.
     */
   val q42AnnIvf: QueryDef = {
-    val CentroidsSql =
-      """SELECT label AS c_label, list(m ORDER BY idx) AS centroid
-        |  FROM (
-        |    SELECT label, idx,
-        |      CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
-        |    FROM (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
-        |          FROM embeddings)
-        |    GROUP BY label, idx)
-        |  GROUP BY label""".stripMargin
+    def CentSql(rel: String, key: String) =
+      s"""SELECT $key AS c_label, list(m ORDER BY idx) AS centroid
+         |  FROM (
+         |    SELECT $key, idx,
+         |      CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT $key, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
+         |          FROM $rel)
+         |    GROUP BY $key, idx)
+         |  GROUP BY $key""".stripMargin
     val DistSql = // sequential fold => bit-identical to Spark's aggregate()
       "list_reduce([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) " +
         "for i in range(1, len(e.embedding)+1)], (a, b) -> a + b)"
-    QueryDef.sql(
-      "q42_ann_ivf",
-      s"""WITH centroids AS ($CentroidsSql),
-         |assigned AS (
-         |  SELECT vec_id, label, embedding, cell FROM (
+    def AssignSql(vecsRel: String, centsRel: String) =
+      s"""SELECT vec_id, label, embedding, cell FROM (
          |    SELECT e.vec_id, e.label, e.embedding, c.c_label AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
-         |    FROM embeddings e, centroids c) t
-         |  WHERE rn = 1),
-         |q AS (SELECT embedding AS qv, cell AS qcell FROM assigned WHERE vec_id = 0)
+         |    FROM $vecsRel e, $centsRel c) t
+         |  WHERE rn = 1""".stripMargin
+    QueryDef.sql(
+      "q42_ann_ivf",
+      s"""WITH c0 AS (${CentSql("embeddings", "label")}),
+         |a0 AS (${AssignSql("embeddings", "c0")}),
+         |c1 AS (${CentSql("a0", "cell")}),
+         |a1 AS (${AssignSql("a0", "c1")}),
+         |q AS (SELECT embedding AS qv, cell AS qcell FROM a1 WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, e.cell, ${DotOutSql("e.embedding", "q.qv")} AS dot
-         |FROM assigned e, q
+         |FROM a1 e, q
          |WHERE e.cell = q.qcell AND e.vec_id <> 0
          |ORDER BY dot DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val centroids = emb
-        .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
-        .groupBy(col("c_label"), col("idx"))
-        .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 9)))
-          .cast(DecimalType(38, 9)).cast(DoubleType) / count(lit(1))).as("m"))
-        .groupBy(col("c_label"))
-        .agg(expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("centroid"))
-      val dist = expr(
-        "aggregate(zip_with(embedding, centroid, (x, c) -> " +
-          "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
-          "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("d", dist)
-        .groupBy(col("vec_id"), col("label"), col("embedding"))
-        .agg(min(struct(col("d"), col("c_label"))).as("best"))
-        .select(col("vec_id"), col("label"), col("embedding"), col("best.c_label").as("cell"))
+      val assigned = graft.ml.KMeans.lloyd(emb, "label", steps = 2)
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("cell").as("qcell"))
       assigned.filter(col("vec_id") =!= 0)

@@ -91,6 +91,22 @@ class MlSpec extends SparkSpec {
     } finally { data.unpersist(); () }
   }
 
+  test("KMeans: Lloyd refinement does not increase within-cluster SSE") {
+    import graft.ml.KMeans
+    val emb = Tables(spark, sf, "embeddings")
+    val warm = KMeans.lloyd(emb, "label", steps = 1)
+    val refined = KMeans.lloyd(emb, "label", steps = 2)
+    assert(refined.count() == emb.count())
+    assert(KMeans.sse(refined) <= KMeans.sse(warm) + 1e-9)
+    // the assignment reduction must not carry the embedding in its group key
+    val aggNodes = refined.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType]) => a
+    }
+    assert(aggNodes.isEmpty, "an aggregate groups on an array column")
+  }
+
   test("weight snapshot round-trips through parquet") {
     val w = Array.tabulate(64)(_ * 0.5)
     val path = java.nio.file.Files.createTempDirectory("wts").toString + "/w"
