@@ -78,6 +78,71 @@ object Converters {
       }.toDF("SampleID", "label", "data")
   }
 
+  /** S3 full-fidelity reader: the reference accepts THREE key encodings in
+    * one SequenceFile scan (SeqImageDataSource.scala:36-63) — a
+    * Java-serialized (id, label) pair (two shapes in the original: a Java
+    * Pair class and a Scala Tuple2 — semantically identical, both map here
+    * to the Tuple2 case), a Java-serialized Tuple6
+    * (id, label, channels, height, width, encoded), and this repo's native
+    * utf8 "id\tlabel". Pair keys default (channels=1, height=0, width=0,
+    * encoded=true); Tuple6 carries explicit dims — reference defaults at
+    * SeqImageDataSource.scala:30-35.
+    */
+  def readSequenceFileSamples(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.BytesWritable
+    import spark.implicits._
+    spark.sparkContext.sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) =>
+        val kb = k.copyBytes()
+        val payload = if (v == null) null else v.copyBytes()
+        // Java serialization stream magic 0xACED
+        if (kb.length >= 2 && kb(0) == 0xAC.toByte && kb(1) == 0xED.toByte) {
+          val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(kb))
+          try ois.readObject() match {
+            case p: Product if p.productArity == 2 =>
+              (p.productElement(0).asInstanceOf[String],
+                p.productElement(1).asInstanceOf[String], 1, 0, 0, true, payload)
+            case p: Product if p.productArity == 6 =>
+              (p.productElement(0).asInstanceOf[String],
+                p.productElement(1).asInstanceOf[String],
+                p.productElement(2).asInstanceOf[Int],
+                p.productElement(3).asInstanceOf[Int],
+                p.productElement(4).asInstanceOf[Int],
+                p.productElement(5).asInstanceOf[Boolean], payload)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported key ${other.getClass}")
+          } finally ois.close()
+        } else {
+          val parts = new String(kb, "UTF-8").split("\t", 2)
+          (parts(0), parts(1), 1, 0, 0, true, payload)
+        }
+      }.toDF("id", "label", "channels", "height", "width", "encoded", "data")
+  }
+
+  /** S3 writer twin: emit any of the three key encodings (for interop
+    * round-trips and reference-era consumers).
+    */
+  def writeSequenceFileSamples(df: DataFrame, path: String,
+      keyEncoding: String = "utf8"): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    def javaSer(o: AnyRef): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.toByteArray
+    }
+    df.select("id", "label", "channels", "height", "width", "encoded", "data").rdd.map { r =>
+      val key = keyEncoding match {
+        case "utf8" => s"${r.getString(0)}\t${r.getString(1)}".getBytes("UTF-8")
+        case "tuple2" => javaSer((r.getString(0), r.getString(1)))
+        case "tuple6" => javaSer((r.getString(0), r.getString(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getBoolean(5)))
+        case other => throw new IllegalArgumentException(s"unknown keyEncoding $other")
+      }
+      (new BytesWritable(key), new BytesWritable(r.getAs[Array[Byte]](6)))
+    }.saveAsSequenceFile(path)
+  }
+
   /** K2 — test-result sink (reference CaffeOnSpark.scala:63-79: blob→mean
     * map written as a text file): metrics map → single JSON file dir.
     */

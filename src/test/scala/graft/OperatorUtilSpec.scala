@@ -65,6 +65,33 @@ class OperatorUtilSpec extends SparkSpec {
     assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2))
   }
 
+  test("S3: all three SequenceFile key encodings read back through one scan") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("label", StringType),
+      StructField("channels", IntegerType), StructField("height", IntegerType),
+      StructField("width", IntegerType), StructField("encoded", BooleanType),
+      StructField("data", BinaryType)))
+    val rows = Seq(Row("s1", "3", 3, 4, 5, false, Array[Byte](1, 2, 3)),
+      Row("s2", "7", 1, 0, 0, true, Array[Byte](9)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    for (enc <- Seq("utf8", "tuple2", "tuple6")) {
+      val path = java.nio.file.Files.createTempDirectory(s"seq$enc").toString + "/sf"
+      Converters.writeSequenceFileSamples(df, path, enc)
+      val back = Converters.readSequenceFileSamples(spark, path).orderBy("id").collect()
+      assert(back.length == 2, enc)
+      assert(back(0).getString(0) == "s1" && back(0).getString(1) == "3", enc)
+      assert(back(0).getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3), enc)
+      if (enc == "tuple6") { // dims survive only in the 6-tuple encoding
+        assert(back(0).getInt(2) == 3 && back(0).getInt(3) == 4 &&
+          back(0).getInt(4) == 5 && !back(0).getBoolean(5))
+      } else { // pair encodings default like the reference reader
+        assert(back(0).getInt(2) == 1 && back(0).getBoolean(5))
+      }
+    }
+  }
+
   test("K2: metrics sink writes one json line") {
     val path = java.nio.file.Files.createTempDirectory("metrics").toString + "/m"
     Converters.writeMetrics(spark, Map("accuracy" -> Seq(0.9), "loss" -> Seq(0.1, 0.2)), path)
