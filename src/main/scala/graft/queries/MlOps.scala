@@ -5,41 +5,43 @@ import org.apache.spark.sql.functions._
 
 /** Oracle-checked projections of the ML dataflow surface (SURVEY §2.8): the
   * forward pass (`features`, M3) and metric aggregation (`test`, M4) of a
-  * linear scorer with fixed deterministic weights, expressed decimal-exact
-  * so DuckDB reproduces them bit-for-bit. The trained variants (M1/M2 —
-  * gradient descent via treeAggregate) live in graft.ml and are covered by
-  * convergence tests instead (floating-point training is inherently
-  * iteration-order sensitive, not oracle material).
+  * linear scorer with fixed deterministic weights. The per-sample score is
+  * a sequential double fold — one correctly-rounded op per element in a
+  * fixed order, so both engines produce bit-identical doubles (same
+  * contract as VectorFunctions.DotSeqSql; the weight literals parse to the
+  * same doubles from the same decimal strings). The trained variants
+  * (M1/M2 — gradient descent via treeAggregate) live in graft.ml and are
+  * covered by convergence tests instead (floating-point training is
+  * inherently iteration-order sensitive, not oracle material).
   */
 object MlOps {
 
-  /** Fixed scorer weights: one decimal digit each, exact in DECIMAL(5,1). */
+  /** Fixed scorer weights, one decimal digit each. */
   private val weights: Seq[Double] =
     (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
-  private val wSparkArr = weights.map(w => s"CAST($w AS DECIMAL(5,1))").mkString("array(", ", ", ")")
-  private val wDuckArr = weights.map(w => s"CAST($w AS DECIMAL(5,1))").mkString("[", ", ", "]")
+  private val wSparkArr = weights.map(w => s"${w}D").mkString("array(", ", ", ")")
+  private val wDuckArr = weights.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+  private val ScoreDuck =
+    s"list_reduce([CAST(embedding[i] AS DOUBLE) * $wDuckArr[i] " +
+      "for i in range(1, len(embedding)+1)], (a, b) -> a + b)"
+  private val scoreSpark =
+    s"aggregate(zip_with(embedding, $wSparkArr, (x, y) -> CAST(x AS DOUBLE) * y), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
 
   /** Q29 — `features` forward pass (reference CaffeOnSpark.scala:427-438):
     * per-sample linear score ("ip1" blob) + sign prediction. Map-only, the
-    * weight vector rides into codegen as a literal (broadcast-equivalent).
+    * weight vector rides into the plan as a literal (broadcast-equivalent).
     */
   val q29Features: QueryDef = QueryDef.sql(
     "q29_features",
     s"""SELECT vec_id AS sample_id, label,
-       |  CAST(CAST(CAST(list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
-       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS ip1,
-       |  list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
-       |               for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred
+       |  $ScoreDuck AS ip1,
+       |  $ScoreDuck > 0 AS pred
        |FROM embeddings
        |ORDER BY sample_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "embeddings")
-      .select(col("vec_id").as("sample_id"), col("label"),
-        expr(s"CAST(aggregate(zip_with(embedding, $wSparkArr, " +
-          "(x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * y AS DECIMAL(25,10))), " +
-          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) AS DECIMAL(38,10))").as("ip1_exact"))
-      .withColumn("pred", col("ip1_exact") > 0)
-      .select(col("sample_id"), col("label"),
-        col("ip1_exact").cast("double").as("ip1"), col("pred"))
+      .select(col("vec_id").as("sample_id"), col("label"), expr(scoreSpark).as("ip1"))
+      .withColumn("pred", col("ip1") > 0)
       .orderBy("sample_id")
   }
 
@@ -53,21 +55,15 @@ object MlOps {
        |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS accuracy
        |FROM (
-       |  SELECT label,
-       |    list_reduce([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * $wDuckArr[i]
-       |                 for i in range(1, len(embedding)+1)], (a, b) -> a + b) > 0 AS pred,
-       |    CAST(CAST(CAST(embedding[1] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
-       |      + CAST(CAST(CAST(embedding[2] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) > 0 AS y
+       |  SELECT label, $ScoreDuck > 0 AS pred,
+       |    CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) > 0 AS y
        |  FROM embeddings)
        |GROUP BY label
        |ORDER BY label""".stripMargin) { (s, dir) =>
     Tables(s, dir, "embeddings")
       .select(col("label"),
-        expr(s"aggregate(zip_with(embedding, $wSparkArr, " +
-          "(x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * y AS DECIMAL(25,10))), " +
-          "CAST(0 AS DECIMAL(32,10)), (acc, p) -> CAST(acc + p AS DECIMAL(32,10))) > 0").as("pred"),
-        expr("CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,9)) " +
-          "+ CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)) > 0").as("y"))
+        expr(s"$scoreSpark > 0").as("pred"),
+        expr("CAST(embedding[0] AS DOUBLE) + CAST(embedding[1] AS DOUBLE) > 0").as("y"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         sum(when(col("pred") === col("y"), 1).otherwise(0)).as("n_correct"))

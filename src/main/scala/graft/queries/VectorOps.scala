@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * vector aggregation (SURVEY A1 VectorMean) and similarity search
   * (LLM-pipeline brute-force top-k + near-dup pairs).
   *
-  * Float parity strategy: embedding elements are float32; each is cast to
-  * DECIMAL(18,9) (exact to within one decimal ulp of the shortest double
-  * repr, identical in both engines), after which every sum/product is exact
-  * decimal arithmetic — order-independent, so shuffles and partial aggs
-  * can't perturb results.
+  * Float parity strategy (see VectorFunctions): per-row dot products are
+  * sequential double folds — bit-deterministic across engines, fully on
+  * the codegen'd FloatVectorDot hot path. Exact VARCHAR-routed DECIMAL
+  * arithmetic is reserved for the order-NONdeterministic grouped sums
+  * (q26 vector mean, q42 k-means centroids), where shuffle/partial-agg
+  * ordering would otherwise perturb double summation.
   */
 object VectorOps {
+
+  private def fdot(a: String, b: String) =
+    org.apache.spark.sql.graft.VectorExpressions.float_dot(col(a), col(b))
 
   /** Q26 — element-wise vector mean per label (SURVEY A1: the VectorMean
     * UDAF, reference VectorMean.scala:17-64, reformulated as
@@ -54,7 +58,7 @@ object VectorOps {
   val q27DotTopk: QueryDef = QueryDef.sql(
     "q27_dot_topk",
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-       |SELECT e.vec_id, e.label, ${DotOutSql("e.embedding", "q.qv")} AS dot
+       |SELECT e.vec_id, e.label, ${DotSeqSql("e.embedding", "q.qv")} AS dot
        |FROM embeddings e, q
        |WHERE e.vec_id <> 0
        |ORDER BY dot DESC, vec_id
@@ -63,7 +67,7 @@ object VectorOps {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), dotOut("embedding", "qv").as("dot"))
+      .select(col("vec_id"), col("label"), fdot("embedding", "qv").as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(20)
   }
@@ -76,23 +80,22 @@ object VectorOps {
   val q28EmbeddingNeardup: QueryDef = QueryDef.sql(
     "q28_embedding_neardup",
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-       |  ${DotOutSql("a.embedding", "b.embedding")} AS dot
+       |  ${DotSeqSql("a.embedding", "b.embedding")} AS dot
        |FROM embeddings a
        |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${DotDecSql("a.embedding", "b.embedding")} > CAST(0.25 AS DECIMAL(38,18))
+       |WHERE ${DotSeqSql("a.embedding", "b.embedding")} > 0.25
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     val a = emb.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("eb"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      // codegen'd double prefilter: |double dot − exact decimal dot| < ~3e-8
-      // for dim-64 unit-scale vectors, so a 1e-6 margin can't change the
-      // survivor set; the expensive exact-decimal dot runs only on survivors.
-      .filter(org.apache.spark.sql.graft.VectorExpressions.float_dot(col("ea"), col("eb")) > 0.25 - 1e-6)
-      .withColumn("dot_exact", dotDec("ea", "eb"))
-      .filter(col("dot_exact") > lit("0.25").cast(DecimalType(38, 18)))
-      .select(col("id_a"), col("id_b"), col("label"), col("dot_exact").cast(DoubleType).as("dot"))
+      // the threshold compares the SAME sequential-double dot in both
+      // engines (0.25 is binary-exact), so the survivor set is identical —
+      // one codegen'd FloatVectorDot per candidate, no decimal second pass
+      .withColumn("dot", fdot("ea", "eb"))
+      .filter(col("dot") > 0.25)
+      .select(col("id_a"), col("id_b"), col("label"), col("dot"))
       .orderBy("id_a", "id_b")
   }
 
@@ -113,22 +116,24 @@ object VectorOps {
   private val probeMasks: Seq[Int] =
     (0 until 65536).filter(Integer.bitCount(_) <= 2)
 
-  private def bucketSpark: String = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val arr = p.mkString("array(", ", ", ")")
-      s"(CASE WHEN aggregate(zip_with(embedding, $arr, " +
-        "(x, pc) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * pc AS DECIMAL(30,9))), " +
-        s"CAST(0 AS DECIMAL(38,9)), (a, b) -> CAST(a + b AS DECIMAL(38,9))) > 0 " +
-        s"THEN ${1L << j}L ELSE 0L END)"
-    }
-    bits.mkString("(", " + ", ")")
-  }
+  /** Bucket bit j = sign of dot(embedding, plane_j). The plane coefficients
+    * are small ints (exact in float AND double), so Spark evaluates each
+    * dot on the codegen'd FloatVectorDot against a float-array literal
+    * while the oracle folds the identical double products sequentially —
+    * bit-equal signs, no decimals.
+    */
+  private def bucketCol: org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(org.apache.spark.sql.graft.VectorExpressions
+        .float_dot(col("embedding"), lit(p.map(_.toFloat).toArray)) > 0d,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   private def bucketDuck: String = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val arr = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * ($arr)[i] " +
-        s"for i in range(1, 65)]) > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+      s"(CASE WHEN list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(($arr)[i] AS DOUBLE) " +
+        s"for i in range(1, 65)], (a, b) -> a + b) > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -149,13 +154,13 @@ object VectorOps {
     s"""WITH b AS (SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings),
        |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
        |probes AS (SELECT xor(q.qb, m) AS pb, q.qv FROM q, unnest([${probeMasks.mkString(",")}]) AS t(m))
-       |SELECT e.vec_id, e.label, e.bucket, ${DotOutSql("e.embedding", "p.qv")} AS dot
+       |SELECT e.vec_id, e.label, e.bucket, ${DotSeqSql("e.embedding", "p.qv")} AS dot
        |FROM b e JOIN probes p ON e.bucket = p.pb
        |WHERE e.vec_id <> 0
        |ORDER BY dot DESC, vec_id
        |LIMIT 10""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
-      .withColumn("bucket", expr(bucketSpark))
+      .withColumn("bucket", bucketCol)
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("bucket").as("qb"))
     val probes = q
@@ -163,7 +168,7 @@ object VectorOps {
       .select(col("qv"), expr("qb ^ mask").as("pb"))
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), col("bucket") === col("pb"))
-      .select(col("vec_id"), col("label"), col("bucket"), dotOut("embedding", "qv").as("dot"))
+      .select(col("vec_id"), col("label"), col("bucket"), fdot("embedding", "qv").as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(10)
   }
@@ -206,7 +211,7 @@ object VectorOps {
          |c1 AS (${CentSql("a0", "cell")}),
          |a1 AS (${AssignSql("a0", "c1")}),
          |q AS (SELECT embedding AS qv, cell AS qcell FROM a1 WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, e.cell, ${DotOutSql("e.embedding", "q.qv")} AS dot
+         |SELECT e.vec_id, e.label, e.cell, ${DotSeqSql("e.embedding", "q.qv")} AS dot
          |FROM a1 e, q
          |WHERE e.cell = q.qcell AND e.vec_id <> 0
          |ORDER BY dot DESC, vec_id
@@ -218,7 +223,7 @@ object VectorOps {
       assigned.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .filter(col("cell") === col("qcell"))
-        .select(col("vec_id"), col("label"), col("cell"), dotOut("embedding", "qv").as("dot"))
+        .select(col("vec_id"), col("label"), col("cell"), fdot("embedding", "qv").as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
     }
