@@ -183,12 +183,13 @@ object DedupOps {
        |  SELECT doc_id, simhash, cid AS band, ${bhExpr(duckAt, duckShr, "cid+1")} AS bh
        |  FROM sig, unnest(range(0, 20)) AS t(cid)),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, x.simhash AS ha, y.doc_id AS b, y.simhash AS hb
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
-       |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+       |SELECT a, b, hamming
        |FROM cand
-       |WHERE bit_count(xor(ha, hb)) <= 3
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
     val sig = Tables(s, dir, "documents")
@@ -196,16 +197,18 @@ object DedupOps {
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(19))).as("band"))
       .withColumn("bh", expr(bhExpr(sparkAt, sparkShr, "band+1")))
-    val cand = bands.as("x").join(bands.as("y"),
+    // hamming verify BEFORE the pair-dedup: bit_count is a per-row scalar,
+    // so filtering the raw band-join output first means the DISTINCT
+    // shuffles only true-pair emissions (~k per true pair) instead of the
+    // full candidate stream — same result, order of magnitude less dedup
+    // traffic on dup-heavy data.
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("b"), col("y.simhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
       .filter(col("hamming") <= 3)
-      .select("a", "b", "hamming")
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("hamming"))
+      .distinct()
       .orderBy("a", "b")
   }
 
