@@ -59,6 +59,60 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Typed event row for the custom-state operators. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Custom keyed state: running accumulation since the last alert. */
+  final case class SpendState(accum: Double, nSinceAlert: Long)
+
+  /** Emitted when a user's accumulated value crosses the threshold. */
+  final case class SpendAlert(user_id: Long, alert_ts: java.sql.Timestamp,
+      accum: Double, n_events: Long)
+
+  /** Custom-state operator (`flatMapGroupsWithState`): per-user cumulative
+    * spend with ALERT-AND-RESET semantics — the moment a user's running
+    * total crosses `threshold`, emit an alert carrying the accumulated sum
+    * and event count, then reset the accumulator. Neither `session_window`
+    * nor a windowed agg can express the data-dependent reset; this is the
+    * arbitrary-keyed-state rung of the streaming ladder.
+    *
+    * State is O(active users) × O(1) per user, evicted by the event-time
+    * timeout once a user is idle past the watermark. Events are processed
+    * in ts order within each micro-batch so replays are deterministic.
+    */
+  def spendAlerts(events: DataFrame, threshold: Double,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SpendState]): Iterator[SpendAlert] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption.getOrElse(SpendState(0.0, 0L))
+        val alerts = scala.collection.mutable.ArrayBuffer.empty[SpendAlert]
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          st = SpendState(st.accum + e.value, st.nSinceAlert + 1)
+          if (st.accum >= threshold) {
+            alerts += SpendAlert(userId, e.ts, st.accum, st.nSinceAlert)
+            st = SpendState(0.0, 0L)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        alerts.iterator
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
   /** Run a bounded stream to completion into an in-memory table and return
     * the result (test/bench harness; `availableNow` processes the whole
     * directory then stops).

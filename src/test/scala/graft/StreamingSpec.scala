@@ -50,4 +50,34 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("n_events") =!= col("n_b")).count() == 0)
     assert(got.filter(col("session_start") > col("session_end")).count() == 0)
   }
+
+  test("flatMapGroupsWithState spend alerts match a sequential batch replay") {
+    val threshold = 500.0
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(
+      EventStreams.spendAlerts(stream, threshold), "alerts_t")
+      .select("user_id", "alert_ts", "accum", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // oracle: per-user sequential scan with the same alert-and-reset rule
+    val events = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val expected = events.toSeq.flatMap { case (uid, rows) =>
+      var accum = 0.0
+      var n = 0L
+      rows.sortBy(e => (e._2.getTime, e._3)).toSeq.flatMap { case (_, ts, _, v) =>
+        accum += v; n += 1
+        if (accum >= threshold) {
+          val a = (uid, ts, accum, n)
+          accum = 0.0; n = 0L
+          Some(a)
+        } else None
+      }
+    }.toSet
+    assert(got.nonEmpty, "no alerts emitted — threshold too high for the data")
+    assert(got == expected)
+  }
 }
