@@ -28,7 +28,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Local parquet at bench scale is a handful of ~20 MB files; the
       // default 128 MB split puts a whole table in one partition and
       // serializes the scan on one core. 4 MB splits fan the scan out to

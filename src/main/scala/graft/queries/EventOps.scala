@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   */
 object EventOps {
 
-  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 4))
-  private def toDbl(c: org.apache.spark.sql.Column) =
-    c.cast(DecimalType(38, 4)).cast(DoubleType)
+  // exact integer-cents money sums (see queries.Relational header): the
+  // value column is a 2-decimal double; round(v*100) recovers exact cents,
+  // the sum accumulates as DECIMAL(38,0) from longs (overflow-safe, no
+  // per-row decimal-string casts), and the oracle routes the sum through
+  // VARCHAR (DuckDB HUGEINT→DOUBLE double-rounds above 2^53)
+  private def centsSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast(LongType).cast(DecimalType(38, 0)))
+      .cast(DoubleType) / 100.0
   private def SumVal(x: String) =
-    s"CAST(CAST(sum(CAST($x AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE)"
+    s"(CAST(CAST(sum(CAST(round($x * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)"
 
   /** Q22 — event-time tumbling window aggregation (hourly): the batch twin of
     * `groupBy(window($"ts","1 hour"))`. Shuffle key (hour, type) is tight;
@@ -32,7 +37,7 @@ object EventOps {
        |ORDER BY bucket, event_type""".stripMargin) { (s, dir) =>
     Tables(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), toDbl(sum(money(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_value"))
       .orderBy("bucket", "event_type")
   }
 
@@ -72,7 +77,7 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        toDbl(sum(money(col("value")))).as("sum_value"))
+        centsSum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_idx")
   }
 
@@ -145,7 +150,7 @@ object EventOps {
       .withColumn("win_start",
         timestamp_micros(expr("(unix_micros(ts) div 900000000 - k) * 900000000")))
       .groupBy(col("win_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), toDbl(sum(money(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), centsSum(col("value")).as("sum_value"))
       .orderBy("win_start", "event_type")
   }
 

