@@ -273,7 +273,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q47 — within-document repetition scoring (LLM-pipeline quality
+    * filter, the "repetitious document" signal: machine-generated or
+    * boilerplate text shows a low distinct-token ratio and a dominant top
+    * token). Explode → two-level aggregation keyed on (doc_id, tok) then
+    * doc_id — map-side partials keep the shuffle O(distinct tokens); the
+    * ratios are exact-int divisions so doubles match bit-for-bit.
+    */
+  val q47Repetition: QueryDef = QueryDef.sql(
+    "q47_repetition",
+    s"""SELECT doc_id, n_tokens, n_distinct,
+       |  CAST(n_distinct AS BIGINT) / n_tokens AS distinct_ratio,
+       |  CAST(top_cnt AS BIGINT) / n_tokens AS top_token_frac
+       |FROM (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_cnt
+       |  FROM (
+       |    SELECT doc_id, tok, count(*) AS c
+       |    FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id)
+       |WHERE n_tokens > 0
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_cnt") / col("n_tokens")).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Q48 — corpus source-mix table (LLM-pipeline: the per-source weights a
+    * data recipe is built from). Tight group key, map-side partials; the
+    * char sums wrap AS BIGINT on the oracle side (HUGEINT dtype rule).
+    */
+  val q48SourceMix: QueryDef = QueryDef.sql(
+    "q48_source_mix",
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  min(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
-    q20DedupExact, q21NgramJaccard, q40TokenCount)
+    q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix)
 }
