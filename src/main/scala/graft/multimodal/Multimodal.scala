@@ -172,6 +172,48 @@ object Multimodal {
     }
   }
 
+  /** Audio-modality features over a 16-bit little-endian PCM payload:
+    * per-window RMS energy and zero-crossing rate — the classic first-stage
+    * features of an audio quality/VAD pipeline, computed directly on the
+    * opaque binary column (no codec needed for raw PCM). Windows are
+    * non-overlapping `windowSamples`-sized; a ragged tail is dropped.
+    */
+  final case class AudioWindow(idx: Int, rms: Double, zeroCrossRate: Double)
+
+  def pcmFeatures(payload: Array[Byte], windowSamples: Int): Seq[AudioWindow] = {
+    require(windowSamples > 0)
+    val nSamples = payload.length / 2
+    val nWin = nSamples / windowSamples
+    (0 until nWin).map { w =>
+      var sumSq = 0.0
+      var crossings = 0
+      var prevNeg = false
+      var i = 0
+      while (i < windowSamples) {
+        val off = (w * windowSamples + i) * 2
+        val s = ((payload(off) & 0xff) | (payload(off + 1) << 8)).toShort.toInt
+        sumSq += s.toDouble * s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      AudioWindow(w, math.sqrt(sumSq / windowSamples),
+        crossings.toDouble / (windowSamples - 1).max(1))
+    }
+  }
+
+  /** Distributed audio feature stage: binary PCM column → exploded
+    * (id, label, window idx, rms, zcr) rows, one batch-pure partition pass
+    * (the same per-partition shape as [[decodeAndResize]]).
+    */
+  def pcmFeatureFrame(ds: Dataset[MediaSample], windowSamples: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(s => pcmFeatures(s.data, windowSamples)
+        .map(w => (s.id, s.label, w.idx, w.rms, w.zeroCrossRate)))
+      .toDF("id", "label", "win", "rms", "zcr")
+  }
+
   /** Dataset pipeline: decode + resize as one per-partition batch stage
     * (iterator-chained like the reference's transformer thread, minus the
     * cross-task singleton M6 anti-pattern — each partition is pure).

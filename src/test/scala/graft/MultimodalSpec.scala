@@ -86,4 +86,34 @@ class MultimodalSpec extends SparkSpec {
     val ds = Multimodal.fromDocuments(spark, sf)
     assert(Multimodal.decodeAndResize(ds, 8, 8).count() == 0)
   }
+
+  test("pcmFeatures: exact RMS and zero-crossing rate on synthetic PCM") {
+    // square wave ±1000 alternating every sample: rms = 1000, zcr = 1
+    def le16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val square = le16(Seq.tabulate(16)(i => if (i % 2 == 0) 1000 else -1000))
+    val w = Multimodal.pcmFeatures(square, 8)
+    assert(w.length == 2)
+    assert(math.abs(w.head.rms - 1000.0) < 1e-9)
+    assert(math.abs(w.head.zeroCrossRate - 1.0) < 1e-9)
+    // constant positive signal: zcr = 0, rms = value
+    val flat = le16(Seq.fill(8)(500))
+    val f = Multimodal.pcmFeatures(flat, 8)
+    assert(f.length == 1 && math.abs(f.head.rms - 500.0) < 1e-9 && f.head.zeroCrossRate == 0.0)
+    // ragged tail dropped
+    assert(Multimodal.pcmFeatures(le16(Seq.fill(11)(1)), 8).length == 1)
+  }
+
+  test("pcmFeatureFrame: distributed window rows with exact schema") {
+    import spark.implicits._
+    def le16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val samples = (0 until 6).map(i =>
+      MediaSample(i.toString, "en", 1, 0, 0, encoded = false,
+        le16(Seq.tabulate(32)(j => (j + i) * 100))))
+    val df = Multimodal.pcmFeatureFrame(spark.createDataset(samples).repartition(3), 16)
+    assert(df.columns.toSeq == Seq("id", "label", "win", "rms", "zcr"))
+    assert(df.count() == 12) // 2 windows per sample
+    assert(df.filter(org.apache.spark.sql.functions.col("rms") <= 0).count() == 0)
+  }
 }
