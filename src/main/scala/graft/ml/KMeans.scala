@@ -72,6 +72,21 @@ object KMeans {
     assigned
   }
 
+  /** The `nprobe` nearest cells per vector → (vec_id, cell, probe_rank).
+    * The IVF probe list: a query searches its top-nprobe cells, trading a
+    * little extra read (nprobe/k of the corpus) for recall on vectors that
+    * sit near a Voronoi boundary. Ties break on cell id like [[assign]].
+    */
+  def probeCells(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d"), col("c_label"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", dist)
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("vec_id"), col("c_label").as("cell"), col("probe_rank"))
+  }
+
   /** Mean within-cluster squared distance of an assignment (diagnostic). */
   def sse(assigned: DataFrame): Double =
     assigned

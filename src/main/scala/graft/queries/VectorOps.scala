@@ -175,15 +175,15 @@ object VectorOps {
 
   /** Q42 — IVF approximate nearest neighbours: k-means coarse quantization
     * (graft.ml.KMeans — labeled warm start + one Lloyd refinement), then
-    * probe only the query's cell and rank it exactly.
+    * MULTIPROBE the query's nprobe=2 nearest cells and rank them exactly.
     *
     * Cross-engine determinism: centroids are decimal-exact means cast to
     * double (identical), distances are sequential left-to-right double
     * folds (identical IEEE), argmin ties break on cell id. The assignment
     * reduction groups on vec_id only — the embedding rides as an
     * aggregation payload, NOT in the shuffle key. At scale the assignment
-    * is the ingest-time map; the probe reads one cell — the IVF complement
-    * to q34's hyperplane buckets.
+    * is the ingest-time map; the probe reads nprobe/k of the corpus — the
+    * IVF complement to q34's hyperplane buckets.
     */
   val q42AnnIvf: QueryDef = {
     def CentSql(rel: String, key: String) =
@@ -210,19 +210,33 @@ object VectorOps {
          |a0 AS (${AssignSql("embeddings", "c0")}),
          |c1 AS (${CentSql("a0", "cell")}),
          |a1 AS (${AssignSql("a0", "c1")}),
-         |q AS (SELECT embedding AS qv, cell AS qcell FROM a1 WHERE vec_id = 0)
-         |SELECT e.vec_id, e.label, e.cell, ${DotSeqSql("e.embedding", "q.qv")} AS dot
-         |FROM a1 e, q
-         |WHERE e.cell = q.qcell AND e.vec_id <> 0
+         |q AS (SELECT vec_id, embedding FROM a1 WHERE vec_id = 0),
+         |qprobe AS (
+         |  SELECT qv, pcell FROM (
+         |    SELECT e.embedding AS qv, c.c_label AS pcell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
+         |    FROM q e, c1 c) t
+         |  WHERE rn <= 2)
+         |SELECT e.vec_id, e.label, e.cell, ${DotSeqSql("e.embedding", "p.qv")} AS dot
+         |FROM a1 e JOIN qprobe p ON e.cell = p.pcell
+         |WHERE e.vec_id <> 0
          |ORDER BY dot DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.ml.KMeans
       val emb = Tables(s, dir, "embeddings")
-      val assigned = graft.ml.KMeans.lloyd(emb, "label", steps = 2)
-      val q = assigned.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("cell").as("qcell"))
-      assigned.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .filter(col("cell") === col("qcell"))
+      val a0 = KMeans.assign(emb, KMeans.centroids(
+        emb.withColumn("__k", col("label")), "__k"))
+      val c1 = KMeans.centroids(a0, "cell")
+      val a1 = KMeans.assign(a0, c1)
+      val q = a1.filter(col("vec_id") === 0)
+      // nprobe=2: search the query's two nearest cells — the IVF
+      // recall/read trade (reads ~2/k of the corpus, catches neighbors
+      // across the query's nearest Voronoi boundary)
+      val probeSet = KMeans.probeCells(q, c1, nprobe = 2)
+        .join(q.select(col("vec_id"), col("embedding").as("qv")), "vec_id")
+        .select(col("cell").as("pcell"), col("qv"))
+      a1.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeSet), col("cell") === col("pcell"))
         .select(col("vec_id"), col("label"), col("cell"), fdot("embedding", "qv").as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
