@@ -59,6 +59,18 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of the batch dedup family
+    * (q20): drop events whose `event_id` was already seen within the
+    * watermark horizon. State is O(ids inside the watermark), evicted as
+    * event time advances — the bounded-state form of `dropDuplicates` that
+    * a 100 TB ingest needs (an unbounded exact dedup would accrete state
+    * forever; beyond the horizon the batch job reconciles).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

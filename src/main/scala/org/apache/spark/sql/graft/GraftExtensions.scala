@@ -13,16 +13,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("float_norm"),
-      new ExpressionInfo(classOf[FloatVectorNorm].getName, "float_norm"),
-      (children: Seq[Expression]) => FloatVectorNorm(children.head)))
+    GraftExtensions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
+}
+
+object GraftExtensions {
+  /** Every native expression exposed to SQL, one row per function. */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_dot", classOf[FloatVectorDot].getName,
+      (c: Seq[Expression]) => FloatVectorDot(c(0), c(1))),
+    ("float_norm", classOf[FloatVectorNorm].getName,
+      (c: Seq[Expression]) => FloatVectorNorm(c.head)),
+    ("simhash32", classOf[SimHash32].getName,
+      (c: Seq[Expression]) => SimHash32(c.head)),
+    ("rolling_hash", classOf[RollingHash].getName,
+      (c: Seq[Expression]) => RollingHash(c.head)),
+    ("token_hashes", classOf[TokenHashes].getName,
+      (c: Seq[Expression]) => TokenHashes(c.head)))
 }
 
 /** Runtime registration for sessions that already exist (extensions bind
@@ -31,9 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("float_dot",
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)), "built-in")
-    reg.createOrReplaceTempFunction("float_norm",
-      (children: Seq[Expression]) => FloatVectorNorm(children.head), "built-in")
+    GraftExtensions.builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

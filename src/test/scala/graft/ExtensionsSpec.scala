@@ -26,8 +26,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
-  test("GraftExtensions injects both functions at construction time") {
+  test("GraftExtensions injects all functions at construction time") {
     // structural: the injector runs without error on a fresh extensions bag
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("sketch expressions callable from SQL: simhash32, rolling_hash, token_hashes") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('abc') AS rh, " +
+        "simhash32(token_hashes(array('spark', 'engine', 'spark'))) AS sh, " +
+        "size(token_hashes(array('a', 'b'))) AS n").head()
+    // rolling hash: fold of acc*31 + codepoint mod 1e9+7
+    val expected = "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch) % 1000000007L)
+    assert(r.getLong(0) == expected)
+    assert(!r.isNullAt(1))
+    assert(r.getInt(2) == 2)
+    // and the SQL path agrees with the query-side column API
+    val viaApi = Tables(spark, sf, "documents").limit(50)
+      .select(org.apache.spark.sql.graft.SketchExpressions
+        .rolling_hash(org.apache.spark.sql.functions.col("text")).as("h"))
+    val viaSql = Tables(spark, sf, "documents").limit(50)
+      .selectExpr("rolling_hash(text) AS h")
+    assert(viaApi.collect().map(_.getLong(0)).toSeq ==
+      viaSql.collect().map(_.getLong(0)).toSeq)
   }
 }

@@ -51,6 +51,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("session_start") > col("session_end")).count() == 0)
   }
 
+  test("streaming dedup: duplicated source files collapse to distinct event ids") {
+    // a directory holding the SAME parquet twice = every event duplicated
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val got = EventStreams.runToMemory(
+      EventStreams.dedupEvents(EventStreams.readEvents(spark, dir.toString)), "dedup_t")
+    val n = Tables(spark, sf, "events").count()
+    assert(got.count() == n, s"expected $n distinct events")
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
   test("flatMapGroupsWithState spend alerts match a sequential batch replay") {
     val threshold = 500.0
     val stream = EventStreams.readEvents(spark, eventsPath)
