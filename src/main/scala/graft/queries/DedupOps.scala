@@ -54,25 +54,26 @@ object DedupOps {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
-       |    AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-       |SELECT a, b, inter, sa.n AS na, sb.n AS nb,
-       |  inter / (sa.n + sb.n - inter) AS jaccard
-       |FROM (SELECT c.a, c.b, count(*) AS inter
-       |      FROM cand c
-       |      JOIN sh p ON p.doc_id = c.a
-       |      JOIN sh q ON q.doc_id = c.b AND q.fp = p.fp
-       |      GROUP BY c.a, c.b) i
-       |JOIN sizes sa ON sa.doc_id = a
-       |JOIN sizes sb ON sb.doc_id = b
+       |    AND x.doc_id < y.doc_id)
+       |SELECT a, b, len(list_intersect(fa.fps, fb.fps)) AS inter,
+       |  len(fa.fps) AS na, len(fb.fps) AS nb,
+       |  len(list_intersect(fa.fps, fb.fps))
+       |    / (len(fa.fps) + len(fb.fps) - len(list_intersect(fa.fps, fb.fps))) AS jaccard
+       |FROM cand c
+       |JOIN fps fa ON fa.doc_id = c.a
+       |JOIN fps fb ON fb.doc_id = c.b
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val sh = docs
       .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("s"))
       .select(col("doc_id"), fingerprint("s").as("fp"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one doc → one sorted fingerprint-set row: feeds the signature, the
+    // set sizes AND the exact verify (array_intersect), so the 800k-row
+    // shingle relation shuffles exactly once (the groupBy below) instead
+    // of re-joining per candidate side
     val fps = sh.groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // native MinHashSignature: one tight loop per doc instead of
     // |shingles| × 16 interpreted lambda evaluations; same (a·h+b) mod p
     // minima as the oracle's comprehension.
@@ -88,14 +89,16 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact verify: |∩| via array_intersect of the two (distinct, sorted)
+    // fingerprint sets — map-side per candidate, no inverted-index
+    // re-shuffle; the fps relation is small (one row per doc) so both
+    // joins broadcast/shuffle O(docs), not O(shingles)
     cand
-      .join(sh.withColumnRenamed("doc_id", "a"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b2").withColumnRenamed("fp", "fp2"),
-        col("b") === col("b2") && col("fp") === col("fp2"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
+      .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("fpsa"), col("fpsb"))).as("inter"),
+        size(col("fpsa")).as("na"), size(col("fpsb")).as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb", "jaccard")
       .orderBy("a", "b")
