@@ -216,7 +216,8 @@ object Relational {
   }
 
   /** Q8 — running-sum window: per-supplier cumulative shipped quantity.
-    * DECIMAL inside the running sum so every prefix is exact in both engines.
+    * Integer cents inside the running sum so every prefix is exact in both
+    * engines.
     */
   val q8WindowRunning: QueryDef = QueryDef.sql(
     "q8_window_running",

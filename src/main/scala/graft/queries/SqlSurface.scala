@@ -132,9 +132,9 @@ object SqlSurface {
 
   /** Q45 — correlated scalar subquery (Catalyst decorrelates it to a join +
     * aggregate — SURVEY §4 "subquery decorrelation built-in"): customers
-    * richer than their nation's average balance. The average is a
-    * scale-4-exact decimal → double, so the comparison is identical in both
-    * engines.
+    * richer than their nation's average balance. The average divides an
+    * exact integer-cents sum (< 2^53, so its double is exact) by the
+    * count, identically in both engines.
     */
   val q45CorrelatedSubquery: QueryDef = QueryDef.sql(
     "q45_correlated_subquery",
