@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Spark SQL text of [[tokens]] (for embedding in larger exprs). */
+  /** Spark SQL text of the tokenizer (for embedding in larger exprs where
+    * a Column can't be spliced). The Column API ([[tokens]]) runs the
+    * native Tokenize expression instead — same results, one tight scan
+    * per row rather than a regex pass + interpreted filter lambda.
+    */
   def tokensSparkSql(c: String): String =
     s"filter(split(lower($c), '[^a-z0-9]+'), x -> x != '')"
 
-  /** Lowercased alphanumeric tokens, empties dropped. */
-  def tokens(c: String): Column = expr(tokensSparkSql(c))
+  /** Lowercased alphanumeric tokens, empties dropped (native expression). */
+  def tokens(c: String): Column =
+    org.apache.spark.sql.graft.TextExpressions.tokenize(col(c))
 
   /** DuckDB-equivalent SQL for [[tokens]]. */
   def TokensSql(c: String): String =

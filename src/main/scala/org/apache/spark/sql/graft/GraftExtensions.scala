@@ -33,7 +33,9 @@ object GraftExtensions {
     ("rolling_hash", classOf[RollingHash].getName,
       (c: Seq[Expression]) => RollingHash(c.head)),
     ("token_hashes", classOf[TokenHashes].getName,
-      (c: Seq[Expression]) => TokenHashes(c.head)))
+      (c: Seq[Expression]) => TokenHashes(c.head)),
+    ("tokenize", classOf[Tokenize].getName,
+      (c: Seq[Expression]) => Tokenize(c.head)))
 }
 
 /** Runtime registration for sessions that already exist (extensions bind

@@ -1,0 +1,58 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizer (T1 hot path): lowercase + maximal-[a-z0-9]-run scan.
+  *
+  * Semantically EXACTLY `filter(split(lower(s), '[^a-z0-9]+'), x -> x <> '')`
+  * for any input (the non-separator segments of a regex split on the
+  * complement class are precisely the maximal target-class runs, and the
+  * empty-string filter removes the leading artifact), but evaluated as one
+  * tight scan per row instead of a Java regex engine pass plus an
+  * interpreted lambda filter. Lowercasing uses the same UTF8String
+  * .toLowerCase the built-in lower() calls, so unicode edge cases agree
+  * with both Spark's and the oracle's formulation. Feeds every tokenizing
+  * query (q15/16/18/19/21/31/32/39/47) and the Vocab builder.
+  * Equivalence to the SQL formulation is property-tested (TextStackSpec).
+  */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += UTF8String.fromString(s.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def tokenize(c: Column): Column =
+    ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
+}

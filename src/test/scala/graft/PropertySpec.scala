@@ -69,6 +69,21 @@ object KernelProperties extends Properties("graft.kernels") {
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native Tokenize matches the SQL regex-split formulation on adversarial input") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abzAZ019 \t\n.,;:!?-_'xé世İ😀" // incl. unicode + surrogate
+    val texts = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "   ", "a", "A1b2C3", "İstanbul", "--edge--", "0", "😀x😀")
+    val df = texts.toDF("text")
+    val native = df.select(graft.functions.TextFunctions.tokens("text").as("t"))
+      .collect().map(_.getSeq[String](0))
+    val sql = df.selectExpr(
+      graft.functions.TextFunctions.tokensSparkSql("text") + " AS t")
+      .collect().map(_.getSeq[String](0))
+    assert(native.toSeq == sql.toSeq)
+  }
+
   test("fingerprint expression matches the reference Scala fold on random ASCII") {
     val rnd = new scala.util.Random(42)
     val texts = Seq.fill(50) {
