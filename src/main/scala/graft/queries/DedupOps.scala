@@ -65,8 +65,10 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val sh = docs
-      .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("s"))
-      .select(col("doc_id"), fingerprint("s").as("fp"))
+      // fused ShingleHashes (see TextOps.q21): bigram fingerprints with no
+      // intermediate bigram strings
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.TextExpressions
+        .shingle_hashes(tokens("text"))).as("fp"))
       .distinct()
     // one doc → one sorted fingerprint-set row: feeds the signature, the
     // set sizes AND the exact verify (array_intersect), so the 800k-row

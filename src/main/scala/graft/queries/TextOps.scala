@@ -220,9 +220,10 @@ object TextOps {
     // formulation — q21's outputs are int counts and int-ratio doubles,
     // so plan shape is free.
     val sh = docs
-      .select(col("doc_id"), wordBigrams(toks).as("bg"))
-      .select(col("doc_id"), explode(col("bg")).as("s"))
-      .select(col("doc_id"), fingerprint("s").as("fp"))
+      // fused ShingleHashes: bigram fingerprints straight from the token
+      // array — no bigram strings allocated, one char pass per document
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("fp"))
       .distinct()
     // capped posting lists feed BOTH the pair expansion and the per-doc
     // set sizes (df=1 shingles count toward sizes, hence the cap-only

@@ -52,7 +52,66 @@ case class Tokenize(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused word-bigram shingle hashes: for tokens t₁..tₙ, emit the rolling
+  * hash of each "tᵢ tᵢ₊₁" WITHOUT materializing the bigram strings.
+  *
+  * The rolling hash is a left fold `acc·31 + codepoint (mod p)`, so the
+  * hash of a concatenation composes: hash(a ++ b) = hash(a)·31^|b| +
+  * hash(b) (mod p), |b| in codepoints. Each token is hashed ONCE
+  * (h, 31^len), and shingle i is ((hᵢ·31 + 32)·powᵢ₊₁ + hᵢ₊₁) mod p —
+  * O(total chars) for all shingles, vs the compose form's concat
+  * allocation + second hashing pass per bigram. Bit-identical to
+  * RollingHash over the oracle's `t[i] || ' ' || t[i+1]` comprehension
+  * (property-tested).
+  */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val P = RollingHash.P
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    val pow = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var acc = 0L
+      var p = 1L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        p = (p * 31) % P
+        j += Character.charCount(cp)
+      }
+      h(i) = acc
+      pow(i) = p
+      i += 1
+    }
+    val out = new Array[Long](n - 1)
+    i = 0
+    while (i < n - 1) {
+      val withSpace = (h(i) * 31 + 32) % P // ' ' == 32
+      out(i) = (withSpace * pow(i + 1) + h(i + 1)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
+
+  def shingle_hashes(c: Column): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))
 }

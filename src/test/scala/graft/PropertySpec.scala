@@ -84,6 +84,24 @@ class PropertySpec extends SparkSpec {
     assert(native.toSeq == sql.toSeq)
   }
 
+  test("fused ShingleHashes equals RollingHash over materialized bigram strings") {
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.fill(120) {
+      Seq.fill(rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString)
+    } ++ Seq(Seq(), Seq("solo"), Seq("a", "b"), Seq("é世", "😀x"))
+    val df = docs.map(_.mkString(" ")).toDF("text")
+    val fused = df.select(org.apache.spark.sql.graft.TextExpressions
+        .shingle_hashes(graft.functions.TextFunctions.tokens("text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val composed = df.select(
+        graft.functions.TextFunctions.wordBigrams(
+          graft.functions.TextFunctions.tokens("text")).as("bg"))
+      .collect().map(_.getSeq[String](0)
+        .map(org.apache.spark.sql.graft.RollingHash.hash))
+    assert(fused.toSeq.map(_.toSeq) == composed.toSeq.map(_.toSeq))
+  }
+
   test("fingerprint expression matches the reference Scala fold on random ASCII") {
     val rnd = new scala.util.Random(42)
     val texts = Seq.fill(50) {
