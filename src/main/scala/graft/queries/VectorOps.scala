@@ -224,6 +224,10 @@ object VectorOps {
          |LIMIT 10""".stripMargin) { (s, dir) =>
       import graft.ml.KMeans
       val emb = Tables(s, dir, "embeddings")
+      // a0/a1 appear twice in the DAG; measured, recomputing them is
+      // CHEAPER than persisting (the rows carry the embedding arrays, and
+      // materializing those costs more than the assignment crossJoin) —
+      // so the lineage stays unpersisted on purpose
       val a0 = KMeans.assign(emb, KMeans.centroids(
         emb.withColumn("__k", col("label")), "__k"))
       val c1 = KMeans.centroids(a0, "cell")
