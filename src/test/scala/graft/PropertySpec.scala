@@ -11,6 +11,12 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object KernelProperties extends Properties("graft.kernels") {
 
+  property("cents recovery: round(v*100) exactly recovers 2-decimal money doubles") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000000L)) { k => // up to $10M in cents
+      val v = k / 100.0 // the (inexact) double a 2-decimal value stores as
+      math.round(v * 100).toLong == k
+    }
+
   private val vecGen = Gen.listOfN(4, Gen.chooseNum(-100f, 100f))
 
   property("VectorMean: arbitrary partial split merges to the global mean") =

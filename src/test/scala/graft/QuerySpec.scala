@@ -21,6 +21,21 @@ class QuerySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no oracle-checked query outputs DECIMAL or DATE columns (dtype gate rule)") {
+    // the driver hashes pandas dtypes: DECIMAL loads as object vs DuckDB's
+    // float64, DATE as object(date) vs datetime64 — either is an automatic
+    // hash mismatch even with equal values (see QueryDef's contract)
+    val offenders = SparkEntry.defs.filter(_.oracle.isDefined).flatMap { d =>
+      d.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          s"${d.name}.${f.name}: ${f.dataType.simpleString}"
+        case f if f.dataType == org.apache.spark.sql.types.DateType =>
+          s"${d.name}.${f.name}: date"
+      }
+    }
+    assert(offenders.isEmpty, s"driver-gate-hostile output dtypes: $offenders")
+  }
+
   test("query-scoped persists do not leak: cache is empty after a run + clearAll") {
     // q21 and q31 persist their shingle relations; the runner contract is
     // Caches.clearAll after each materialization
