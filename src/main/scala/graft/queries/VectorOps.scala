@@ -270,8 +270,12 @@ object VectorOps {
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id)
-       |SELECT id_a, id_b, dot FROM (
-       |  SELECT c.id_a, c.id_b, ${DotSeqSql("ea.embedding", "eb.embedding")} AS dot
+       |SELECT id_a, id_b, dot,
+       |  dot / (sqrt(naa) * sqrt(nbb)) AS cosine
+       |FROM (
+       |  SELECT c.id_a, c.id_b, ${DotSeqSql("ea.embedding", "eb.embedding")} AS dot,
+       |    ${DotSeqSql("ea.embedding", "ea.embedding")} AS naa,
+       |    ${DotSeqSql("eb.embedding", "eb.embedding")} AS nbb
        |  FROM cand c
        |  JOIN b ea ON ea.vec_id = c.id_a
        |  JOIN b eb ON eb.vec_id = c.id_b)
@@ -293,7 +297,13 @@ object VectorOps {
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .withColumn("dot", fdot("ea", "eb"))
       .filter(col("dot") > 0.25)
-      .select("id_a", "id_b", "dot")
+      // cosine from the same sequential-double folds: norms via the
+      // codegen'd float_norm (sqrt of the self-dot — sqrt is one
+      // correctly-rounded op, identical cross-engine)
+      .withColumn("cosine", col("dot") /
+        (org.apache.spark.sql.graft.VectorExpressions.float_norm(col("ea")) *
+          org.apache.spark.sql.graft.VectorExpressions.float_norm(col("eb"))))
+      .select("id_a", "id_b", "dot", "cosine")
       .orderBy("id_a", "id_b")
   }
 
