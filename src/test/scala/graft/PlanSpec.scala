@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
       .contains("float_vector_dot"))
   }
 
+  test("q31: exact verify via array_intersect — no shingle-level join") {
+    val p = planOf(queries.DedupOps.q31MinhashLsh.fn(spark, sf))
+    assert(p.contains("array_intersect"), p.take(400))
+    assert(p.contains("minhash_signature"), "signatures must use the native expression")
+  }
+
   test("q21: capped posting lists — one fp aggregation, no Window, no self-join") {
     val p = planOf(queries.TextOps.q21NgramJaccard.fn(spark, sf))
     assert(!p.contains("Window"), "the DF cap must ride the fp aggregation, not a Window")

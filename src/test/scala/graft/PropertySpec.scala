@@ -11,6 +11,20 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object KernelProperties extends Properties("graft.kernels") {
 
+  property("Datum codec: encode/parse round-trips arbitrary field values") =
+    Prop.forAll(Gen.chooseNum(0, 64), Gen.chooseNum(0, 255), Gen.chooseNum(0, 1 << 20),
+      Gen.listOfN(8, Gen.chooseNum(-1e6f, 1e6f)), Gen.oneOf(true, false)) {
+      (c, h, label, floats, enc) =>
+        val d = graft.sources.Datum(channels = c, height = h, width = c * h,
+          data = Array.tabulate(c % 16)(_.toByte), label = label,
+          floatData = floats.toArray, encoded = enc)
+        val back = graft.sources.Datum.parse(graft.sources.Datum.encode(d))
+        back.channels == d.channels && back.height == d.height &&
+          back.width == d.width && back.label == d.label &&
+          back.encoded == d.encoded && back.data.toSeq == d.data.toSeq &&
+          back.floatData.toSeq == d.floatData.toSeq
+    }
+
   property("cents recovery: round(v*100) exactly recovers 2-decimal money doubles") =
     Prop.forAll(Gen.chooseNum(0L, 1000000000L)) { k => // up to $10M in cents
       val v = k / 100.0 // the (inexact) double a 2-decimal value stores as
