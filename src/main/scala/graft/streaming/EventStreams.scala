@@ -75,8 +75,32 @@ object EventStreams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Custom keyed state: running accumulation since the last alert. */
-  final case class SpendState(accum: Double, nSinceAlert: Long)
+  /** Custom keyed state: running accumulation since the last alert, plus the
+    * largest event time seen for this key — the idle clock that anchors the
+    * eviction horizon (watermark must pass maxEventMs + delay, not merely
+    * advance once).
+    */
+  final case class SpendState(accum: Double, nSinceAlert: Long, maxEventMs: Long)
+
+  /** Parse the simple `"<n> <unit>"` duration form accepted by
+    * `withWatermark` into milliseconds (units: millisecond/second/minute/
+    * hour/day, singular or plural).
+    */
+  private[streaming] def durationMs(s: String): Long = {
+    val pat = """(\d+)\s*(millisecond|second|minute|hour|day)s?""".r
+    s.trim.toLowerCase match {
+      case pat(n, unit) =>
+        val scale = unit match {
+          case "millisecond" => 1L
+          case "second"      => 1000L
+          case "minute"      => 60L * 1000
+          case "hour"        => 3600L * 1000
+          case "day"         => 24L * 3600 * 1000
+        }
+        n.toLong * scale
+      case _ => throw new IllegalArgumentException(s"cannot parse duration: $s")
+    }
+  }
 
   /** Emitted when a user's accumulated value crosses the threshold. */
   final case class SpendAlert(user_id: Long, alert_ts: java.sql.Timestamp,
@@ -90,29 +114,39 @@ object EventStreams {
     * arbitrary-keyed-state rung of the streaming ladder.
     *
     * State is O(active users) × O(1) per user, evicted by the event-time
-    * timeout once a user is idle past the watermark. Events are processed
-    * in ts order within each micro-batch so replays are deterministic.
+    * timeout once a user has been idle for the full watermark delay — the
+    * timeout anchors to the user's OWN latest event time plus the delay, so
+    * a sub-threshold accumulator survives micro-batches that happen to carry
+    * no events for that user (eviction depends only on event time, never on
+    * micro-batch boundaries). Events are processed in ts order within each
+    * micro-batch so replays are deterministic.
     */
   def spendAlerts(events: DataFrame, threshold: Double,
       watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val delayMs = durationMs(watermark)
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SpendState]): Iterator[SpendAlert] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var st = state.getOption.getOrElse(SpendState(0.0, 0L))
+        var st = state.getOption.getOrElse(SpendState(0.0, 0L, Long.MinValue))
         val alerts = scala.collection.mutable.ArrayBuffer.empty[SpendAlert]
         rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-          st = SpendState(st.accum + e.value, st.nSinceAlert + 1)
+          st = SpendState(st.accum + e.value, st.nSinceAlert + 1,
+            math.max(st.maxEventMs, e.ts.getTime))
           if (st.accum >= threshold) {
             alerts += SpendAlert(userId, e.ts, st.accum, st.nSinceAlert)
-            st = SpendState(0.0, 0L)
+            st = SpendState(0.0, 0L, st.maxEventMs)
           }
         }
         state.update(st)
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        // Evict when the watermark passes this user's idle horizon; the
+        // max() keeps the timestamp legal (must exceed the current
+        // watermark) even for keys fed only late data.
+        state.setTimeoutTimestamp(
+          math.max(st.maxEventMs + delayMs, state.getCurrentWatermarkMs() + 1))
         alerts.iterator
       }
     }

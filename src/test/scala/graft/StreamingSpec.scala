@@ -65,6 +65,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("spend alert state survives micro-batches without the user's events") {
+    // Regression: the timeout used to be currentWatermark+1, so a
+    // sub-threshold accumulator was evicted at the first watermark advance
+    // after ANY micro-batch lacking that user's events — output depended on
+    // micro-batch boundaries. With the fix the horizon is the user's own
+    // max event time + the watermark delay.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import scala.jdk.CollectionConverters._
+    val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli
+    def nanos(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000000L
+    def writeFile(dir: java.nio.file.Path, name: String, mod: Long,
+        rows: Seq[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("alert_batch")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), EventStreams.rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("alert_multibatch")
+    // batch 1: user 1 accumulates 60 (below the 100 threshold)
+    writeFile(dir, "a.parquet", 10000L,
+      Seq(Row(1L, nanos(0), 1L, "view", 60.0, "{}")))
+    // batch 2: only user 2 — advances the watermark while user 1 is idle
+    writeFile(dir, "b.parquet", 20000L,
+      Seq(Row(2L, nanos(30), 2L, "view", 1.0, "{}")))
+    // batch 3: user 1 returns within the 2h horizon; 60+60 crosses 100
+    writeFile(dir, "c.parquet", 30000L,
+      Seq(Row(3L, nanos(40), 1L, "view", 60.0, "{}")))
+    val stream = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = EventStreams.runToMemory(
+      EventStreams.spendAlerts(stream, 100.0), "alerts_mb")
+      .select("user_id", "accum", "n_events").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 120.0, 2L)),
+      s"expected the batch-1 accumulation to survive batch 2; got ${got.toSeq}")
+  }
+
   test("flatMapGroupsWithState spend alerts match a sequential batch replay") {
     val threshold = 500.0
     val stream = EventStreams.readEvents(spark, eventsPath)
