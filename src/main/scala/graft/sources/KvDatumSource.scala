@@ -83,18 +83,22 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
         */
       override def planInputPartitions(): Array[InputPartition] = {
         val n = KvStore.count(path)
-        if (n == 0) return Array(KvRangePartition(0, null, 0))
+        if (n == 0) return Array(KvRangePartition(0, null, 0, 0L))
         val partSize = math.ceil(n.toDouble / numPartitions).toInt
-        val starts = scala.collection.mutable.ArrayBuffer[Array[Byte]](null)
+        val starts = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]((null, 0L))
         var i = 0L
         val it = KvStore.iterate(path)
-        while (it.hasNext) {
-          val (k, _) = it.next()
-          if (i > 0 && i % partSize == 0) starts += k
-          i += 1
-        }
+        try {
+          while (it.hasNext) {
+            val off = it.nextRecordOffset
+            val (k, _) = it.next()
+            if (i > 0 && i % partSize == 0) starts += ((k, off))
+            i += 1
+          }
+        } finally it.close()
         starts.zipWithIndex
-          .map { case (k, idx) => KvRangePartition(idx, k, partSize): InputPartition }
+          .map { case ((k, off), idx) =>
+            KvRangePartition(idx, k, partSize, off): InputPartition }
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -102,16 +106,21 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
     }
 }
 
-/** A key-range partition: start key (null = begin) + entry budget. */
+/** A key-range partition: start key (null = begin) + entry budget, plus the
+  * planner-recorded byte offset of the start key — an O(1) positioning hint
+  * the reader validates (and discards, falling back to the key scan) if the
+  * store changed after planning. The KEY remains the partition's identity.
+  */
 private[sources] case class KvRangePartition(
-    index: Int, startKey: Array[Byte], size: Int) extends InputPartition
+    index: Int, startKey: Array[Byte], size: Int, startOffset: Long)
+    extends InputPartition
 
 private[sources] class KvDatumReaderFactory(path: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvRangePartition]
     new PartitionReader[InternalRow] {
-      private val it = KvStore.seek(path, p.startKey)
+      private val it = KvStore.seekAt(path, p.startKey, p.startOffset)
       private var read = 0
       private var row: InternalRow = _
       override def next(): Boolean = {
@@ -128,7 +137,7 @@ private[sources] class KvDatumReaderFactory(path: String)
         true
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = it.close()
     }
   }
 }
@@ -159,32 +168,105 @@ object KvStore {
     n
   }
 
-  def iterate(dir: String): Iterator[(Array[Byte], Array[Byte])] = {
-    val f = new java.io.File(dir, File)
-    if (!f.exists()) return Iterator.empty
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
-    new Iterator[(Array[Byte], Array[Byte])] {
-      private var nextRec: (Array[Byte], Array[Byte]) = advance()
-      private def advance(): (Array[Byte], Array[Byte]) =
-        try {
-          val kl = readVarint(in)
-          val k = new Array[Byte](kl); in.readFully(k)
-          val vl = readVarint(in)
-          val v = new Array[Byte](vl); in.readFully(v)
-          (k, v)
-        } catch { case _: EOFException => in.close(); null }
-      override def hasNext: Boolean = nextRec != null
-      override def next(): (Array[Byte], Array[Byte]) = {
-        val r = nextRec; nextRec = advance(); r
+  /** Closeable record iterator. Closes its stream on EOF, but callers that
+    * stop early (a partition reader that exhausts its entry budget) MUST
+    * call [[close]] — every reader task otherwise leaks an open handle.
+    * Tracks the byte offset of the record `next()` would return so the
+    * planner can hand readers an offset hint instead of forcing a scan
+    * from the start of the file.
+    */
+  final class KvIterator private[KvStore] (f: java.io.File, startOffset: Long)
+      extends Iterator[(Array[Byte], Array[Byte])] with java.io.Closeable {
+    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+    private var closed = false
+    private var pos = 0L
+    locally {
+      var toSkip = startOffset
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s <= 0) throw new EOFException(s"offset $startOffset past end of $f")
+        toSkip -= s
       }
+      pos = startOffset
     }
+    private var recOffset = pos
+    private var nextRec: (Array[Byte], Array[Byte]) = advance()
+
+    private def readVarint(): Int = {
+      var shift = 0; var res = 0; var b = 0
+      do {
+        b = in.readUnsignedByte(); pos += 1
+        res |= (b & 0x7f) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      res
+    }
+    private def advance(): (Array[Byte], Array[Byte]) = {
+      if (closed) return null
+      recOffset = pos
+      try {
+        val kl = readVarint()
+        val k = new Array[Byte](kl); in.readFully(k); pos += kl
+        val vl = readVarint()
+        val v = new Array[Byte](vl); in.readFully(v); pos += vl
+        (k, v)
+      } catch { case _: EOFException => close(); null }
+    }
+    /** Key of the record `next()` would return (null when exhausted). */
+    def peekKey: Array[Byte] = if (nextRec == null) null else nextRec._1
+    /** File offset of the record `next()` would return. */
+    def nextRecordOffset: Long = recOffset
+    override def hasNext: Boolean = nextRec != null
+    override def next(): (Array[Byte], Array[Byte]) = {
+      val r = nextRec; nextRec = advance(); r
+    }
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
   }
 
-  /** Iterator positioned at the first key ≥ `startKey` (null = begin). */
-  def seek(dir: String, startKey: Array[Byte]): Iterator[(Array[Byte], Array[Byte])] = {
+  def iterate(dir: String): KvIterator = {
+    val f = new java.io.File(dir, File)
+    if (!f.exists())
+      // zero-length store: an iterator over an empty temp-free path — model
+      // it as an immediately-exhausted iterator on a real empty file
+      return new KvIterator(emptyFile(), 0L)
+    new KvIterator(f, 0L)
+  }
+
+  private def emptyFile(): java.io.File = {
+    val f = java.io.File.createTempFile("kv_empty", ".kv")
+    f.deleteOnExit()
+    f
+  }
+
+  /** Iterator positioned at the first key ≥ `startKey` (null = begin) by
+    * linear scan. Still closeable — early-stopping callers must close it.
+    */
+  def seek(dir: String, startKey: Array[Byte]): KvIterator = {
     val it = iterate(dir)
-    if (startKey == null) it
-    else it.dropWhile { case (k, _) => compare(k, startKey) < 0 }
+    if (startKey != null)
+      while (it.hasNext && compare(it.peekKey, startKey) < 0) it.next()
+    it
+  }
+
+  /** Iterator positioned at `startKey` using a byte-offset hint recorded at
+    * planning time — O(1) skip instead of a scan from the file start. The
+    * first key is validated against the hint; if the store changed between
+    * planning and read the reader falls back to the key scan.
+    */
+  def seekAt(dir: String, startKey: Array[Byte], offsetHint: Long): KvIterator = {
+    if (startKey == null || offsetHint <= 0) return seek(dir, startKey)
+    val f = new java.io.File(dir, File)
+    if (f.exists() && offsetHint < f.length()) {
+      // a stale offset lands mid-record: the probe parse can fail in
+      // arbitrary ways (EOF, bogus varint length), all of which mean
+      // "hint invalid — scan instead"
+      val hinted = try new KvIterator(f, offsetHint)
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (hinted != null) {
+        if (hinted.hasNext && compare(hinted.peekKey, startKey) == 0) return hinted
+        hinted.close()
+      }
+    }
+    seek(dir, startKey)
   }
 
   /** Unsigned lexicographic byte order — LMDB's default key order. */
@@ -203,13 +285,5 @@ object KvStore {
     var v = v0
     while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
     out.write(v)
-  }
-  private def readVarint(in: DataInputStream): Int = {
-    var shift = 0; var res = 0; var b = 0
-    do {
-      b = in.readUnsignedByte()
-      res |= (b & 0x7f) << shift; shift += 7
-    } while ((b & 0x80) != 0)
-    res
   }
 }

@@ -83,6 +83,56 @@ class KvDatumSourceSpec extends SparkSpec {
     assert(hwc.take(6).toSeq == Seq[Byte](0, 1, 2, 0, 1, 2)) // interleaved planes
   }
 
+  test("seekAt honors a valid offset hint and falls back when the hint is stale") {
+    val dir = writeFixture(50)
+    // harvest (key, offset) pairs the way the planner does
+    val pairs = {
+      val it = KvStore.iterate(dir)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+        while (it.hasNext) {
+          val off = it.nextRecordOffset
+          val (k, _) = it.next()
+          buf += ((k, off))
+        }
+        buf.toSeq
+      } finally it.close()
+    }
+    val (k20, off20) = pairs(20)
+    // valid hint: positioned exactly at key 20
+    val hinted = KvStore.seekAt(dir, k20, off20)
+    try {
+      assert(new String(hinted.next()._1, "UTF-8") == "key00020")
+    } finally hinted.close()
+    // stale hint (points mid-record): falls back to the key scan
+    val stale = KvStore.seekAt(dir, k20, off20 + 1)
+    try {
+      assert(new String(stale.next()._1, "UTF-8") == "key00020")
+    } finally stale.close()
+  }
+
+  test("early-stopped partition readers do not leak file handles") {
+    val dir = writeFixture(64)
+    def openHandles(): Int = {
+      val fdDir = java.nio.file.Paths.get("/proc/self/fd")
+      val s = java.nio.file.Files.list(fdDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count { p =>
+          try java.nio.file.Files.readSymbolicLink(p).toString.contains(dir)
+          catch { case _: Exception => false }
+        }
+      } finally s.close()
+    }
+    // 8 partitions → 7 readers stop on their size budget mid-file; each
+    // used to leave its FileInputStream open until GC
+    val n = spark.read.format("graft.sources.KvDatumSource")
+      .option("path", dir).option("numPartitions", "8").load().count()
+    assert(n == 64)
+    assert(openHandles() == 0,
+      "partition readers left open handles on the KV store file")
+  }
+
   test("encoded payloads pass through undecoded (reference keeps them for Mat.decode)") {
     val dir = java.nio.file.Files.createTempDirectory("kvenc").toString
     val payload = Array[Byte](9, 8, 7)
