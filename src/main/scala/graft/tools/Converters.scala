@@ -4,6 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Stand-in receiving the reference's deprecated Java `Pair` SequenceFile
+  * key (two default-serialized Object fields named first/second): the
+  * stream's class descriptor is swapped for this class's at read time, so
+  * the field layouts must stay identical — two Object fields, no
+  * primitives, no custom writeObject.
+  */
+@SerialVersionUID(1L)
+final class PairKey extends Serializable {
+  var first: AnyRef = _
+  var second: AnyRef = _
+}
+
 /** Ingest converters (SURVEY §2.1 S6/S7, §2.2 K3): external formats →
   * the engine's parquet-first tables.
   */
@@ -78,15 +90,43 @@ object Converters {
       }.toDF("SampleID", "label", "data")
   }
 
+  /** Deserialization allowlist for SequenceFile keys: the three legitimate
+    * key shapes and their members, everything else rejected — reference-era
+    * files are untrusted input and a raw readObject is a gadget-chain
+    * execution surface.
+    */
+  private val sampleKeyFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "maxdepth=5;graft.tools.PairKey;scala.Tuple2;scala.Tuple6;java.lang.*;!*")
+
+  /** Key decoder stream: any class named `*.Pair` in the stream (the
+    * reference's deprecated Java key class, a plain two-Object-field
+    * default-serialized shape — SeqImageDataSource.scala:40-44) has its
+    * descriptor swapped for [[PairKey]], which declares the identical field
+    * layout, so Pair-keyed files decode without the original class on the
+    * classpath.
+    */
+  private def sampleKeyStream(kb: Array[Byte]): java.io.ObjectInputStream = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(kb)) {
+      override def readClassDescriptor(): java.io.ObjectStreamClass = {
+        val d = super.readClassDescriptor()
+        if (d.getName != null && d.getName.endsWith(".Pair"))
+          java.io.ObjectStreamClass.lookup(classOf[PairKey])
+        else d
+      }
+    }
+    ois.setObjectInputFilter(sampleKeyFilter)
+    ois
+  }
+
   /** S3 full-fidelity reader: the reference accepts THREE key encodings in
-    * one SequenceFile scan (SeqImageDataSource.scala:36-63) — a
-    * Java-serialized (id, label) pair (two shapes in the original: a Java
-    * Pair class and a Scala Tuple2 — semantically identical, both map here
-    * to the Tuple2 case), a Java-serialized Tuple6
-    * (id, label, channels, height, width, encoded), and this repo's native
-    * utf8 "id\tlabel". Pair keys default (channels=1, height=0, width=0,
-    * encoded=true); Tuple6 carries explicit dims — reference defaults at
-    * SeqImageDataSource.scala:30-35.
+    * one SequenceFile scan (SeqImageDataSource.scala:36-63) — the
+    * deprecated Java `Pair` class (decoded here by descriptor substitution
+    * into [[PairKey]]), a Java-serialized Tuple2 (id, label), a
+    * Java-serialized Tuple6 (id, label, channels, height, width, encoded),
+    * plus this repo's native utf8 "id\tlabel". Pair/Tuple2 keys default
+    * (channels=1, height=0, width=0, encoded=true); Tuple6 carries explicit
+    * dims — reference defaults at SeqImageDataSource.scala:30-35.
     */
   def readSequenceFileSamples(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.io.BytesWritable
@@ -97,8 +137,10 @@ object Converters {
         val payload = if (v == null) null else v.copyBytes()
         // Java serialization stream magic 0xACED
         if (kb.length >= 2 && kb(0) == 0xAC.toByte && kb(1) == 0xED.toByte) {
-          val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(kb))
+          val ois = sampleKeyStream(kb)
           try ois.readObject() match {
+            case pk: PairKey =>
+              (String.valueOf(pk.first), String.valueOf(pk.second), 1, 0, 0, true, payload)
             case p: Product if p.productArity == 2 =>
               (p.productElement(0).asInstanceOf[String],
                 p.productElement(1).asInstanceOf[String], 1, 0, 0, true, payload)

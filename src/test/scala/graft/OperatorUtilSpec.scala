@@ -92,6 +92,67 @@ class OperatorUtilSpec extends SparkSpec {
     }
   }
 
+  test("S3: reference-era Java Pair keys decode via descriptor substitution") {
+    // Hand-rolled Java serialization stream for the reference's deprecated
+    // Pair<String,String> key class (two Object fields first/second) — the
+    // class itself is NOT on the classpath, exactly like a modern cluster
+    // reading a reference-era file. Byte layout per the Java Object
+    // Serialization Stream Protocol.
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    def serializedPair(first: String, second: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeShort(0xACED); out.writeShort(5) // STREAM_MAGIC, VERSION
+      out.writeByte(0x73) // TC_OBJECT
+      out.writeByte(0x72) // TC_CLASSDESC
+      out.writeUTF("com.yahoo.ml.dl.caffe.Pair")
+      out.writeLong(0x1234567890abcdefL) // suid (ignored: descriptor swapped)
+      out.writeByte(0x02) // SC_SERIALIZABLE
+      out.writeShort(2) // field count
+      for (name <- Seq("first", "second")) {
+        out.writeByte('L'); out.writeUTF(name)
+        out.writeByte(0x74); out.writeUTF("Ljava/lang/Object;") // TC_STRING sig
+      }
+      out.writeByte(0x78) // TC_ENDBLOCKDATA
+      out.writeByte(0x70) // TC_NULL (no superclass)
+      for (v <- Seq(first, second)) { out.writeByte(0x74); out.writeUTF(v) }
+      out.flush(); bos.toByteArray
+    }
+    import org.apache.hadoop.io.BytesWritable
+    val path = java.nio.file.Files.createTempDirectory("seqpair").toString + "/sf"
+    spark.sparkContext.parallelize(Seq(
+      (serializedPair("img_001", "7"), Array[Byte](4, 5, 6))), 1)
+      .map { case (k, v) => (new BytesWritable(k), new BytesWritable(v)) }
+      .saveAsSequenceFile(path)
+    val back = Converters.readSequenceFileSamples(spark, path).collect()
+    assert(back.length == 1)
+    assert(back(0).getString(0) == "img_001" && back(0).getString(1) == "7")
+    assert(back(0).getInt(2) == 1 && back(0).getBoolean(5)) // Pair defaults
+    assert(back(0).getAs[Array[Byte]](6).toSeq == Seq[Byte](4, 5, 6))
+  }
+
+  test("S3: serialized keys outside the allowlist are rejected, not executed") {
+    import org.apache.hadoop.io.BytesWritable
+    def javaSer(o: AnyRef): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.toByteArray
+    }
+    val gadget = new java.util.HashMap[String, String]() // stand-in for a chain head
+    gadget.put("x", "y")
+    val path = java.nio.file.Files.createTempDirectory("seqevil").toString + "/sf"
+    spark.sparkContext.parallelize(Seq((javaSer(gadget), Array[Byte](1))), 1)
+      .map { case (k, v) => (new BytesWritable(k), new BytesWritable(v)) }
+      .saveAsSequenceFile(path)
+    val e = intercept[Exception] {
+      Converters.readSequenceFileSamples(spark, path).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[java.io.InvalidClassException]),
+      s"expected filter rejection, got: $e")
+  }
+
   test("K2: metrics sink writes one json line") {
     val path = java.nio.file.Files.createTempDirectory("metrics").toString + "/m"
     Converters.writeMetrics(spark, Map("accuracy" -> Seq(0.9), "loss" -> Seq(0.1, 0.2)), path)
