@@ -35,6 +35,18 @@ object VectorFunctions {
   def DotSeqSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** The semantic DEFINITION of the oracle-side dot product: an explicit
+    * sequential left-to-right fold. [[DotSeqSql]]'s `list_dot_product`
+    * route is ~40× faster and currently accumulates in this same order,
+    * but that is an implementation detail of the pinned DuckDB build
+    * (1.0.0) — the gate tools re-verify it on every run with a probe
+    * vector that distinguishes sequential from pairwise/SIMD accumulation
+    * and instruct switching DotSeqSql to this body if it ever diverges.
+    */
+  def DotSeqSqlFold(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in range(1, len($a)+1)], (x, y) -> x + y)"
+
   /** IEEE-double dot product — HOF form for the Scala API (column types
     * beyond float arrays); same sequential-fold semantics.
     */
