@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,6 +56,57 @@ object KMeans {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("best.c_label").as("cell"))
+
+  /** Centroid table collected to the driver as (cell, centroid) pairs
+    * sorted by cell id. k·dim doubles — broadcast-scale even at 100 TB
+    * (a coarse quantizer is k ≤ 65536 cells × dim floats), and the
+    * prerequisite for the map-only [[assignWith]].
+    */
+  def collectCentroids(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.select(col("c_label").cast(LongType), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+
+  /** The per-centroid (distance, cell) structs as a literal-array column:
+    * distances are the same sequential double fold as [[dist]], so the
+    * argmin/ordering downstream is bit-identical to the crossJoin form.
+    */
+  private def distStructs(cents: Seq[(Long, Seq[Double])]): Column = {
+    val centArr = array(cents.map { case (l, c) =>
+      struct(lit(l).as("c_label"), array(c.map(lit(_)): _*).as("centroid"))
+    }: _*)
+    transform(centArr, c => struct(
+      aggregate(
+        zip_with(col("embedding"), c.getField("centroid"),
+          (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+        lit(0.0), (a, b) => a + b).as("d"),
+      c.getField("c_label").as("c_label")))
+  }
+
+  /** Map-only assignment against driver-collected centroids: per-row
+    * argmin over a literal centroid array (struct ordering ties on the
+    * smaller cell id, like [[assign]]) — no crossJoin rows, no exchange.
+    * This is the 100-TB IVF shape: assignment is the ingest-time map with
+    * broadcast centroids; [[assign]] remains for centroid tables too large
+    * to collect.
+    */
+  def assignWith(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    vecs.withColumn("cell", array_min(distStructs(cents)).getField("c_label"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+
+  /** [[probeCells]] against driver-collected centroids: sort the per-cell
+    * distance structs and take the nprobe nearest — map-only, same
+    * (d, cell) ordering as the window form.
+    */
+  def probeCellsWith(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+      nprobe: Int): DataFrame =
+    vecs
+      .select(col("vec_id"),
+        posexplode(slice(array_sort(distStructs(cents)), 1, nprobe)))
+      .select(col("vec_id"), col("col.c_label").as("cell"),
+        (col("pos") + 1).as("probe_rank"))
 
   /** Lloyd iterations from a warm-start assignment column: each step
     * recomputes cell centroids from the current assignment and reassigns.

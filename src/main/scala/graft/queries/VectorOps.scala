@@ -224,19 +224,24 @@ object VectorOps {
          |LIMIT 10""".stripMargin) { (s, dir) =>
       import graft.ml.KMeans
       val emb = Tables(s, dir, "embeddings")
-      // a0/a1 appear twice in the DAG; measured, recomputing them is
-      // CHEAPER than persisting (the rows carry the embedding arrays, and
-      // materializing those costs more than the assignment crossJoin) —
-      // so the lineage stays unpersisted on purpose
-      val a0 = KMeans.assign(emb, KMeans.centroids(
+      // Each centroid table is collected to the driver (k·dim doubles)
+      // and the assignments become map-only argmin folds: a0/a1 appear
+      // several times in the DAG, and a map-only recompute is cheaper
+      // than either the crossJoin+exchange form or persisting the
+      // embedding-carrying rows (the round-4 persist experiment)
+      val c0 = KMeans.collectCentroids(KMeans.centroids(
         emb.withColumn("__k", col("label")), "__k"))
-      val c1 = KMeans.centroids(a0, "cell")
-      val a1 = KMeans.assign(a0, c1)
+      val a0 = KMeans.assignWith(emb, c0)
+      val c1 = KMeans.collectCentroids(KMeans.centroids(a0, "cell"))
+      // assignment depends only on the embedding, so a1 reads emb directly
+      // — rebasing off a0 would re-evaluate a0's argmin fold on every a1
+      // recompute for a cell column assignWith overwrites anyway
+      val a1 = KMeans.assignWith(emb, c1)
       val q = a1.filter(col("vec_id") === 0)
       // nprobe=2: search the query's two nearest cells — the IVF
       // recall/read trade (reads ~2/k of the corpus, catches neighbors
       // across the query's nearest Voronoi boundary)
-      val probeSet = KMeans.probeCells(q, c1, nprobe = 2)
+      val probeSet = KMeans.probeCellsWith(q, c1, nprobe = 2)
         .join(q.select(col("vec_id"), col("embedding").as("qv")), "vec_id")
         .select(col("cell").as("pcell"), col("qv"))
       a1.filter(col("vec_id") =!= 0)
