@@ -14,7 +14,8 @@ object SparkEntry {
   /** The full operator registry. Order is the SURVEY §2 walk. */
   def defs: Seq[QueryDef] =
     q.Relational.all ++ q.TextOps.all ++ q.EventOps.all ++ q.VectorOps.all ++
-      q.MlOps.all ++ q.DedupOps.all ++ q.MultimodalOps.all ++ q.SqlSurface.all
+      q.MlOps.all ++ q.DedupOps.all ++ q.MultimodalOps.all ++ q.SqlSurface.all ++
+      q.PipelineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

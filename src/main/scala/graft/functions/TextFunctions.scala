@@ -65,4 +65,15 @@ object TextFunctions {
 
   /** DuckDB bigram comprehension over an aliased token list `t`. */
   val WordBigramsOverT: String = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
+
+  /** DuckDB word-n-gram comprehension over an aliased token list `t`
+    * (space-joined windows; empty when the list is shorter than n) — the
+    * oracle twin of the native n-gram ShingleHashes.
+    */
+  def WordNgramsOverT(n: Int): String = {
+    require(n >= 2)
+    val joined = (0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]")
+      .mkString(" || ' ' || ")
+    s"[$joined for i in range(1, len(t) - ${n - 2})]"
+  }
 }

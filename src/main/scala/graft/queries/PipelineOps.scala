@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table — the
+  * corpus-curation stages between raw ingest and a training run that the
+  * reference's image/caption pipelines imply but never spell out
+  * (reference analogue: the sampling/partitioning machinery around
+  * CaffeOnSpark.scala:284-302's epoch scheduling): deterministic
+  * stratified sampling, sequence packing for a token budget, and
+  * train/test decontamination.
+  *
+  * All three keep the engine's determinism rules (QueryDef header): hash
+  * routes shared with the oracle, integer window sums, int/int division
+  * only between identical longs.
+  */
+object PipelineOps {
+
+  private val toks = tokens("text")
+  private val ToksSql = TokensSql("text")
+
+  /** Q49 — deterministic stratified sampling: per-language keep rates
+    * applied by consistent hash of the document id (NOT rand() — re-runs,
+    * retries, and both engines select the identical subset). The hash is
+    * the engine's rolling hash over the id's decimal digits, mod 100 —
+    * map-only, no shuffle, so it scales as a pure scan; the sampled corpus
+    * is reproducible from the rate table alone.
+    *
+    * The rate table downsamples the over-represented language ('en' holds
+    * ~45% of the corpus) and keeps the tail: en 25%, de 60%, others 80% —
+    * the standard rebalancing move before pretraining.
+    */
+  val q49StratifiedSample: QueryDef = QueryDef.sql(
+    "q49_stratified_sample",
+    s"""SELECT doc_id, lang, source, bucket
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    ${FingerprintSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents)
+       |WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 60 ELSE 80 END
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (fingerprint("CAST(doc_id AS STRING)") % 100).as("bucket"))
+      .filter(col("bucket") <
+        when(col("lang") === "en", 25).when(col("lang") === "de", 60).otherwise(80))
+      .orderBy("doc_id")
+  }
+
+  /** Q50 — sequence packing: assign documents to fixed token-budget bins
+    * (budget 256) by running token count, the greedy streaming packer that
+    * turns a document stream into training sequences. Packing is
+    * order-sequential by construction, so the window partitions on the
+    * shard key (lang, source) — each shard packs independently and in
+    * parallel, and at 100 TB the shard key is what bounds a partition to
+    * executor memory (a single global ordering would serialize the scan).
+    * Integer window sums are exact under any execution.
+    */
+  val q50SequencePacking: QueryDef = QueryDef.sql(
+    "q50_sequence_packing",
+    s"""SELECT doc_id, lang, source, n_tok, cum_tok, (cum_tok - n_tok) // 256 AS bin
+       |FROM (
+       |  SELECT doc_id, lang, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM (SELECT doc_id, lang, source, len($ToksSql) AS n_tok FROM documents))
+       |ORDER BY lang, source, doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum_tok - n_tok) div 256"))
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  /** Document frequency cap for q51 contamination n-grams — same rationale
+    * as q21's shingle cap: an n-gram present in k docs yields k² candidate
+    * pairs, and corpus-common n-grams carry no contamination signal.
+    */
+  private val DfCap = 50
+
+  /** Q51 — train/test decontamination: which held-out documents (source
+    * 'src19') share ≥2 distinct word-4-grams with which training documents
+    * (every other source)? The canonical pre-training leakage check,
+    * n-gram-overlap flavored.
+    *
+    * Plan shape is q21's capped POSTING LISTS, bipartite: one shuffle
+    * groups distinct (doc, 4-gram-hash) pairs by hash into per-gram
+    * (test-docs, train-docs) lists; lists over the DF cap drop; pair
+    * expansion is test×train inside each bounded list — never a raw
+    * fp-keyed self-join, so a hot n-gram cannot emit quadratic pairs at
+    * 100 TB. The 4-gram hashes come from the fused native expression (no
+    * n-gram strings materialize); the oracle reaches identical integers
+    * through the window-cap + join formulation.
+    */
+  val q51Decontaminate: QueryDef = QueryDef.sql(
+    "q51_decontaminate",
+    s"""WITH g0 AS (
+       |  SELECT DISTINCT doc_id, source, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, source, ${WordNgramsOverT(4)} AS gs
+       |        FROM (SELECT doc_id, source, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.gs) AS u(s)),
+       |g AS (
+       |  SELECT doc_id, source, fp FROM (
+       |    SELECT g0.*, count(*) OVER (PARTITION BY fp) AS df FROM g0)
+       |  WHERE df <= $DfCap),
+       |tst AS (SELECT doc_id, fp FROM g WHERE source = 'src19'),
+       |trn AS (SELECT doc_id, fp FROM g WHERE source <> 'src19'),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tst GROUP BY doc_id)
+       |SELECT test_id, train_id, shared, s.n AS n_test, shared / s.n AS overlap
+       |FROM (SELECT tst.doc_id AS test_id, trn.doc_id AS train_id,
+       |        count(*) AS shared
+       |      FROM tst JOIN trn USING (fp)
+       |      GROUP BY 1, 2) p
+       |JOIN sizes s ON s.doc_id = test_id
+       |WHERE shared >= 2
+       |ORDER BY test_id, train_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), col("source"), explode(
+        org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4)).as("fp"))
+      .distinct()
+    val postings = grams
+      .groupBy("fp")
+      .agg(
+        sort_array(collect_list(when(col("source") === "src19", col("doc_id"))))
+          .as("tests"),
+        sort_array(collect_list(when(col("source") =!= "src19", col("doc_id"))))
+          .as("trains"))
+      .filter(size(col("tests")) + size(col("trains")) <= DfCap)
+      .filter(size(col("tests")) > 0)
+    val sizes = postings
+      .select(explode(col("tests")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_test"))
+    postings
+      .filter(size(col("trains")) > 0)
+      .select(explode(expr(
+        "flatten(transform(tests, a -> transform(trains, b -> named_struct('test_id', a, 'train_id', b))))"))
+        .as("p"))
+      .groupBy(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .join(sizes.withColumnRenamed("doc_id", "test_id"), "test_id")
+      .withColumn("overlap", col("shared") / col("n_test"))
+      .select("test_id", "train_id", "shared", "n_test", "overlap")
+      .orderBy("test_id", "train_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q49StratifiedSample, q50SequencePacking, q51Decontaminate)
+}

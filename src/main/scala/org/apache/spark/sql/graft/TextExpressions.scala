@@ -52,20 +52,23 @@ case class Tokenize(child: Expression)
     copy(child = newChild)
 }
 
-/** Fused word-bigram shingle hashes: for tokens t₁..tₙ, emit the rolling
-  * hash of each "tᵢ tᵢ₊₁" WITHOUT materializing the bigram strings.
+/** Fused word-n-gram shingle hashes: for tokens t₁..tₙ, emit the rolling
+  * hash of each space-joined window "tᵢ … tᵢ₊ₐ₋₁" (arity a, default
+  * bigrams) WITHOUT materializing the n-gram strings.
   *
   * The rolling hash is a left fold `acc·31 + codepoint (mod p)`, so the
   * hash of a concatenation composes: hash(a ++ b) = hash(a)·31^|b| +
   * hash(b) (mod p), |b| in codepoints. Each token is hashed ONCE
-  * (h, 31^len), and shingle i is ((hᵢ·31 + 32)·powᵢ₊₁ + hᵢ₊₁) mod p —
-  * O(total chars) for all shingles, vs the compose form's concat
-  * allocation + second hashing pass per bigram. Bit-identical to
-  * RollingHash over the oracle's `t[i] || ' ' || t[i+1]` comprehension
-  * (property-tested).
+  * (h, 31^len), and a window extends by one token via
+  * acc ← ((acc·31 + 32)·powₖ + hₖ) mod p — O(arity · windows) small-int
+  * ops for all shingles, vs the compose form's concat allocation + second
+  * hashing pass per n-gram. Bit-identical to RollingHash over the
+  * oracle's `t[i] || ' ' || … || t[i+a-1]` comprehension
+  * (property-tested for arity 2 and 4).
   */
-case class ShingleHashes(child: Expression)
+case class ShingleHashes(child: Expression, arity: Int = 2)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(arity >= 2, s"shingle arity must be >= 2, got $arity")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -75,7 +78,7 @@ case class ShingleHashes(child: Expression)
     val P = RollingHash.P
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    if (n < arity) return new GenericArrayData(Array.emptyLongArray)
     val h = new Array[Long](n)
     val pow = new Array[Long](n)
     var i = 0
@@ -94,11 +97,17 @@ case class ShingleHashes(child: Expression)
       pow(i) = p
       i += 1
     }
-    val out = new Array[Long](n - 1)
+    val out = new Array[Long](n - arity + 1)
     i = 0
-    while (i < n - 1) {
-      val withSpace = (h(i) * 31 + 32) % P // ' ' == 32
-      out(i) = (withSpace * pow(i + 1) + h(i + 1)) % P
+    while (i < n - arity + 1) {
+      var acc = h(i)
+      var k = i + 1
+      while (k < i + arity) {
+        val withSpace = (acc * 31 + 32) % P // ' ' == 32
+        acc = (withSpace * pow(k) + h(k)) % P
+        k += 1
+      }
+      out(i) = acc
       i += 1
     }
     new GenericArrayData(out)
@@ -114,4 +123,10 @@ object TextExpressions {
 
   def shingle_hashes(c: Column): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))
+
+  /** Word-n-gram rolling-hash fingerprints (decontamination / near-dup
+    * blocking at arities beyond bigrams).
+    */
+  def ngram_hashes(c: Column, arity: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), arity))
 }

@@ -122,6 +122,30 @@ class PropertySpec extends SparkSpec {
     assert(fused.toSeq.map(_.toSeq) == composed.toSeq.map(_.toSeq))
   }
 
+  test("arity-4 ShingleHashes equals RollingHash over materialized 4-gram strings") {
+    val rnd = new scala.util.Random(13)
+    val docs = Seq.fill(120) {
+      Seq.fill(rnd.nextInt(10))(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString)
+    } ++ Seq(Seq(), Seq("one", "two", "three"), Seq("a", "b", "c", "d"),
+      Seq("é世", "😀x", "q", "r", "s"))
+    val df = docs.map(_.mkString(" ")).toDF("text")
+    val fused = df.select(org.apache.spark.sql.graft.TextExpressions
+        .ngram_hashes(graft.functions.TextFunctions.tokens("text"), 4).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    // re-tokenize the same way (the unicode edge rows tokenize differently
+    // from the raw word lists), then window+hash locally
+    val tokLists = df.select(
+        graft.functions.TextFunctions.tokens("text").as("t"))
+      .collect().map(_.getSeq[String](0))
+    val composed = tokLists.map { toks =>
+      if (toks.length < 4) Seq.empty[Long]
+      else toks.sliding(4).map(w =>
+        org.apache.spark.sql.graft.RollingHash.hash(w.mkString(" "))).toSeq
+    }
+    assert(fused.toSeq.map(_.toSeq) == composed.toSeq)
+  }
+
   test("fingerprint expression matches the reference Scala fold on random ASCII") {
     val rnd = new scala.util.Random(42)
     val texts = Seq.fill(50) {
