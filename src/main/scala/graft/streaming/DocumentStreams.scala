@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the documents table: the
+  * training-data pipeline as an INCREMENTAL ingest. Map-only curation
+  * stages (sampling, quality scoring, language-ID) run unchanged on a
+  * stream; sequence packing is the interesting one — it carries a running
+  * token count per shard, i.e. real keyed state, expressed with
+  * flatMapGroupsWithState.
+  *
+  * State sizing: the packer keeps ONE counter per (lang, source) shard —
+  * O(shards), not O(documents) — so it never needs watermark eviction;
+  * shard cardinality is bounded by construction (it is the same shard key
+  * that bounds the batch window partition).
+  */
+object DocumentStreams {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open a streaming view of a documents parquet path. */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming twin of q49 — stateless: the deterministic hash-mod filter
+    * is per-row, so the micro-batch boundary is invisible to the output.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        (graft.functions.TextFunctions.fingerprint("CAST(doc_id AS STRING)") % 100)
+          .as("bucket"))
+      .filter(col("bucket") <
+        when(col("lang") === "en", 25).when(col("lang") === "de", 60).otherwise(80))
+
+  /** One packed document: the running token count and bin assignment the
+    * batch q50 computes with a window.
+    */
+  final case class PackedDoc(doc_id: Long, lang: String, source: String,
+      n_tok: Long, cum_tok: Long, bin: Long)
+
+  /** Internal tokenized-row shape for the packer (public: the row encoder's
+    * generated code cannot access a private class).
+    */
+  final case class DocTok(doc_id: Long, lang: String, source: String,
+      n_tok: Long)
+
+  /** Per-shard packer state: the cumulative token count so far. */
+  final case class PackState(cumTok: Long)
+
+  /** Streaming twin of q50 — sequence packing as keyed state: per
+    * (lang, source) shard, documents extend a running token count and get
+    * a budget bin from their start offset. Within each micro-batch rows
+    * process in doc_id order; given shard-ordered arrival (an ingest log
+    * per shard), the output is identical to the batch window formulation,
+    * micro-batch boundaries included — the state carries exactly the
+    * window's prefix sum across batches.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def update(key: (String, String), rows: Iterator[DocTok],
+        state: GroupState[PackState]): Iterator[PackedDoc] = {
+      var cum = state.getOption.map(_.cumTok).getOrElse(0L)
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        cum += d.n_tok
+        PackedDoc(d.doc_id, d.lang, d.source, d.n_tok, cum,
+          (cum - d.n_tok) / budget)
+      }
+      state.update(PackState(cum))
+      out.iterator
+    }
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(graft.functions.TextFunctions.tokens("text")).cast("long").as("n_tok"))
+      .as[DocTok]
+      .groupByKey(d => (d.lang, d.source))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+}

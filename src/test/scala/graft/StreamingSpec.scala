@@ -65,6 +65,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("streaming stratified sample equals the batch q49 subset") {
+    import graft.streaming.DocumentStreams
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val got = EventStreams.runToMemory(
+      DocumentStreams.stratifiedSample(
+        DocumentStreams.readDocuments(spark, dir.toString)), "sample_t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val batch = queries.PipelineOps.q49StratifiedSample.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == batch)
+  }
+
+  test("streaming sequence packing carries shard state across micro-batches") {
+    import graft.streaming.DocumentStreams
+    // split the table into two doc_id-ordered files => two micro-batches;
+    // the per-shard running token count must carry across the boundary for
+    // the output to equal the batch window formulation
+    val docs = Tables(spark, sf, "documents")
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("docs_packing")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, docs.filter(col("doc_id") <= mid))
+    writePart("b.parquet", 20000L, docs.filter(col("doc_id") > mid))
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventStreams.runToMemory(
+      DocumentStreams.packSequences(stream), "packing_t")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val batch = queries.PipelineOps.q50SequencePacking.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == batch)
+  }
+
   test("spend alert state survives micro-batches without the user's events") {
     // Regression: the timeout used to be currentWatermark+1, so a
     // sub-threshold accumulator was evicted at the first watermark advance
