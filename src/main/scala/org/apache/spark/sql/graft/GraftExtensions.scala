@@ -35,7 +35,16 @@ object GraftExtensions {
     ("token_hashes", classOf[TokenHashes].getName,
       (c: Seq[Expression]) => TokenHashes(c.head)),
     ("tokenize", classOf[Tokenize].getName,
-      (c: Seq[Expression]) => Tokenize(c.head)))
+      (c: Seq[Expression]) => Tokenize(c.head)),
+    ("shingle_hashes", classOf[ShingleHashes].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(arr) => ShingleHashes(arr)
+        case Seq(arr, n) =>
+          // arity must be a literal; evaluated once at resolution
+          ShingleHashes(arr, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(tokens[, arity])")
+      }))
 }
 
 /** Runtime registration for sessions that already exist (extensions bind

@@ -31,6 +31,18 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("shingle_hashes callable from SQL at default and explicit arity") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT shingle_hashes(array('a', 'b', 'c', 'd')) AS bi, " +
+        "shingle_hashes(array('a', 'b', 'c', 'd'), 4) AS quad").head()
+    val bi = r.getSeq[Long](0)
+    val quad = r.getSeq[Long](1)
+    assert(bi.length == 3 && quad.length == 1)
+    assert(quad.head == org.apache.spark.sql.graft.RollingHash.hash("a b c d"))
+    assert(bi.head == org.apache.spark.sql.graft.RollingHash.hash("a b"))
+  }
+
   test("sketch expressions callable from SQL: simhash32, rolling_hash, token_hashes") {
     GraftFunctions.register(spark)
     val r = spark.sql(
