@@ -151,6 +151,51 @@ object PipelineOps {
       .orderBy("test_id", "train_id")
   }
 
+  /** Q52 — marginal novelty per source: treat sources as arriving in
+    * ordinal order (src0, src1, …) and measure, for each, the fraction of
+    * its distinct word-4-grams first seen there — the curation metric for
+    * "what does adding this source actually contribute" (the complement of
+    * q51's leakage view over the same fingerprint space).
+    *
+    * Plan: distinct (source, gram-hash) pairs, a window min(ordinal) keyed
+    * on the hash (one fp-keyed shuffle, same key the gram relation already
+    * groups by), then a per-source count/count_if reduction. Every stage
+    * is keyed on either the 64-bit hash or the source — nothing carries
+    * text past the first projection, so the shuffle volume is rows × 8
+    * bytes at any corpus size.
+    */
+  val q52SourceNovelty: QueryDef = QueryDef.sql(
+    "q52_source_novelty",
+    s"""WITH g AS (
+       |  SELECT DISTINCT source, CAST(substring(source, 4) AS BIGINT) AS ord,
+       |    ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT source, ${WordNgramsOverT(4)} AS gs
+       |        FROM (SELECT source, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.gs) AS u(s)),
+       |f AS (SELECT source, ord, fp, min(ord) OVER (PARTITION BY fp) AS ford
+       |      FROM g)
+       |SELECT source, ord, count(*) AS total_grams,
+       |  CAST(sum(CASE WHEN ford = ord THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  CAST(sum(CASE WHEN ford = ord THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS novelty
+       |FROM f
+       |GROUP BY source, ord
+       |ORDER BY ord""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("fp")
+    val grams = Tables(s, dir, "documents")
+      .select(col("source"),
+        expr("CAST(substring(source, 4) AS BIGINT)").as("ord"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .ngram_hashes(toks, 4)).as("fp"))
+      .distinct()
+    grams
+      .withColumn("ford", min(col("ord")).over(w))
+      .groupBy("source", "ord")
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("ford") === col("ord"), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty", col("novel_grams") / col("total_grams"))
+      .orderBy("ord")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q49StratifiedSample, q50SequencePacking, q51Decontaminate)
+    q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty)
 }
