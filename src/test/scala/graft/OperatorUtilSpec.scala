@@ -174,6 +174,36 @@ class OperatorUtilSpec extends SparkSpec {
     })
   }
 
+  test("salted join equals the plain join on skewed keys and shuffles on (key, salt)") {
+    import graft.operators.Salting
+    // 90% of the big side lands on one hot key
+    val big = ((1 to 9000).map(_ => 1) ++ (1 to 1000).map(i => 1 + i % 50))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = (1 to 60).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Salting.saltedJoin(big, small, "k", saltN = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(plain).isEmpty)
+    assert(plain.except(salted.select("k", "payload", "name")).isEmpty)
+    // the exchange must key on the salt too, not the bare hot key
+    val shuffles = salted.queryExecution.executedPlan.toString
+    assert(shuffles.contains("__salt"), "salt column absent from the plan")
+  }
+
+  test("salted aggregation matches groupBy on a hot key") {
+    import graft.operators.Salting
+    val df = ((1 to 9000).map(_ => 1) ++ (1 to 1000).map(i => 1 + i % 50))
+      .map(k => (k, k * 2L)).toDF("k", "v")
+    val got = Salting.saltedAgg(df, "k", saltN = 8,
+      partials = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      merge = Seq(sum("s").as("total"), sum("c").as("n")))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = df.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("Y2: ragged last partition; no single-task global Sort/Window in the plan") {
     val df = (1 to 95).toDF("n")
     val fixed = Partitioning.repartitionFixedSize(df, 10, Seq("n"))
