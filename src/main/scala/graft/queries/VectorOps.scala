@@ -185,38 +185,46 @@ object VectorOps {
     * is the ingest-time map; the probe reads nprobe/k of the corpus — the
     * IVF complement to q34's hyperplane buckets.
     */
+  /** q42/q53 shared oracle pieces: decimal-exact centroid means, the
+    * sequential-fold squared distance, and the argmin assignment.
+    */
+  private def CentSql(rel: String, key: String) =
+    s"""SELECT $key AS c_label, list(m ORDER BY idx) AS centroid
+       |  FROM (
+       |    SELECT $key, idx,
+       |      CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
+       |    FROM (SELECT $key, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
+       |          FROM $rel)
+       |    GROUP BY $key, idx)
+       |  GROUP BY $key""".stripMargin
+  private val DistSql = // sequential fold => bit-identical to Spark's aggregate()
+    "list_reduce([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) " +
+      "for i in range(1, len(e.embedding)+1)], (a, b) -> a + b)"
+  private def AssignSql(vecsRel: String, centsRel: String) =
+    s"""SELECT vec_id, label, embedding, cell FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.c_label AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
+       |    FROM $vecsRel e, $centsRel c) t
+       |  WHERE rn = 1""".stripMargin
+
+  /** The q42 IVF training + probe CTE chain (shared with q53's meter). */
+  private def IvfCtes: String =
+    s"""c0 AS (${CentSql("embeddings", "label")}),
+       |a0 AS (${AssignSql("embeddings", "c0")}),
+       |c1 AS (${CentSql("a0", "cell")}),
+       |a1 AS (${AssignSql("a0", "c1")}),
+       |q AS (SELECT vec_id, embedding FROM a1 WHERE vec_id = 0),
+       |qprobe AS (
+       |  SELECT qv, pcell FROM (
+       |    SELECT e.embedding AS qv, c.c_label AS pcell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
+       |    FROM q e, c1 c) t
+       |  WHERE rn <= 2)""".stripMargin
+
   val q42AnnIvf: QueryDef = {
-    def CentSql(rel: String, key: String) =
-      s"""SELECT $key AS c_label, list(m ORDER BY idx) AS centroid
-         |  FROM (
-         |    SELECT $key, idx,
-         |      CAST(CAST(sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS DOUBLE) / count(*) AS m
-         |    FROM (SELECT $key, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS idx
-         |          FROM $rel)
-         |    GROUP BY $key, idx)
-         |  GROUP BY $key""".stripMargin
-    val DistSql = // sequential fold => bit-identical to Spark's aggregate()
-      "list_reduce([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) " +
-        "for i in range(1, len(e.embedding)+1)], (a, b) -> a + b)"
-    def AssignSql(vecsRel: String, centsRel: String) =
-      s"""SELECT vec_id, label, embedding, cell FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.c_label AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
-         |    FROM $vecsRel e, $centsRel c) t
-         |  WHERE rn = 1""".stripMargin
     QueryDef.sql(
       "q42_ann_ivf",
-      s"""WITH c0 AS (${CentSql("embeddings", "label")}),
-         |a0 AS (${AssignSql("embeddings", "c0")}),
-         |c1 AS (${CentSql("a0", "cell")}),
-         |a1 AS (${AssignSql("a0", "c1")}),
-         |q AS (SELECT vec_id, embedding FROM a1 WHERE vec_id = 0),
-         |qprobe AS (
-         |  SELECT qv, pcell FROM (
-         |    SELECT e.embedding AS qv, c.c_label AS pcell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $DistSql, c.c_label) AS rn
-         |    FROM q e, c1 c) t
-         |  WHERE rn <= 2)
+      s"""WITH $IvfCtes
          |SELECT e.vec_id, e.label, e.cell, ${DotSeqSql("e.embedding", "p.qv")} AS dot
          |FROM a1 e JOIN qprobe p ON e.cell = p.pcell
          |WHERE e.vec_id <> 0
@@ -312,7 +320,96 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Q53 — ANN quality gate: recall@10 of BOTH approximate searches (q34
+    * multiprobe sign-LSH, q42 nprobe-2 IVF) against the q27 exact scan,
+    * computed inside the engine. A production ANN deployment ships with
+    * exactly this query — recall/read-fraction is the tunable and this is
+    * its meter (re-run after changing planes/probes/nprobe; at 100 TB it
+    * runs over a sampled query set the same shape).
+    *
+    * The two rows also tell the structural story on this corpus: IVF's
+    * learned cells track the label clusters the data actually has, while
+    * hamming-2 multiprobe over isotropic sign-LSH buckets finds none of
+    * the true top-10 — the meter is what justifies the index choice.
+    *
+    * Determinism: all rankings are the same sequential-double dots under a
+    * (dot DESC, vec_id) total order, so both engines derive identical
+    * top-10 sets and an identical n/10 recall double.
+    */
+  val q53AnnRecall: QueryDef = QueryDef.sql(
+    "q53_ann_recall",
+    s"""WITH $IvfCtes,
+       |b AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+       |lq AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |probes AS (SELECT xor(lq.qb, m) AS pb, lq.qv FROM lq, unnest([${probeMasks.mkString(",")}]) AS t(m)),
+       |lsh AS (
+       |  SELECT e.vec_id FROM b e JOIN probes p ON e.bucket = p.pb
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY ${DotSeqSql("e.embedding", "p.qv")} DESC, vec_id
+       |  LIMIT 10),
+       |ivf AS (
+       |  SELECT e.vec_id FROM a1 e JOIN qprobe p ON e.cell = p.pcell
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY ${DotSeqSql("e.embedding", "p.qv")} DESC, vec_id
+       |  LIMIT 10),
+       |exact AS (
+       |  SELECT e.vec_id FROM embeddings e, lq
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY ${DotSeqSql("e.embedding", "lq.qv")} DESC, vec_id
+       |  LIMIT 10)
+       |SELECT method, n_overlap, n_overlap / 10 AS recall FROM (
+       |  SELECT 'ivf' AS method, count(*) AS n_overlap
+       |  FROM exact JOIN ivf USING (vec_id)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, count(*) AS n_overlap
+       |  FROM exact JOIN lsh USING (vec_id))
+       |ORDER BY method""".stripMargin) { (s, dir) =>
+    import graft.ml.KMeans
+    val emb = Tables(s, dir, "embeddings")
+    // exact baseline (q27 shape, top-10)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .orderBy(fdot("embedding", "qv").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    // q34 arm: multiprobe sign-LSH
+    val withBucket = emb.withColumn("bucket", bucketCol)
+    val lq = withBucket.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qb"))
+    val probes = lq
+      .select(col("qv"), col("qb"), explode(lit(probeMasks.toArray)).as("mask"))
+      .select(col("qv"), expr("qb ^ mask").as("pb"))
+    val lsh = withBucket.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("pb"))
+      .orderBy(fdot("embedding", "qv").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    // q42 arm: nprobe-2 IVF over the collected-centroid assignment
+    val c0 = KMeans.collectCentroids(KMeans.centroids(
+      emb.withColumn("__k", col("label")), "__k"))
+    val c1 = KMeans.collectCentroids(KMeans.centroids(
+      KMeans.assignWith(emb, c0), "cell"))
+    val a1 = KMeans.assignWith(emb, c1)
+    val iq = a1.filter(col("vec_id") === 0)
+    val probeSet = KMeans.probeCellsWith(iq, c1, nprobe = 2)
+      .join(iq.select(col("vec_id"), col("embedding").as("qv")), "vec_id")
+      .select(col("cell").as("pcell"), col("qv"))
+    val ivf = a1.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeSet), col("cell") === col("pcell"))
+      .orderBy(fdot("embedding", "qv").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    def arm(name: String, approx: org.apache.spark.sql.DataFrame) =
+      exact.join(approx, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(name).as("method"), col("n_overlap"))
+    arm("ivf", ivf).unionAll(arm("lsh", lsh))
+      .withColumn("recall", col("n_overlap") / lit(10))
+      .orderBy("method")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh, q42AnnIvf,
-    q46EmbeddingNeardupLsh)
+    q46EmbeddingNeardupLsh, q53AnnRecall)
 }
