@@ -64,17 +64,16 @@ object DedupOps {
        |JOIN fps fb ON fb.doc_id = c.b
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val sh = docs
-      // fused ShingleHashes (see TextOps.q21): bigram fingerprints with no
-      // intermediate bigram strings
-      .select(col("doc_id"), explode(org.apache.spark.sql.graft.TextExpressions
-        .shingle_hashes(tokens("text"))).as("fp"))
-      .distinct()
-    // one doc → one sorted fingerprint-set row: feeds the signature, the
-    // set sizes AND the exact verify (array_intersect), so the 800k-row
-    // shingle relation shuffles exactly once (the groupBy below) instead
-    // of re-joining per candidate side
-    val fps = sh.groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+    // one doc → one sorted distinct fingerprint-set row, built entirely
+    // MAP-SIDE: fused ShingleHashes (no bigram strings) → array_distinct
+    // (the per-doc DISTINCT, done inside the row) → sort_array. Feeds the
+    // signature, the set sizes AND the exact verify (array_intersect) with
+    // ZERO shuffles — the shingle relation never leaves its scan tasks
+    // (earlier formulations paid a dedup exchange plus a doc_id groupBy)
+    val fps = docs
+      .select(col("doc_id"), sort_array(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")))).as("fps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // native MinHashSignature: one tight loop per doc instead of
     // |shingles| × 16 interpreted lambda evaluations; same (a·h+b) mod p

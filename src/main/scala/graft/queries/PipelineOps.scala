@@ -121,10 +121,11 @@ object PipelineOps {
        |WHERE shared >= 2
        |ORDER BY test_id, train_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // array_distinct before the explode = the (doc, fp) DISTINCT done
+    // map-side inside each row — no dedup exchange
     val grams = docs
-      .select(col("doc_id"), col("source"), explode(
-        org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4)).as("fp"))
-      .distinct()
+      .select(col("doc_id"), col("source"), explode(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4))).as("fp"))
     val postings = grams
       .groupBy("fp")
       .agg(
@@ -181,11 +182,14 @@ object PipelineOps {
        |GROUP BY source, ord
        |ORDER BY ord""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("fp")
+    // here the DISTINCT is cross-document (same fp from two docs of one
+    // source must collapse), so the exchange stays — but array_distinct
+    // first shrinks what enters it to per-doc-unique rows
     val grams = Tables(s, dir, "documents")
       .select(col("source"),
         expr("CAST(substring(source, 4) AS BIGINT)").as("ord"),
-        explode(org.apache.spark.sql.graft.TextExpressions
-          .ngram_hashes(toks, 4)).as("fp"))
+        explode(array_distinct(org.apache.spark.sql.graft.TextExpressions
+          .ngram_hashes(toks, 4))).as("fp"))
       .distinct()
     grams
       .withColumn("ford", min(col("ord")).over(w))

@@ -221,10 +221,11 @@ object TextOps {
     // so plan shape is free.
     val sh = docs
       // fused ShingleHashes: bigram fingerprints straight from the token
-      // array — no bigram strings allocated, one char pass per document
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("fp"))
-      .distinct()
+      // array — no bigram strings allocated, one char pass per document.
+      // array_distinct BEFORE the explode is the (doc, fp) DISTINCT done
+      // map-side inside each row — no dedup exchange
+      .select(col("doc_id"), explode(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks))).as("fp"))
     // capped posting lists feed BOTH the pair expansion and the per-doc
     // set sizes (df=1 shingles count toward sizes, hence the cap-only
     // filter here and the ≥2 filter only where pairs are made)
