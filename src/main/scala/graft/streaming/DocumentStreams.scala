@@ -40,6 +40,38 @@ object DocumentStreams {
       .filter(col("bucket") <
         when(col("lang") === "en", 25).when(col("lang") === "de", 60).otherwise(80))
 
+  /** Streaming decontamination — the incremental twin of batch q51: flag
+    * arriving documents that share ≥ `minShared` distinct word-4-grams
+    * with a TRAINING corpus, by membership against a Bloom filter of the
+    * training grams built once (batch side) and broadcast to the stream.
+    *
+    * This is the production shape of continuous leakage checking: the
+    * stream side is MAP-ONLY (no state, no shuffle — each arriving doc
+    * tests its own gram fingerprints against the filter), and the space
+    * for the training index is the Bloom filter's bits, not the gram set
+    * (at 10¹⁰ training grams and 1% fpp ≈ 12 GB — shard the filter by
+    * fp range and chain `mightContain` calls when one executor can't hold
+    * it). Bloom semantics: no false negatives — every truly-contaminated
+    * doc is flagged; `fpp` inflates per-doc hit counts slightly, so
+    * `minShared` is a threshold on an UPPER BOUND of the true overlap.
+    */
+  def contaminationFlags(stream: DataFrame, trainDocs: DataFrame,
+      minShared: Int = 2, expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
+    val bf = trainDocs
+      .select(explode(array_distinct(ngram_hashes(tokens("text"), 4))).as("fp"))
+      .stat.bloomFilter("fp", expectedGrams, fpp)
+    val hits = udf((fps: Seq[Long]) => fps.count(bf.mightContain(_)).toLong)
+    stream
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(ngram_hashes(tokens("text"), 4)).as("fps"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("fps")).cast("long").as("n_grams"), hits(col("fps")).as("n_hits"))
+      .filter(col("n_hits") >= minShared)
+  }
+
   /** One packed document: the running token count and bin assignment the
     * batch q50 computes with a window.
     */

@@ -118,6 +118,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming contamination flags: no false negatives vs the exact overlap") {
+    import graft.streaming.DocumentStreams
+    import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables(spark, sf, "documents")
+    val train = docs.filter(col("source") =!= "src19")
+    val test19 = docs.filter(col("source") === "src19")
+    // exact per-test-doc overlap with the train gram set (no cap, no bloom)
+    val trainFps = train
+      .select(explode(array_distinct(ngram_hashes(tokens("text"), 4))).as("fp"))
+      .distinct()
+    val exact = test19
+      .select(col("doc_id"), explode(array_distinct(
+        ngram_hashes(tokens("text"), 4))).as("fp"))
+      .join(trainFps, "fp")
+      .groupBy("doc_id").count()
+      .filter(col("count") >= 2)
+      .collect().map(_.getLong(0)).toSet
+    // streamed flags via the broadcast bloom filter
+    val dir = java.nio.file.Files.createTempDirectory("docs_contam")
+    test19.write.mode("overwrite").parquet(dir.toString + "/t")
+    val flagged = EventStreams.runToMemory(
+      DocumentStreams.contaminationFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/t"),
+        train), "contam_t")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom flags missed truly-contaminated docs: ${exact -- flagged}")
+    // fpp sanity: flags are not wildly inflated beyond the exact set
+    assert(flagged.size <= exact.size + math.max(5, test19.count() / 10),
+      s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
+  }
+
   test("spend alert state survives micro-batches without the user's events") {
     // Regression: the timeout used to be currentWatermark+1, so a
     // sub-threshold accumulator was evicted at the first watermark advance
