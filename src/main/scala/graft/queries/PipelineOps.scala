@@ -126,12 +126,16 @@ object PipelineOps {
     val grams = docs
       .select(col("doc_id"), col("source"), explode(array_distinct(
         org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4))).as("fp"))
+    // bounded buffers (see q21): each list caps at DfCap+1, and any group
+    // whose true total exceeds the cap still surfaces > DfCap elements
+    // across the two lists, so the sum filter drops it exactly as before
+    val clc = org.apache.spark.sql.graft.AggExpressions.collect_long_list_capped _
     val postings = grams
       .groupBy("fp")
       .agg(
-        sort_array(collect_list(when(col("source") === "src19", col("doc_id"))))
+        sort_array(clc(when(col("source") === "src19", col("doc_id")), DfCap + 1))
           .as("tests"),
-        sort_array(collect_list(when(col("source") =!= "src19", col("doc_id"))))
+        sort_array(clc(when(col("source") =!= "src19", col("doc_id")), DfCap + 1))
           .as("trains"))
       .filter(size(col("tests")) + size(col("trains")) <= DfCap)
       .filter(size(col("tests")) > 0)

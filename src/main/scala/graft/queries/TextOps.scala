@@ -228,9 +228,14 @@ object TextOps {
         org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks))).as("fp"))
     // capped posting lists feed BOTH the pair expansion and the per-doc
     // set sizes (df=1 shingles count toward sizes, hence the cap-only
-    // filter here and the ≥2 filter only where pairs are made)
+    // filter here and the ≥2 filter only where pairs are made).
+    // collect_long_list_capped bounds every aggregation buffer to
+    // DfCap+1 longs: groups within the cap collect exactly; a mega-hot
+    // shingle surfaces DfCap+1 elements (never its full group) and the
+    // size filter drops it as before — no multi-GB buffer at 100 TB skew
     val postings = sh.groupBy("fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(org.apache.spark.sql.graft.AggExpressions
+        .collect_long_list_capped(col("doc_id"), DfCap + 1)).as("ds"))
       .filter(size(col("ds")) <= DfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = postings

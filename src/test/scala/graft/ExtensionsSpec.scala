@@ -31,6 +31,25 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("collect_long_list_capped: exact within cap, truncates past it, skips nulls") {
+    import org.apache.spark.sql.graft.AggExpressions.collect_long_list_capped
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key 1: 5 values (within cap), key 2: 40 values (over cap=8),
+    // key 3: nulls only
+    val df = ((1 to 5).map(v => (1L, Some(v.toLong))) ++
+      (1 to 40).map(v => (2L, Some(v.toLong))) ++
+      Seq((3L, None: Option[Long])))
+      .toDF("k", "v").repartition(8)
+    val got = df.groupBy("k")
+      .agg(sort_array(collect_long_list_capped(col("v"), 8)).as("vs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(got(1L) == (1 to 5).map(_.toLong))          // exact under cap
+    assert(got(2L).length == 8)                        // bounded, not 40
+    assert(got(2L).forall(v => v >= 1 && v <= 40))
+    assert(got(3L).isEmpty)                            // nulls skipped
+  }
+
   test("shingle_hashes callable from SQL at default and explicit arity") {
     GraftFunctions.register(spark)
     val r = spark.sql(
