@@ -80,6 +80,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the DF cap must ride the fp aggregation, not a Window")
     assert(!p.toLowerCase.contains("singlepartition"),
       "something collapsed the table into one task")
-    assert(p.contains("collect_list"), p.take(400))
+    assert(p.contains("collect_long_list_capped"),
+      "posting lists must use the bounded-buffer aggregate")
+  }
+
+  test("q31: fingerprint sets build map-side — no dedup exchange, no doc groupBy") {
+    // the fps relation is sort_array(array_distinct(shingle_hashes(...)))
+    // straight off the scan; the only exchanges in the whole plan belong to
+    // the band self-join + candidate distinct downstream
+    val p = planOf(queries.DedupOps.q31MinhashLsh.fn(spark, sf))
+    assert(p.contains("array_distinct"), "per-doc dedup must be the array form")
+    assert(!p.contains("collect_list"),
+      "fingerprint sets must not be rebuilt with a groupBy collect")
+  }
+
+  test("q51/q52: n-gram relations dedup map-side with bounded posting buffers") {
+    val p51 = planOf(queries.PipelineOps.q51Decontaminate.fn(spark, sf))
+    assert(p51.contains("array_distinct") && p51.contains("collect_long_list_capped"),
+      p51.take(400))
+    val p52 = planOf(queries.PipelineOps.q52SourceNovelty.fn(spark, sf))
+    assert(p52.contains("array_distinct"), p52.take(400))
   }
 }
