@@ -122,6 +122,11 @@ object VectorOps {
     * while the oracle folds the identical double products sequentially —
     * bit-equal signs, no decimals.
     */
+  /** Public so layout code (and the partition-pruning spec) can key
+    * storage by the same bucket the probe filters on.
+    */
+  def lshBucket: org.apache.spark.sql.Column = bucketCol
+
   private def bucketCol: org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(org.apache.spark.sql.graft.VectorExpressions
