@@ -204,6 +204,49 @@ object PipelineOps {
       .orderBy("ord")
   }
 
+  /** Q54 — tokenizer vocab coverage: build the top-1000 vocabulary from
+    * the corpus itself (count-desc, word tie-break — deterministic), then
+    * measure per-language what fraction of running tokens it covers —
+    * the OOV-rate readiness metric computed before committing to a
+    * tokenizer.
+    *
+    * Plan shape: the vocab is a DERIVED dimension — top-k via
+    * TakeOrdered, then broadcast to a map-side left join against the
+    * token stream (the corpus never shuffles on the word); only the tiny
+    * per-language rollup exchanges. At 100 TB the vocab build is the
+    * classic two-level word count and everything after it is map-side.
+    */
+  val q54VocabCoverage: QueryDef = QueryDef.sql(
+    "q54_vocab_coverage",
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($ToksSql) AS word FROM documents),
+       |vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS n FROM tok GROUP BY word
+       |    ORDER BY n DESC, word LIMIT 1000)),
+       |m AS (SELECT t.lang, CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM tok t LEFT JOIN vocab v ON t.word = v.word)
+       |SELECT lang, count(*) AS n_tokens,
+       |  CAST(sum(hit) AS BIGINT) AS in_vocab,
+       |  1.0 - CAST(sum(hit) AS BIGINT) / count(*) AS oov_rate
+       |FROM m
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.broadcast
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(1000)
+      .select(col("word"), lit(true).as("hit0"))
+    tok.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("hit0"), 1L).otherwise(0L)).as("in_vocab"))
+      .withColumn("oov_rate", lit(1.0) - col("in_vocab") / col("n_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty)
+    q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
+    q54VocabCoverage)
 }
