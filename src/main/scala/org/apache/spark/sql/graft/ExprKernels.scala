@@ -1,0 +1,133 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native expressions — the single source of
+  * truth called by BOTH evaluation paths: `nullSafeEval` (interpreted)
+  * and the generated code from `doGenCode` (a top-level object compiles
+  * to a mirror class with static forwarders, so generated Java calls
+  * `ExprKernels.tokenize(...)` directly).
+  *
+  * Keeping the expressions codegen-capable matters beyond the call
+  * itself: one `CodegenFallback` expression forces the WHOLE enclosing
+  * projection out of whole-stage codegen, deoptimizing every other
+  * column in the stage.
+  */
+object ExprKernels {
+
+  /** Lowercase + maximal-[a-z0-9]-run scan (see Tokenize). */
+  def tokenize(input: UTF8String): ArrayData = {
+    val s = input.toLowerCase.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += UTF8String.fromString(s.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Composable rolling-hash n-gram fingerprints (see ShingleHashes). */
+  def shingleHashes(arr: ArrayData, arity: Int): ArrayData = {
+    val P = RollingHash.P
+    val n = arr.numElements()
+    if (n < arity) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    val pow = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var acc = 0L
+      var p = 1L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        p = (p * 31) % P
+        j += Character.charCount(cp)
+      }
+      h(i) = acc
+      pow(i) = p
+      i += 1
+    }
+    val out = new Array[Long](n - arity + 1)
+    i = 0
+    while (i < n - arity + 1) {
+      var acc = h(i)
+      var k = i + 1
+      while (k < i + arity) {
+        val withSpace = (acc * 31 + 32) % P // ' ' == 32
+        acc = (withSpace * pow(k) + h(k)) % P
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** (a·f+b) mod p minima per hash function (see MinHashSignature). */
+  def minhash(fps: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val k = a.length
+    val n = fps.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val f = fps.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (a(j) * f + b(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit term-frequency bit-balance simhash (see SimHash32). */
+  def simhash32(ths: ArrayData): Long = {
+    val n = ths.numElements()
+    val balance = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = ths.getLong(i)
+      var j = 0
+      while (j < 32) {
+        balance(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (balance(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  def rollingHash(s: UTF8String): Long = RollingHash.hash(s.toString)
+
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = RollingHash.hash(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

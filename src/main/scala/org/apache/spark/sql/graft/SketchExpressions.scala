@@ -1,52 +1,45 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for the dedup hot path.
   *
   * The SQL-lambda formulations (`transform`/`aggregate`) evaluate an
   * interpreted expression tree per element — for MinHash that is
   * |shingles| × |hash family| tree walks per document. These expressions
-  * make one call per row and run a tight JVM loop over the primitive
-  * ArrayData (CodegenFallback: the per-row call is interpreted, the inner
-  * loop is not — the row count is small relative to the element count, so
-  * this captures ~all of the win without array-returning codegen).
+  * make one call per row into a tight static kernel ([[ExprKernels]]) and
+  * participate in whole-stage codegen (`doGenCode` emits the same kernel
+  * call), so they never force the enclosing projection out of the fused
+  * stage.
   *
   * The arithmetic is EXACTLY the oracle's formula ((a·h+b) mod p minima,
   * bit-balance simhash), so results stay bit-identical to DuckDB.
   */
 case class MinHashSignature(child: Expression, hashA: Seq[Long], hashB: Seq[Long], p: Long)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  private val k = hashA.length
   private val aArr = hashA.toArray
   private val bArr = hashB.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val fps = input.asInstanceOf[ArrayData]
-    val n = fps.numElements()
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val f = fps.getLong(i)
-      var j = 0
-      while (j < k) {
-        val h = (aArr(j) * f + bArr(j)) % p
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhash(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the hash-family coefficients ride as generated-class references
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.minhash($c, $aRef, $bRef, ${p}L)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -55,34 +48,18 @@ case class MinHashSignature(child: Expression, hashA: Seq[Long], hashB: Seq[Long
 
 /** 32-bit term-frequency SimHash over an array of token hashes. */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  override def nullSafeEval(input: Any): Any = {
-    val ths = input.asInstanceOf[ArrayData]
-    val n = ths.numElements()
-    val balance = new Array[Long](32)
-    var i = 0
-    while (i < n) {
-      val h = ths.getLong(i)
-      var j = 0
-      while (j < 32) {
-        balance(j) += ((h >> j) & 1L) * 2L - 1L
-        j += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 32) {
-      if (balance(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.simhash32(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -95,14 +72,18 @@ case class SimHash32(child: Expression)
   * tree-walk per character.
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(RollingHash.hash(input.toString))
+    java.lang.Long.valueOf(ExprKernels.rollingHash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.rollingHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -124,23 +105,18 @@ object RollingHash {
 
 /** [[RollingHash]] applied to every element of a string array. */
 case class TokenHashes(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = RollingHash.hash(arr.getUTF8String(i).toString)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.tokenHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
