@@ -118,6 +118,26 @@ class PlanSpec extends SparkSpec {
     assert(probed.count() == expected)
   }
 
+  test("native text/sketch expressions stay inside whole-stage codegen spans") {
+    // codegen'd operators print with a *(n) stage prefix — but only in
+    // the FINAL adaptive plan, so execute first, then match the tree
+    def fusedContains(df: DataFrame, marker: String): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains(marker) && l.contains("*("))
+    }
+    // one CodegenFallback expression would eject the whole projection
+    // from the fused stage — assert each family actually fuses
+    assert(fusedContains(queries.TextOps.q15TokenStats.fn(spark, sf), "tokenize"),
+      "tokenize fell out of whole-stage codegen")
+    assert(fusedContains(queries.TextOps.q17Fingerprint.fn(spark, sf), "rolling_hash"),
+      "rolling_hash fell out of whole-stage codegen")
+    assert(fusedContains(queries.DedupOps.q32Simhash.fn(spark, sf), "simhash32"),
+      "simhash32 fell out of whole-stage codegen")
+    assert(fusedContains(queries.DedupOps.q31MinhashLsh.fn(spark, sf), "minhash_signature"),
+      "minhash_signature fell out of whole-stage codegen")
+  }
+
   test("q51/q52: n-gram relations dedup map-side with bounded posting buffers") {
     val p51 = planOf(queries.PipelineOps.q51Decontaminate.fn(spark, sf))
     assert(p51.contains("array_distinct") && p51.contains("collect_long_list_capped"),
