@@ -68,4 +68,67 @@ class PipelineSpec extends SparkSpec {
     val (acc2, _) = lr.evaluate(data, w2)
     assert(acc2 == acc)
   }
+
+  test("curation pipeline: sample -> quality -> dedup -> decontaminate -> pack") {
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val docs = Tables(spark, sf, "documents")
+
+    // 1. deterministic stratified sample (q49 shape)
+    val sampled = docs
+      .withColumn("bucket", fingerprint("CAST(doc_id AS STRING)") % 100)
+      .filter(col("bucket") <
+        when(col("lang") === "en", 25).when(col("lang") === "de", 60).otherwise(80))
+      .drop("bucket")
+
+    // 2. quality floor (q18 shape)
+    val kept = sampled.filter(size(tokens("text")) >= 10)
+
+    // 3. exact dedup, canonical per content hash (q20 shape)
+    val canonical = kept
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("h", "rn")
+
+    // 4. decontaminate the training split against the held-out source —
+    // contaminationFlags is plain column algebra, so the same function
+    // serves batch frames and streams
+    val train = canonical.filter(col("source") =!= "src19")
+    val heldOut = docs.filter(col("source") === "src19")
+    val flagged = graft.streaming.DocumentStreams
+      .contaminationFlags(train, heldOut, minShared = 2)
+      .select("doc_id")
+    val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+
+    // 5. pack into 256-token bins per shard (q50 shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = clean
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokens("text")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum_tok - n_tok) div 256"))
+
+    // volume is monotone down the funnel and nothing is invented
+    val counts = Seq(docs, sampled, kept, canonical, train, clean, packed)
+      .map(_.count())
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"funnel grew somewhere: $counts")
+    assert(counts.last > 0, "pipeline filtered everything out")
+    // no flagged doc survives
+    assert(packed.join(flagged, "doc_id").isEmpty)
+    // packing invariant per shard: cumsum is consistent and bins advance
+    val oneShard = packed.orderBy("lang", "source", "doc_id")
+      .collect().groupBy(r => (r.getString(1), r.getString(2)))
+    oneShard.values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        cum += r.getLong(3)
+        assert(r.getLong(4) == cum, "cum_tok mismatch")
+        assert(r.getLong(5) == (cum - r.getLong(3)) / 256, "bin mismatch")
+      }
+    }
+  }
 }
