@@ -44,6 +44,13 @@ object GraftExtensions {
           ShingleHashes(arr, n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "shingle_hashes(tokens[, arity])")
+      }),
+    ("collect_long_list_capped", classOf[CollectLongListCapped].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(child, cap) => CollectLongListCapped(child,
+          cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "collect_long_list_capped(col, cap)")
       }))
 }
 

@@ -48,6 +48,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L).length == 8)                        // bounded, not 40
     assert(got(2L).forall(v => v >= 1 && v <= 40))
     assert(got(3L).isEmpty)                            // nulls skipped
+    // and callable from plain SQL through the registry
+    val viaSql = spark.sql(
+      "SELECT size(collect_long_list_capped(v, 3)) FROM VALUES (1L),(2L),(3L),(4L),(5L) AS t(v)"
+    ).head.getInt(0)
+    assert(viaSql == 3)
   }
 
   test("shingle_hashes callable from SQL at default and explicit arity") {
