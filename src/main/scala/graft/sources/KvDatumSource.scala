@@ -73,9 +73,16 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns {
+      // column pruning reaches the decoder: a count()/id-only scan skips
+      // the protobuf parse and the CHW reorder entirely (the `data` copy
+      // is the dominant per-row cost for image payloads)
+      private var required: StructType = KvDatumSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = KvDatumSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       /** LmdbRDD.getPartitions semantics: ceil-split the key space into
@@ -102,7 +109,7 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new KvDatumReaderFactory(path)
+        new KvDatumReaderFactory(path, required.fieldNames)
     }
 }
 
@@ -115,10 +122,13 @@ private[sources] case class KvRangePartition(
     index: Int, startKey: Array[Byte], size: Int, startOffset: Long)
     extends InputPartition
 
-private[sources] class KvDatumReaderFactory(path: String)
+private[sources] class KvDatumReaderFactory(path: String, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvRangePartition]
+    // pruning decisions hoisted out of the row loop
+    val needsDatum = fields.exists(_ != "id")
+    val needsData = fields.contains("data")
     new PartitionReader[InternalRow] {
       private val it = KvStore.seekAt(path, p.startKey, p.startOffset)
       private var read = 0
@@ -127,13 +137,20 @@ private[sources] class KvDatumReaderFactory(path: String)
         if (read >= p.size || !it.hasNext) return false
         val (k, v) = it.next()
         read += 1
-        val d = Datum.parse(v)
+        val d = if (needsDatum) Datum.parse(v) else null
         val mat =
-          if (d.encoded || d.channels <= 1) d.data
+          if (!needsData) null
+          else if (d.encoded || d.channels <= 1) d.data
           else graft.multimodal.Multimodal.chwToHwc(d.data, d.channels, d.height, d.width)
-        row = new GenericInternalRow(Array[Any](
-          UTF8String.fromBytes(k), UTF8String.fromString(d.label.toString),
-          d.channels, d.height, d.width, d.encoded, mat))
+        row = new GenericInternalRow(fields.map[Any] {
+          case "id" => UTF8String.fromBytes(k)
+          case "label" => UTF8String.fromString(d.label.toString)
+          case "channels" => d.channels
+          case "height" => d.height
+          case "width" => d.width
+          case "encoded" => d.encoded
+          case "data" => mat
+        })
         true
       }
       override def get(): InternalRow = row

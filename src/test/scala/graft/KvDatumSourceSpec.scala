@@ -133,6 +133,24 @@ class KvDatumSourceSpec extends SparkSpec {
       "partition readers left open handles on the KV store file")
   }
 
+  test("column pruning reaches the scan: id-only reads skip the Datum decode") {
+    val dir = writeFixture(30)
+    val df = spark.read.format("graft.sources.KvDatumSource")
+      .option("path", dir).option("numPartitions", "3").load()
+    val idOnly = df.select("id")
+    // the pruned schema must reach the DSv2 scan, not a post-scan project:
+    // the BatchScan's output column list holds only id
+    val scan = idOnly.queryExecution.executedPlan.toString
+    val scanLine = scan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert("""\[id#\d+\]""".r.findFirstIn(scanLine).isDefined, scanLine)
+    assert(!scanLine.contains("data#"), scanLine)
+    assert(idOnly.count() == 30)
+    assert(idOnly.orderBy("id").head.getString(0) == "key00000")
+    // and a metadata-only projection decodes the Datum but skips the pixels
+    val dims = df.select("id", "channels", "height", "width").orderBy("id").head
+    assert(dims.getInt(1) == 3 && dims.getInt(2) == 2 && dims.getInt(3) == 2)
+  }
+
   test("encoded payloads pass through undecoded (reference keeps them for Mat.decode)") {
     val dir = java.nio.file.Files.createTempDirectory("kvenc").toString
     val payload = Array[Byte](9, 8, 7)
