@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,38 +75,95 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       // column pruning reaches the decoder: a count()/id-only scan skips
       // the protobuf parse and the CHW reorder entirely (the `data` copy
       // is the dominant per-row cost for image payloads)
       private var required: StructType = KvDatumSource.schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+
+      // id-bound pushdown — THE payoff of key-range partitioning: the
+      // store is key-sorted, so an id predicate clips whole partitions at
+      // planning time and stops readers at the upper bound instead of
+      // exhausting their entry budget (LMDB cursors give the same).
+      // Bounds are unsigned-byte-order on the utf8 id, matching KvStore.
+      private var lower: Array[Byte] = _ // inclusive; null = begin
+      private var upper: Array[Byte] = _ // inclusive; null = end
+      private var pushed: Array[sources.Filter] = Array.empty
+
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        val (accepted, rest) = filters.partition {
+          case sources.EqualTo("id", _: String) => true
+          case sources.GreaterThan("id", _: String) => true
+          case sources.GreaterThanOrEqual("id", _: String) => true
+          case sources.LessThan("id", _: String) => true
+          case sources.LessThanOrEqual("id", _: String) => true
+          case sources.StringStartsWith("id", _) => true
+          case _ => false
+        }
+        def bytes(v: Any) = v.asInstanceOf[String].getBytes("UTF-8")
+        def tightenLower(b: Array[Byte]): Unit =
+          if (lower == null || KvStore.compare(b, lower) > 0) lower = b
+        def tightenUpper(b: Array[Byte]): Unit =
+          if (upper == null || KvStore.compare(b, upper) < 0) upper = b
+        accepted.foreach {
+          case sources.EqualTo(_, v: String) =>
+            tightenLower(bytes(v)); tightenUpper(bytes(v))
+          case sources.GreaterThan(_, v: String) => tightenLower(bytes(v))
+          case sources.GreaterThanOrEqual(_, v: String) => tightenLower(bytes(v))
+          case sources.LessThan(_, v: String) => tightenUpper(bytes(v))
+          case sources.LessThanOrEqual(_, v: String) => tightenUpper(bytes(v))
+          case sources.StringStartsWith(_, p) =>
+            // prefix range: [p, p ++ 0xFF] in unsigned byte order
+            tightenLower(bytes(p)); tightenUpper(bytes(p) :+ 0xFF.toByte)
+          case _ => ()
+        }
+        pushed = accepted
+        // strict bounds (GreaterThan/LessThan) are widened to inclusive
+        // ranges here, so Spark must keep evaluating every filter
+        rest ++ accepted
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       /** LmdbRDD.getPartitions semantics: ceil-split the key space into
-        * ranges by walking it once and recording start keys.
+        * ranges by walking it once and recording start keys — skipping
+        * records outside the pushed id bounds, so a tight predicate plans
+        * fewer, denser partitions.
         */
       override def planInputPartitions(): Array[InputPartition] = {
-        val n = KvStore.count(path)
-        if (n == 0) return Array(KvRangePartition(0, null, 0, 0L))
+        def inBounds(k: Array[Byte]): Boolean =
+          (lower == null || KvStore.compare(k, lower) >= 0) &&
+            (upper == null || KvStore.compare(k, upper) <= 0)
+        var n = 0L
+        locally {
+          val it = KvStore.iterate(path)
+          try while (it.hasNext) { if (inBounds(it.next()._1)) n += 1 }
+          finally it.close()
+        }
+        if (n == 0) return Array(KvRangePartition(0, null, 0, 0L, upper))
         val partSize = math.ceil(n.toDouble / numPartitions).toInt
-        val starts = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]((null, 0L))
+        val starts = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
         var i = 0L
         val it = KvStore.iterate(path)
         try {
           while (it.hasNext) {
             val off = it.nextRecordOffset
             val (k, _) = it.next()
-            if (i > 0 && i % partSize == 0) starts += ((k, off))
-            i += 1
+            if (inBounds(k)) {
+              if (i % partSize == 0) starts += ((k, off))
+              i += 1
+            }
           }
         } finally it.close()
         starts.zipWithIndex
           .map { case ((k, off), idx) =>
-            KvRangePartition(idx, k, partSize, off): InputPartition }
+            KvRangePartition(idx, k, partSize, off, upper): InputPartition }
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -117,9 +175,13 @@ private[sources] class KvDatumTable(path: String, numPartitions: Int)
   * planner-recorded byte offset of the start key — an O(1) positioning hint
   * the reader validates (and discards, falling back to the key scan) if the
   * store changed after planning. The KEY remains the partition's identity.
+  * `stopAfter` carries the pushed inclusive upper id bound (null = none):
+  * keys are sorted, so the reader ends at the first key past it instead of
+  * exhausting its entry budget.
   */
 private[sources] case class KvRangePartition(
-    index: Int, startKey: Array[Byte], size: Int, startOffset: Long)
+    index: Int, startKey: Array[Byte], size: Int, startOffset: Long,
+    stopAfter: Array[Byte])
     extends InputPartition
 
 private[sources] class KvDatumReaderFactory(path: String, fields: Array[String])
@@ -136,6 +198,10 @@ private[sources] class KvDatumReaderFactory(path: String, fields: Array[String])
       override def next(): Boolean = {
         if (read >= p.size || !it.hasNext) return false
         val (k, v) = it.next()
+        if (p.stopAfter != null && KvStore.compare(k, p.stopAfter) > 0) {
+          it.close() // sorted keys: nothing further can match
+          return false
+        }
         read += 1
         val d = if (needsDatum) Datum.parse(v) else null
         val mat =

@@ -151,6 +151,31 @@ class KvDatumSourceSpec extends SparkSpec {
     assert(dims.getInt(1) == 3 && dims.getInt(2) == 2 && dims.getInt(3) == 2)
   }
 
+  test("id predicates push into key-range planning and stop readers early") {
+    val dir = writeFixture(100)
+    val df = spark.read.format("graft.sources.KvDatumSource")
+      .option("path", dir).option("numPartitions", "4").load()
+    // range predicate: exactly keys 00020..00029 + 00030
+    val ranged = df.filter(col("id") >= "key00020" && col("id") <= "key00030")
+    assert(ranged.count() == 11)
+    assert(ranged.orderBy("id").collect().map(_.getString(0)).toSeq ==
+      (20 to 30).map(i => f"key$i%05d"))
+    // prefix predicate
+    val prefixed = df.filter(col("id").startsWith("key0009"))
+    assert(prefixed.count() == 10)
+    // the pushed bounds shrink the PLANNED row budget: 11 in-bounds rows
+    // across 4 partitions = ceil sizes, not 100-row budgets
+    val parts = ranged.rdd.getNumPartitions
+    assert(parts <= 4)
+    val sizes = ranged.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == 11 && sizes.max <= 3, sizes.toSeq.toString)
+    // equality collapses to a single-key range
+    assert(df.filter(col("id") === "key00042").count() == 1)
+    // contradictory bounds plan an empty scan, not an error
+    assert(df.filter(col("id") > "key00050" && col("id") < "key00010").count() == 0)
+  }
+
   test("encoded payloads pass through undecoded (reference keeps them for Mat.decode)") {
     val dir = java.nio.file.Files.createTempDirectory("kvenc").toString
     val payload = Array[Byte](9, 8, 7)
