@@ -174,6 +174,40 @@ class OperatorUtilSpec extends SparkSpec {
     })
   }
 
+  test("connected components: min-label fixpoint over chains, cliques, pairs") {
+    import graft.operators.Components
+    // components: chain 1-2-3-4, clique 10-11-12 (+13 via 12), pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 10)
+  }
+
+  test("canonicalize keeps min doc per near-dup cluster, untouched docs survive") {
+    import graft.operators.Components
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = Seq((3L, 7L), (7L, 9L), (20L, 25L)).toDF("a", "b")
+    val kept = Components.canonicalize(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(7L) && !kept.contains(9L) && !kept.contains(25L))
+    assert(kept.contains(3L) && kept.contains(20L))
+    assert(kept.size == 27)
+    // end-to-end with a real pair relation: q31's near-dup pairs
+    val realDocs = Tables(spark, sf, "documents")
+    val realPairs = queries.DedupOps.q31MinhashLsh.fn(spark, sf)
+      .select(col("a"), col("b"))
+    val canon = Components.canonicalize(realDocs, realPairs)
+    assert(canon.count() < realDocs.count())
+    // no two surviving docs are a detected near-dup pair
+    val survivors = canon.select(col("doc_id").as("a"))
+    assert(realPairs.join(survivors, "a")
+      .join(canon.select(col("doc_id").as("b")), "b").isEmpty)
+  }
+
   test("salted join equals the plain join on skewed keys and shuffles on (key, salt)") {
     import graft.operators.Salting
     // 90% of the big side lands on one hot key
