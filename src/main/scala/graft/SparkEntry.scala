@@ -15,7 +15,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     q.Relational.all ++ q.TextOps.all ++ q.EventOps.all ++ q.VectorOps.all ++
       q.MlOps.all ++ q.DedupOps.all ++ q.MultimodalOps.all ++ q.SqlSurface.all ++
-      q.PipelineOps.all
+      q.PipelineOps.all ++ q.CurationOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond PipelineOps: sensitive-token scrubbing,
+  * model-scored quality filtering, and temperature-based language mixing —
+  * the remaining stages of a pretraining data recipe (reference analogue:
+  * the caption/label cleaning inside tools/Conversions.scala:22-29 and the
+  * source interleaving implied by CaffeOnSpark.scala:284-302's epoch
+  * scheduling, generalized to corpus curation).
+  *
+  * All three are scan-shaped: q55/q56 are pure maps, q57 reduces to
+  * |languages| rows then broadcasts two scalars back — nothing here
+  * shuffles document text, so each scales as a linear pass at 100 TB.
+  */
+object CurationOps {
+
+  private val toks = tokens("text")
+  private val ToksSql = TokensSql("text")
+
+  /** Q55 — sensitive-token scrubbing (PII redaction shape): a chained
+    * regex-rule table applied per row — emails, then IPv4s, then any
+    * residual digit run — with a per-row hit count for audit sampling.
+    * Patterns are RE2-compatible so Java regex and DuckDB's RE2 interpret
+    * them identically; Spark's regexp_replace is global like DuckDB's 'g'.
+    *
+    * Scale notes: map-only over the event stream (no shuffle except the
+    * final order), so redaction runs at full scan bandwidth; the rule
+    * table extends by composing more `regexp_replace` steps without
+    * changing the plan shape.
+    */
+  val q55PiiScrub: QueryDef = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+    val ipv4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+    val num = "[0-9]+"
+    QueryDef.sql(
+      "q55_pii_scrub",
+      s"""SELECT event_id, event_type,
+         |  regexp_replace(regexp_replace(regexp_replace(props,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ipv4', '<IP>', 'g'),
+         |    '$num', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(props, '$email')) +
+         |    len(regexp_extract_all(props, '$ipv4')) +
+         |    len(regexp_extract_all(props, '$num')) AS n_hits
+         |FROM events
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          regexp_replace(regexp_replace(regexp_replace(col("props"),
+            lit(email), lit("<EMAIL>")),
+            lit(ipv4), lit("<IP>")),
+            lit(num), lit("<NUM>")).as("scrubbed"),
+          (expr(s"regexp_count(props, '$email')") +
+            expr(s"regexp_count(props, '$ipv4')") +
+            expr(s"regexp_count(props, '$num')")).as("n_hits"))
+        .orderBy("event_id")
+    }
+  }
+
+  /** Q56 — model-scored quality filtering: a linear quality model over
+    * map-side text features (stopword ratio, distinct-token ratio, length
+    * saturation), keeping documents whose logit clears 0 — the
+    * classifier-based filter stage of a curation funnel (the fastText-style
+    * quality gate), here with weights fit offline by graft.ml's
+    * LogisticRegression on these exact features (MlSpec re-derives the
+    * signs). The raw logit is thresholded directly — sigmoid is monotone,
+    * so the decision is identical and no transcendental enters the
+    * cross-engine compare.
+    *
+    * Determinism: every feature is an int/int division (exact), the score
+    * is a fixed left-to-right double polynomial — bit-identical in any
+    * IEEE engine. Scale notes: all features come from the token array of
+    * the row itself (array_distinct replaces a per-doc groupBy), so the
+    * filter is map-only at any corpus size.
+    */
+  val q56QualityFilter: QueryDef = {
+    val stopIn = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+      .map(w => s"'$w'").mkString(", ")
+    // Offline fit of graft.ml.LogisticRegression on (stop, distinct, len)
+    // at sf0.001, rounded to 1 decimal (the rounding is part of the
+    // published model, like any shipped checkpoint).
+    val (w0, wStop, wDist, wLen) = (-2.2, 3.0, 2.5, 1.5)
+    QueryDef.sql(
+      "q56_quality_filter",
+      s"""SELECT doc_id, stop_ratio, distinct_ratio, len_norm, score
+         |FROM (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> x IN ($stopIn))) / len(t) AS stop_ratio,
+         |    len(list_distinct(t)) / len(t) AS distinct_ratio,
+         |    least(len(t) / 100.0, 1.0) AS len_norm,
+         |    $w0 + $wStop * (len(list_filter(t, x -> x IN ($stopIn))) / len(t))
+         |      + $wDist * (len(list_distinct(t)) / len(t))
+         |      + $wLen * least(len(t) / 100.0, 1.0) AS score
+         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+         |  WHERE len(t) > 0)
+         |WHERE score > 0.0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"),
+          expr(s"size(filter(t, x -> x IN ($stopIn))) / size(t)").as("stop_ratio"),
+          expr("size(array_distinct(t)) / size(t)").as("distinct_ratio"),
+          least(size(col("t")) / 100.0, lit(1.0)).as("len_norm"))
+        .withColumn("score",
+          lit(w0) + lit(wStop) * col("stop_ratio")
+            + lit(wDist) * col("distinct_ratio") + lit(wLen) * col("len_norm"))
+        .filter(col("score") > 0.0)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Q57 — temperature-based language mixing (α = 0.5): sampling weights
+    * ∝ share^α flatten the language skew of the raw corpus (en holds ~45%)
+    * into the mixing distribution a multilingual pretraining run draws
+    * from — the standard rebalancing rule. Because p_s = share^0.5
+    * normalized, the total cancels: p_s = √n_s / Σ√n_k.
+    *
+    * Determinism: √ of a long is correctly rounded IEEE in both engines;
+    * the denominator Σ√n is a SEQUENTIAL fold over the language-sorted
+    * weight list (sum order is fixed, not shuffle-dependent); shares are
+    * int/int divisions. Scale notes: the corpus reduces map-side to
+    * |languages| rows; the two scalars (total, denominator) broadcast
+    * back — no document row ever reshuffles, and the final mixing table
+    * is dimension-sized at any corpus scale.
+    */
+  val q57TemperatureMix: QueryDef = QueryDef.sql(
+    "q57_temperature_mix",
+    s"""WITH s AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY lang),
+       |d AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       |    list_reduce(list_prepend(0.0, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+       |      (a, b) -> a + b) AS wsum
+       |  FROM s)
+       |SELECT lang, n_docs, total_chars,
+       |  CAST(n_docs AS BIGINT) / total_docs AS share,
+       |  sqrt(CAST(n_docs AS DOUBLE)) / wsum AS mix_p,
+       |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / wsum * 10000) AS BIGINT) AS budget_docs
+       |FROM s, d
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val perLang = Tables(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    // one-row scalar table: total docs (exact long) + the sequential-fold
+    // denominator over the lang-sorted weight list
+    val denom = perLang
+      .agg(sum(col("n_docs")).as("total_docs"),
+        aggregate(
+          array_sort(collect_list(struct(col("lang"), sqrt(col("n_docs")).as("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("wsum"))
+    perLang.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        (col("n_docs") / col("total_docs")).as("share"),
+        (sqrt(col("n_docs")) / col("wsum")).as("mix_p"),
+        floor(sqrt(col("n_docs")) / col("wsum") * 10000).cast("long").as("budget_docs"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(q55PiiScrub, q56QualityFilter, q57TemperatureMix)
+}
