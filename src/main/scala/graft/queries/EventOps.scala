@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
 object EventOps {
 
   // exact integer-cents money sums (see queries.Relational header): the
-  // value column is a 2-decimal double; round(v*100) recovers exact cents,
-  // the sum accumulates as DECIMAL(38,0) from longs (overflow-safe, no
-  // per-row decimal-string casts), and the oracle routes the sum through
-  // VARCHAR (DuckDB HUGEINT→DOUBLE double-rounds above 2^53)
+  // value column is a 2-decimal double; floor(v*100 + 0.5) recovers exact
+  // cents in pure double/long codegen (values land within 1e-9 of the cent
+  // integer, never on a tie), the sum accumulates in the native 128-bit
+  // Sum128 aggregate (overflow-safe, no per-row Decimal allocation), and
+  // the oracle routes the sum through VARCHAR (DuckDB HUGEINT→DOUBLE
+  // double-rounds above 2^53)
   private def centsSum(c: org.apache.spark.sql.Column) =
-    sum(round(c * 100).cast(LongType).cast(DecimalType(38, 0)))
+    org.apache.spark.sql.graft.SumExpressions.sum128(floor(c * 100 + lit(0.5)))
       .cast(DoubleType) / 100.0
   private def SumVal(x: String) =
     s"(CAST(CAST(sum(CAST(round($x * 100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)"

@@ -51,7 +51,9 @@ object GraftExtensions {
           cap.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "collect_long_list_capped(col, cap)")
-      }))
+      }),
+    ("sum128", classOf[Sum128].getName,
+      (c: Seq[Expression]) => Sum128(c.head).toAggregateExpression()))
 }
 
 /** Runtime registration for sessions that already exist (extensions bind

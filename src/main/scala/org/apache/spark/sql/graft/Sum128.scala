@@ -1,0 +1,128 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Exact 128-bit integer sum of a BIGINT column at primitive-codegen speed.
+  *
+  * The engine's money arithmetic works on integer cents (queries.Relational
+  * header), whose grouped sums overflow a raw 64-bit `sum(long)` near 10^19
+  * — reachable at the 100 TB design point (~10^10 rows × ~10^9-cent
+  * products). The previous formulation summed `CAST(cents AS DECIMAL(38,0))`,
+  * which is overflow-safe but allocates a `Decimal` per row inside the hash
+  * aggregate (~0.4 s of q1's 1.1 s at sf0.1, measured). This aggregate keeps
+  * the exactness and the primitive speed: the accumulator is two LongType
+  * buffer slots (hi, lo) forming a signed 128-bit integer, updated with
+  * branch-free carry arithmetic that whole-stage codegen compiles to plain
+  * long ops in the UnsafeRow fixed-width buffer — no object allocation, no
+  * ObjectHashAggregate fallback.
+  *
+  * Semantics: nulls are skipped; an empty group evaluates to 0 (the engine
+  * never aggregates empty groups — grouped sums see ≥ 1 row). The final
+  * value materializes once per GROUP as a DECIMAL(38,0) (exactly hi·2^64 +
+  * lo, unsigned-lo), so downstream `cast(double) / 10^k` projections are
+  * identical to the decimal-sum formulation bit for bit. DECIMAL stays out
+  * of driver-visible output per the QueryDef dtype rules — callers project
+  * it to DOUBLE, as centsSum always has.
+  *
+  * Carry logic (update, same shape for merge): for `newLo = lo + v` the
+  * unsigned carry-out is `((lo & v) | ((lo | v) & ~newLo)) >>> 63` — the
+  * classic carry-out identity — and the high word adds `v >> 63` (sign
+  * extension of the long operand) plus that carry.
+  */
+case class Sum128(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sum128"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+
+  /** (newHi, newLo) for adding (vHi, vLo) into (h, l) with carry. The adds
+    * are LEGACY-mode on purpose: two's-complement wraparound of the low
+    * word is the mechanism the carry detection reads — ANSI overflow
+    * checking would reject exactly the case this aggregate exists for.
+    */
+  private def add128(h: Expression, l: Expression,
+      vHi: Expression, vLo: Expression): Seq[Expression] = {
+    val newLo = Add(l, vLo, EvalMode.LEGACY)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(l, vLo), BitwiseAnd(BitwiseOr(l, vLo), BitwiseNot(newLo))),
+      Literal(63))
+    val newHi = Add(Add(h, vHi, EvalMode.LEGACY), carry, EvalMode.LEGACY)
+    Seq(newHi, newLo)
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val v = If(IsNull(child), Literal(0L), child)
+    add128(hi, lo, ShiftRight(v, Literal(63)), v)
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] =
+    add128(hi.left, lo.left, hi.right, lo.right)
+
+  override lazy val evaluateExpression: Expression = Int128ToDecimal(hi, lo)
+
+  override protected def withNewChildInternal(newChild: Expression): Sum128 =
+    copy(child = newChild)
+}
+
+/** (hi, lo) two's-complement 128-bit → DECIMAL(38,0), exact. Evaluated once
+  * per output group (not per row), so the BigInteger path costs nothing
+  * measurable; the hot per-row/per-merge path stays in [[Sum128]]'s pure
+  * long arithmetic.
+  */
+case class Int128ToDecimal(hiExpr: Expression, loExpr: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = hiExpr
+  override def right: Expression = loExpr
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = false
+  override def prettyName: String = "int128_to_decimal"
+
+  private def toDecimal(h: Long, l: Long): Decimal = {
+    val big = java.math.BigInteger.valueOf(h).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(l)))
+    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(big)), 38, 0)
+  }
+
+  override def nullSafeEval(h: Any, l: Any): Any =
+    toDecimal(h.asInstanceOf[Long], l.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, l) =>
+      s"org.apache.spark.sql.graft.Int128ToDecimal$$.MODULE$$.javaToDecimal($h, $l)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int128ToDecimal =
+    copy(hiExpr = newLeft, loExpr = newRight)
+}
+
+object Int128ToDecimal {
+  /** Codegen entry point (static call target). */
+  def javaToDecimal(h: Long, l: Long): Decimal = {
+    val big = java.math.BigInteger.valueOf(h).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(l)))
+    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(big)), 38, 0)
+  }
+}
+
+object SumExpressions {
+  /** Exact 128-bit sum of a long column → DECIMAL(38,0). */
+  def sum128(c: Column): Column =
+    ExpressionUtils.column(Sum128(ExpressionUtils.expression(c)).toAggregateExpression())
+}

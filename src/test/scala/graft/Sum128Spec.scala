@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SumExpressions.sum128
+
+/** Property tests for the native 128-bit sum aggregate: bit-exact equality
+  * with the DECIMAL(38,0) reference sum under partials + merges, including
+  * sums far past the 64-bit range and negative values.
+  */
+class Sum128Spec extends SparkSpec {
+
+  private def check(values: Seq[Long], partitions: Int): Unit = {
+    import spark.implicits._
+    val df = values.toDF("v").repartition(partitions) // forces partial+merge
+    val got = df.agg(sum128(col("v")).cast("string")).head.getString(0)
+    val want = values.map(BigInt(_)).sum.toString
+    assert(got == want, s"sum128 mismatch: $got != $want over ${values.take(5)}…")
+  }
+
+  test("matches BigInt over random longs across merge boundaries") {
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val vs = Seq.fill(200)(rnd.nextLong() / 2)
+      check(vs, 7)
+    }
+  }
+
+  test("sums far past the 64-bit range stay exact") {
+    // 40 × (Long.MaxValue - small) ≈ 3.6e20 > 2^64; carries on every add
+    val vs = (0 until 40).map(i => Long.MaxValue - i.toLong)
+    check(vs, 5)
+    check(vs.map(-_), 5) // negative mirror exercises sign-extension carries
+    check(vs ++ vs.map(-_), 3) // cancellation back into the 64-bit range
+  }
+
+  test("mixed signs, zeros and nulls follow sum-skip-null semantics") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](1L, null, -5L, 7L, null, 0L)
+      .toDF("v").repartition(3)
+    val got = df.agg(sum128(col("v")).cast("long")).head.getLong(0)
+    assert(got == 3L)
+  }
+
+  test("grouped sums agree with the decimal reference sum per group") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => (i % 37, Long.MaxValue / 1000 * (if (i % 3 == 0) -1 else 1) + i))
+    val df = rows.toDF("k", "v").repartition(11)
+    val both = df.groupBy("k")
+      .agg(sum128(col("v")).cast("string").as("s128"),
+        sum(col("v").cast("decimal(38,0)")).cast("string").as("sdec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2), s"group ${r.get(0)}"))
+  }
+
+  test("registered as a SQL function and stays inside whole-stage codegen") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = (1L to 100L).toDF("v")
+    df.createOrReplaceTempView("__s128")
+    val viaSql = spark.sql("SELECT CAST(sum128(v) AS BIGINT) FROM __s128").head.getLong(0)
+    assert(viaSql == 5050L)
+    // the aggregate must run inside HashAggregate's codegen (primitive
+    // two-long buffer), not the ObjectHashAggregate fallback
+    val plan = df.agg(sum128(col("v"))).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+}
