@@ -108,6 +108,25 @@ object KMeans {
       .select(col("vec_id"), col("col.c_label").as("cell"),
         (col("pos") + 1).as("probe_rank"))
 
+  /** Driver-side probe cells for an already-collected query vector: the
+    * same sequential-fold distances and (d, cell) tie ordering as
+    * [[probeCellsWith]], computed as plain Scala over the collected
+    * centroid table — when both the query and the centroids are on the
+    * driver, the probe list is k·dim flops and deserves no Spark job.
+    */
+  def probeCellsLocal(qv: Seq[Float], cents: Seq[(Long, Seq[Double])],
+      nprobe: Int): Seq[Long] =
+    cents.map { case (cl, c) =>
+      var d = 0.0
+      var i = 0
+      while (i < c.length) {
+        val x = qv(i).toDouble - c(i)
+        d += x * x
+        i += 1
+      }
+      (d, cl)
+    }.sorted.take(nprobe).map(_._2)
+
   /** Lloyd iterations from a warm-start assignment column: each step
     * recomputes cell centroids from the current assignment and reassigns.
     * Returns the final assignment (vec_id, label, embedding, cell).

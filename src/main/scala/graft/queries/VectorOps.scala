@@ -20,6 +20,8 @@ object VectorOps {
 
   private def fdot(a: String, b: String) =
     org.apache.spark.sql.graft.VectorExpressions.float_dot(col(a), col(b))
+  private def fdot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.VectorExpressions.float_dot(a, b)
 
   /** Q26 — element-wise vector mean per label (SURVEY A1: the VectorMean
     * UDAF, reference VectorMean.scala:17-64, reformulated as
@@ -254,16 +256,19 @@ object VectorOps {
       // — rebasing off a0 would re-evaluate a0's argmin fold on every a1
       // recompute for a cell column assignWith overwrites anyway
       val a1 = KMeans.assignWith(emb, c1)
-      val q = a1.filter(col("vec_id") === 0)
       // nprobe=2: search the query's two nearest cells — the IVF
       // recall/read trade (reads ~2/k of the corpus, catches neighbors
-      // across the query's nearest Voronoi boundary)
-      val probeSet = KMeans.probeCellsWith(q, c1, nprobe = 2)
-        .join(q.select(col("vec_id"), col("embedding").as("qv")), "vec_id")
-        .select(col("cell").as("pcell"), col("qv"))
-      a1.filter(col("vec_id") =!= 0)
-        .join(broadcast(probeSet), col("cell") === col("pcell"))
-        .select(col("vec_id"), col("label"), col("cell"), fdot("embedding", "qv").as("dot"))
+      // across the query's nearest Voronoi boundary). The single query
+      // vector collects through a pushed-down vec_id scan and its probe
+      // cells are driver math over the already-collected centroids — no
+      // probe-set job, no broadcast build; the probe predicate lands in
+      // the scan as an IN filter.
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val probeCells = KMeans.probeCellsLocal(qv, c1, nprobe = 2)
+      a1.filter(col("vec_id") =!= 0 && col("cell").isin(probeCells: _*))
+        .select(col("vec_id"), col("label"), col("cell"),
+          fdot2(col("embedding"), lit(qv.toArray)).as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
     }
@@ -436,11 +441,18 @@ object VectorOps {
     val c1 = KMeans.collectCentroids(KMeans.centroids(
       KMeans.assignWith(emb, c0), "cell"))
     val a1 = KMeans.assignWith(emb, c1)
-    val iq = a1.filter(col("vec_id") < RecallQueries)
-    val probeSet = KMeans.probeCellsWith(iq, c1, nprobe = 2)
-      .withColumnRenamed("vec_id", "qid")
-      .join(iq.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
-      .select(col("qid"), col("cell").as("pcell"), col("qv"))
+    // probe cells are driver math over the collected centroids (same
+    // fold/tie order as the distributed form — see q42): one pushed-down
+    // scan collects the 8 query vectors, the probe table becomes a
+    // literal 16-row broadcast
+    val qvs = emb.filter(col("vec_id") < RecallQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeRows = qvs.flatMap { case (qid, qv) =>
+      KMeans.probeCellsLocal(qv, c1, nprobe = 2).map(c => (qid, c, qv))
+    }.toSeq
+    val probeSet = s.createDataFrame(probeRows)
+      .toDF("qid", "pcell", "qv")
     val ivf = top10(a1.filter(col("vec_id") >= RecallQueries)
       .join(broadcast(probeSet), col("cell") === col("pcell")))
     def arm(name: String, approx: org.apache.spark.sql.DataFrame) = {
