@@ -469,7 +469,115 @@ object VectorOps {
       .orderBy("method", "qid")
   }
 
+  /** Q58 — product-quantization ANN (the memory-side scale path IVF/LSH
+    * don't cover): the 64-dim vector splits into 8 subspaces of 8 dims;
+    * each subvector quantizes to its nearest sub-codebook centroid
+    * (codebooks = 8-dim slices of the label-mean centroids, k=10), so a
+    * vector compresses to 8 4-bit codes — a 32-bit `pq_code` standing in
+    * for 256 bytes of floats. Search is asymmetric distance computation
+    * (ADC): the query builds an 8×10 lookup table of subvector dots once,
+    * and each corpus vector scores as the SUM OF 8 TABLE LOOKUPS — no
+    * float math per row at scan time. Top-10 by ADC, with the exact dot
+    * alongside (the quantization-error readout; rerank-by-exact is the
+    * production follow-up).
+    *
+    * Scale notes: codebook training collects k·dim doubles once (the q42
+    * centroid table reused as sliced sub-codebooks); encoding is the
+    * map-only ingest step (at 100 TB it would be a native PQEncode
+    * expression; here the argmin composes slice/zip_with folds); the LUT
+    * is driver math; the scan reads codes, not vectors — the 30×
+    * bandwidth reduction is the whole point of PQ. Determinism: centroid
+    * means are decimal-exact, sub-distances and LUT dots are sequential
+    * double folds, argmin ties break on label, the ADC sum folds in fixed
+    * subspace order — bit-identical cross-engine, no decimals in flight.
+    */
+  val q58AnnPq: QueryDef = {
+    val M = 8 // subspaces
+    val D = 8 // dims per subspace
+    val SubDistDuck =
+      "list_reduce([(CAST(e.embedding[8*s.sub+i] AS DOUBLE) - c.centroid[8*s.sub+i]) * " +
+        "(CAST(e.embedding[8*s.sub+i] AS DOUBLE) - c.centroid[8*s.sub+i]) " +
+        "for i in range(1, 9)], (a, b) -> a + b)"
+    QueryDef.sql(
+      "q58_ann_pq",
+      s"""WITH c0 AS (${CentSql("embeddings", "label")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |codes AS (
+         |  SELECT vec_id, label, sub, cl AS code FROM (
+         |    SELECT e.vec_id, e.label, s.sub, c.c_label AS cl,
+         |      row_number() OVER (PARTITION BY e.vec_id, s.sub
+         |        ORDER BY $SubDistDuck, c.c_label) AS rn
+         |    FROM embeddings e, unnest(range(0, $M)) AS s(sub), c0 c
+         |    WHERE e.vec_id <> 0) t
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.sub, c.c_label,
+         |    list_dot_product(CAST(qv[8*s.sub+1 : 8*s.sub+$D] AS DOUBLE[]),
+         |      c.centroid[8*s.sub+1 : 8*s.sub+$D]) AS lv
+         |  FROM q, unnest(range(0, $M)) AS s(sub), c0 c),
+         |adc AS (
+         |  SELECT codes.vec_id, min(codes.label) AS label,
+         |    CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list(codes.code * (1::BIGINT << (4*codes.sub)) ORDER BY codes.sub)),
+         |      (a, b) -> a + b) AS BIGINT) AS pq_code,
+         |    list_reduce(list_prepend(0.0, list(lut.lv ORDER BY codes.sub)),
+         |      (a, b) -> a + b) AS adc
+         |  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.c_label
+         |  GROUP BY codes.vec_id)
+         |SELECT a.vec_id, a.label, a.pq_code, a.adc,
+         |  ${DotSeqSql("e.embedding", "q.qv")} AS dot
+         |FROM adc a
+         |JOIN embeddings e ON e.vec_id = a.vec_id
+         |CROSS JOIN q
+         |ORDER BY adc DESC, a.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.ml.KMeans
+      val emb = Tables(s, dir, "embeddings")
+      val c0 = KMeans.collectCentroids(KMeans.centroids(
+        emb.withColumn("__k", col("label")), "__k"))
+      // sub-codebooks: 8-dim slices of the (sorted-label) centroid table
+      val cb: Seq[Seq[(Long, Seq[Double])]] =
+        (0 until M).map(sub => c0.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0)
+      // ADC lookup table, driver math: same sequential fold as the oracle's
+      // list_dot_product over the identical doubles
+      val lut: Seq[Seq[Double]] = (0 until M).map { sub =>
+        cb(sub).map { case (_, c) =>
+          var acc = 0.0
+          var i = 0
+          while (i < D) { acc += qv(sub * D + i).toDouble * c(i); i += 1 }
+          acc
+        }
+      }
+      def codeCol(sub: Int): org.apache.spark.sql.Column = {
+        val structs = array(cb(sub).map { case (l, c) =>
+          struct(
+            aggregate(
+              zip_with(slice(col("embedding"), sub * D + 1, D), lit(c.toArray),
+                (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+              lit(0.0), (a, b) => a + b).as("d"),
+            lit(l).as("c_label"))
+        }: _*)
+        array_min(structs).getField("c_label")
+      }
+      val coded = emb.filter(col("vec_id") =!= 0)
+        .select(Seq(col("vec_id"), col("label"), col("embedding")) ++
+          (0 until M).map(sub => codeCol(sub).as(s"code_$sub")): _*)
+      val pqCode = (0 until M).map(sub => col(s"code_$sub") * lit(1L << (4 * sub)))
+        .reduce(_ + _)
+      val adc = (0 until M).foldLeft(lit(0.0)) { (acc, sub) =>
+        acc + element_at(lit(lut(sub).toArray), col(s"code_$sub").cast("int") + 1)
+      }
+      coded
+        .select(col("vec_id"), col("label"), pqCode.cast("long").as("pq_code"),
+          adc.as("adc"), fdot2(col("embedding"), lit(qv.toArray)).as("dot"))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh, q42AnnIvf,
-    q46EmbeddingNeardupLsh, q53AnnRecall)
+    q46EmbeddingNeardupLsh, q53AnnRecall, q58AnnPq)
 }
