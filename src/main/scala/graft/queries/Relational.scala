@@ -38,7 +38,7 @@ object Relational {
   private def Cents(c: String) = s"CAST(round($c * 100) AS BIGINT)"
   /** Exact sum of a cents-valued long expression, projected to DOUBLE.
     * The sum is the native 128-bit Sum128 aggregate — two-long carry
-    * arithmetic inside whole-stage codegen, overflow-safe to 2^127 where a
+    * arithmetic inside whole-stage codegen, overflow-safe to 10^38 where a
     * raw BIGINT sum of cents-products would overflow near 10^19 at extreme
     * scale, with none of the per-row Decimal allocation of a DECIMAL(38,0)
     * sum. DuckDB mirrors with sum(BIGINT)→HUGEINT routed through VARCHAR

@@ -535,6 +535,11 @@ object VectorOps {
       val emb = Tables(s, dir, "embeddings")
       val c0 = KMeans.collectCentroids(KMeans.centroids(
         emb.withColumn("__k", col("label")), "__k"))
+      // Both engines pack the centroid LABEL (not its position) into the
+      // 4-bit pq_code fields, so the label domain is a format constraint:
+      require(c0.forall { case (l, _) => l >= 0 && l < 16 },
+        s"pq_code packs labels into 4-bit fields; centroid labels must be in [0,16), " +
+          s"got ${c0.map(_._1).mkString(",")}")
       // sub-codebooks: 8-dim slices of the (sorted-label) centroid table
       val cb: Seq[Seq[(Long, Seq[Double])]] =
         (0 until M).map(sub => c0.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
@@ -566,8 +571,14 @@ object VectorOps {
           (0 until M).map(sub => codeCol(sub).as(s"code_$sub")): _*)
       val pqCode = (0 until M).map(sub => col(s"code_$sub") * lit(1L << (4 * sub)))
         .reduce(_ + _)
+      // LUT lookup is label-KEYED (map, not positional array): the oracle
+      // joins lut on c_label, so a non-contiguous label domain must still
+      // land on the same LUT row in both engines.
+      val labels = cb.head.map(_._1)
       val adc = (0 until M).foldLeft(lit(0.0)) { (acc, sub) =>
-        acc + element_at(lit(lut(sub).toArray), col(s"code_$sub").cast("int") + 1)
+        acc + element_at(
+          map_from_arrays(lit(labels.toArray), lit(lut(sub).toArray)),
+          col(s"code_$sub"))
       }
       coded
         .select(col("vec_id"), col("label"), pqCode.cast("long").as("pq_code"),

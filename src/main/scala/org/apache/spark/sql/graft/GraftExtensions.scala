@@ -53,7 +53,10 @@ object GraftExtensions {
           "collect_long_list_capped(col, cap)")
       }),
     ("sum128", classOf[Sum128].getName,
-      (c: Seq[Expression]) => Sum128(c.head).toAggregateExpression()))
+      (c: Seq[Expression]) => c match {
+        case Seq(e) => Sum128(e).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("sum128(col)")
+      }))
 }
 
 /** Runtime registration for sessions that already exist (extensions bind

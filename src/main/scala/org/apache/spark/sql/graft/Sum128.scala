@@ -23,13 +23,22 @@ import org.apache.spark.sql.types._
   * long ops in the UnsafeRow fixed-width buffer — no object allocation, no
   * ObjectHashAggregate fallback.
   *
-  * Semantics: nulls are skipped; an empty group evaluates to 0 (the engine
-  * never aggregates empty groups — grouped sums see ≥ 1 row). The final
+  * Semantics: SQL `sum` — nulls are skipped, and an input with no non-null
+  * rows evaluates to NULL (a third boolean buffer slot tracks "saw a row";
+  * grouped sums never see an empty group, but a GLOBAL .agg over a filtered
+  * relation can, and the DuckDB oracle's sum(...) is NULL there). The final
   * value materializes once per GROUP as a DECIMAL(38,0) (exactly hi·2^64 +
   * lo, unsigned-lo), so downstream `cast(double) / 10^k` projections are
   * identical to the decimal-sum formulation bit for bit. DECIMAL stays out
   * of driver-visible output per the QueryDef dtype rules — callers project
   * it to DOUBLE, as centsSum always has.
+  *
+  * Output bound: the ACCUMULATOR is exact to ±2^127, but the DECIMAL(38,0)
+  * output type caps the representable |sum| at 10^38 − 1 ≈ 2^126.3;
+  * finalization of a sum in (10^38, 2^127) throws at group evaluation. The
+  * documented safe range is therefore 38 digits, not the full 128 bits —
+  * still 10^19 beyond where sum(BIGINT) overflows, and unreachable at the
+  * 100 TB design point (~10^10 rows × ~10^9-cent values ≈ 10^19).
   *
   * Carry logic (update, same shape for merge): for `newLo = lo + v` the
   * unsigned carry-out is `((lo & v) | ((lo | v) & ~newLo)) >>> 63` — the
@@ -41,14 +50,16 @@ case class Sum128(child: Expression)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = DecimalType(38, 0)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "sum128"
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, seen)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(false))
 
   /** (newHi, newLo) for adding (vHi, vLo) into (h, l) with carry. The adds
     * are LEGACY-mode on purpose: two's-complement wraparound of the low
@@ -67,13 +78,14 @@ case class Sum128(child: Expression)
 
   override lazy val updateExpressions: Seq[Expression] = {
     val v = If(IsNull(child), Literal(0L), child)
-    add128(hi, lo, ShiftRight(v, Literal(63)), v)
+    add128(hi, lo, ShiftRight(v, Literal(63)), v) :+ Or(seen, IsNotNull(child))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =
-    add128(hi.left, lo.left, hi.right, lo.right)
+    add128(hi.left, lo.left, hi.right, lo.right) :+ Or(seen.left, seen.right)
 
-  override lazy val evaluateExpression: Expression = Int128ToDecimal(hi, lo)
+  override lazy val evaluateExpression: Expression =
+    If(seen, Int128ToDecimal(hi, lo), Literal(null, DecimalType(38, 0)))
 
   override protected def withNewChildInternal(newChild: Expression): Sum128 =
     copy(child = newChild)

@@ -36,6 +36,26 @@ class QuerySpec extends SparkSpec {
     assert(offenders.isEmpty, s"driver-gate-hostile output dtypes: $offenders")
   }
 
+  test("cents() floor(v*100+0.5) equals round(v*100) on every money value (no-tie invariant)") {
+    // cents() uses floor(x+0.5) in pure double codegen while the DuckDB
+    // oracle keeps round(); they agree only while no money double lands on
+    // an exact .5 tie after *100. Pin that invariant against the actual
+    // generated value domains so a datagen change cannot silently introduce
+    // cross-engine off-by-one-cent drift.
+    val domains = Seq(
+      ("lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      ("orders", Seq("o_totalprice")),
+      ("events", Seq("value")))
+    domains.foreach { case (table, cols) =>
+      val df = Tables(spark, sf, table)
+      cols.foreach { c =>
+        val mismatches = df.filter(
+          floor(col(c) * 100 + lit(0.5)) =!= round(col(c) * 100)).count()
+        assert(mismatches == 0L, s"$table.$c: $mismatches rows where floor(v*100+0.5) != round(v*100)")
+      }
+    }
+  }
+
   test("query-scoped persists do not leak: cache is empty after a run + clearAll") {
     // q21 and q31 persist their shingle relations; the runner contract is
     // Caches.clearAll after each materialization

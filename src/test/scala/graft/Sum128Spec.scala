@@ -53,6 +53,19 @@ class Sum128Spec extends SparkSpec {
     both.foreach(r => assert(r.getString(1) == r.getString(2), s"group ${r.get(0)}"))
   }
 
+  test("empty and all-null inputs evaluate to NULL like SQL sum") {
+    import spark.implicits._
+    // Global .agg over a filtered-to-empty relation: DuckDB's sum(...) is
+    // NULL there, and the previous sum(DECIMAL) formulation was too.
+    val empty = (1L to 10L).toDF("v").filter(col("v") > 100)
+    assert(empty.agg(sum128(col("v"))).head.isNullAt(0))
+    val allNull = Seq[java.lang.Long](null, null).toDF("v").repartition(2)
+    assert(allNull.agg(sum128(col("v"))).head.isNullAt(0))
+    // …but a zero-sum over real rows is 0, not NULL
+    val zeroSum = Seq(5L, -5L).toDF("v")
+    assert(zeroSum.agg(sum128(col("v")).cast("long")).head.getLong(0) == 0L)
+  }
+
   test("registered as a SQL function and stays inside whole-stage codegen") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
