@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 58-query suite JIT-compiles hundreds of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache silently flushes warm
+  // methods under that load, and the flushed victims rove — measured
+  // 10×+ slowdowns on random queries per pass (q19 6.3s vs 0.44s for
+  // the same plan). 1 GB holds the whole suite compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )

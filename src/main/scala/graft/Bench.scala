@@ -38,6 +38,11 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf, takes effect because this is the first session in the
+      // JVM: the suite generates ~400+ distinct codegen units, and the
+      // default 100-entry Janino cache thrashes across queries — every
+      // revisit re-pays ~100-300 ms of source-level compilation.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
