@@ -359,19 +359,51 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  /** Q35 — approximate distinct counts via HLL++ sketches. No oracle: HLL
-    * register layouts differ per engine, so the driver records a rows-only
-    * check; the exact counterpart is q10. At scale this is the
-    * one-pass/no-shuffle-of-keys replacement for count(DISTINCT).
+  /** Q35 — approximate distinct counts via a DETERMINISTIC sketch: linear
+    * counting (Whang et al., TODS 1990) over m = 2^20 buckets addressed by
+    * the first 5 hex chars of md5(key) — md5 is bit-identical in Spark and
+    * DuckDB, so unlike HLL++ (whose register layout is engine-private, the
+    * earlier rows-only formulation) the estimate is cross-engine exact and
+    * oracle-checkable. estimate = floor(−m·ln(1 − filled/m) + 0.5); ln runs
+    * on operands derived from small-integer ratios, far from rounding ties
+    * (distance to the nearest ½ is checked in QuerySpec).
+    *
+    * Scale: sketch state is capped at m bucket ids per group no matter the
+    * input size — the bounded-state replacement for count(DISTINCT) whose
+    * shuffle grows with the key cardinality. Load factor at the design
+    * point (~1e5 distinct per group) is 0.1; m must grow before n/m nears
+    * 1 (ln saturates). The exact counterpart is q10; the one-pass HLL
+    * sketches stay available as native expressions (SketchExpressions).
     */
-  val q35ApproxDistinct: QueryDef = QueryDef.rowsOnly("q35_approx_distinct") { (s, dir) =>
-    Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+  val q35ApproxDistinct: QueryDef = {
+    val m = 1L << 20
+    def Sketch(k: String) =
+      s"CAST(floor(-$m.0 * ln(1 - count(DISTINCT substr(md5(CAST($k AS VARCHAR)), 1, 5)) / $m.0) + 0.5) AS BIGINT)"
+    QueryDef.sql(
+      "q35_approx_distinct",
+      s"""SELECT l_returnflag,
+         |  ${Sketch("l_partkey")} AS approx_parts,
+         |  ${Sketch("l_orderkey")} AS approx_orders,
+         |  count(*) AS n
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def bucket(c: Column) = substring(md5(c.cast(StringType).cast(BinaryType)), 1, 5)
+      def est(filled: Column) =
+        floor(lit(-m.toDouble) * log(lit(1.0) - filled.cast(DoubleType) / m.toDouble) + 0.5)
+          .cast(LongType)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(bucket(col("l_partkey"))).as("fp"),
+          countDistinct(bucket(col("l_orderkey"))).as("fo"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          est(col("fp")).as("approx_parts"),
+          est(col("fo")).as("approx_orders"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -56,6 +56,32 @@ class QuerySpec extends SparkSpec {
     }
   }
 
+  test("q35 linear-counting estimates sit far from the floor(x+0.5) rounding boundary") {
+    // q35's estimate −m·ln(1−filled/m) is the one place a transcendental
+    // feeds a cross-engine integer projection. JVM Math.log and DuckDB's
+    // libm ln may differ by ≤1 ulp (~1e-11 absolute here); assert the
+    // actual filled values observed at the test SF keep the estimate at
+    // least 1e-6 from the nearest half-integer, so an ulp can never flip
+    // the floor.
+    val m = (1L << 20).toDouble
+    def bucket(c: org.apache.spark.sql.Column) =
+      substring(md5(c.cast("string").cast("binary")), 1, 5)
+    val filled = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(bucket(col("l_partkey"))).as("fp"),
+        countDistinct(bucket(col("l_orderkey"))).as("fo"))
+      .collect()
+      .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
+    assert(filled.nonEmpty && filled.forall(f => f > 0 && f < m * 0.5),
+      s"linear counting out of its accurate load range: ${filled.toSeq}")
+    filled.foreach { f =>
+      val x = -m * math.log(1.0 - f / m)
+      // floor(x+0.5) flips where x+0.5 crosses an integer
+      val dist = math.abs(x + 0.5 - math.rint(x + 0.5))
+      assert(dist > 1e-6, s"filled=$f: estimate $x within $dist of a floor boundary")
+    }
+  }
+
   test("query-scoped persists do not leak: cache is empty after a run + clearAll") {
     // q21 and q31 persist their shingle relations; the runner contract is
     // Caches.clearAll after each materialization
