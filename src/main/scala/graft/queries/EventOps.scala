@@ -116,8 +116,11 @@ object EventOps {
   }
 
   /** Q25 — semi-structured extraction: JSON path into typed column, then
-    * aggregate. Map-side JSON parse stays in codegen; shuffle only carries
-    * the 5 event_type groups.
+    * aggregate. The extraction is the native [[org.apache.spark.sql.graft.JsonLongField]]
+    * (one codegen'd byte scan per row) — the built-in get_json_object is a
+    * CodegenFallback Jackson parse that cost ~50× the oracle's vectorized
+    * extract and broke the stage around it. Shuffle only carries the 5
+    * event_type groups.
     */
   val q25JsonExtract: QueryDef = QueryDef.sql(
     "q25_json_extract",
@@ -128,7 +131,7 @@ object EventOps {
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
     Tables(s, dir, "events")
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        org.apache.spark.sql.graft.JsonExpressions.json_long_field(col("props"), "k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))

@@ -130,4 +130,111 @@ object ExprKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** First top-level field named `key` of a JSON OBJECT, parsed as a long
+    * (see JsonLongField). One byte-level scan, no parser allocation: ASCII
+    * structural bytes ('{' '"' ':' ',') can never be UTF-8 continuation
+    * bytes, so multibyte text inside skipped strings is walked safely.
+    * Verdicts mirror get_json_object(s,'$.key') CAST AS LONG: integers
+    * parse, floats truncate toward zero (legacy-cast fraction handling),
+    * and absent keys, strings, bools, nulls, nested values, exponent forms,
+    * long overflow and non-object input are all null.
+    */
+  def jsonLongField(json: UTF8String, key: UTF8String): java.lang.Long = {
+    val n = json.numBytes
+    var i = 0
+    @inline def b(): Byte = json.getByte(i)
+    def ws(): Unit = {
+      while (i < n && { val c = b(); c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
+    }
+    // skip a string body; i enters AFTER the opening quote, leaves after the
+    // closing quote. Returns false on truncated input.
+    def skipString(): Boolean = {
+      while (i < n) {
+        val c = b()
+        if (c == '\\') i += 2
+        else if (c == '"') { i += 1; return true }
+        else i += 1
+      }
+      false
+    }
+    ws()
+    if (i >= n || b() != '{') return null
+    i += 1
+    var first = true
+    while (i < n) {
+      ws()
+      if (i < n && b() == '}') return null // end of object, key absent
+      if (!first) {
+        if (i >= n || b() != ',') return null
+        i += 1; ws()
+      }
+      first = false
+      if (i >= n || b() != '"') return null
+      i += 1
+      val keyStart = i
+      var escaped = false
+      while (i < n && b() != '"') { if (b() == '\\') { escaped = true; i += 2 } else i += 1 }
+      if (i >= n) return null
+      val keyEnd = i
+      i += 1 // past closing quote
+      ws()
+      if (i >= n || b() != ':') return null
+      i += 1; ws()
+      if (i >= n) return null
+      val klen = key.numBytes
+      var matches = !escaped && (keyEnd - keyStart) == klen
+      if (matches) {
+        var j = 0
+        while (matches && j < klen) {
+          if (json.getByte(keyStart + j) != key.getByte(j)) matches = false
+          j += 1
+        }
+      }
+      if (matches) {
+        // parse an integer value; anything else → null
+        var neg = false
+        if (b() == '-') { neg = true; i += 1 }
+        if (i >= n || b() < '0' || b() > '9') return null
+        var acc = 0L
+        while (i < n && b() >= '0' && b() <= '9') {
+          val d = b() - '0'
+          if (acc > (Long.MaxValue - d) / 10) return null // overflow
+          acc = acc * 10 + d
+          i += 1
+        }
+        // fraction part: truncate toward zero, like the legacy CAST(string
+        // AS LONG) the built-in routes through (UTF8String.toLong accepts
+        // "int.frac" and drops the fraction); exponent forms stay null there
+        if (i < n && b() == '.') {
+          i += 1
+          if (i >= n || b() < '0' || b() > '9') return null
+          while (i < n && b() >= '0' && b() <= '9') i += 1
+        }
+        if (i < n && { val c = b(); c == 'e' || c == 'E' }) return null
+        if (i < n && { val c = b(); c != ',' && c != '}' && c != ' ' && c != '\t' && c != '\n' && c != '\r' }) return null
+        return java.lang.Long.valueOf(if (neg) -acc else acc)
+      }
+      // skip this value
+      val c0 = b()
+      if (c0 == '"') { i += 1; if (!skipString()) return null }
+      else if (c0 == '{' || c0 == '[') {
+        var depth = 0
+        var ok = false
+        while (i < n && !ok) {
+          val c = b()
+          if (c == '"') { i += 1; if (!skipString()) return null }
+          else {
+            if (c == '{' || c == '[') depth += 1
+            else if (c == '}' || c == ']') { depth -= 1; if (depth == 0) ok = true }
+            i += 1
+          }
+        }
+        if (!ok) return null
+      } else {
+        while (i < n && { val c = b(); c != ',' && c != '}' }) i += 1
+      }
+    }
+    null
+  }
 }

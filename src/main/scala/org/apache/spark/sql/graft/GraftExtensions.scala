@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT float_dot(a, b)")`
@@ -56,6 +57,13 @@ object GraftExtensions {
       (c: Seq[Expression]) => c match {
         case Seq(e) => Sum128(e).toAggregateExpression()
         case _ => throw new IllegalArgumentException("sum128(col)")
+      }),
+    ("json_long_field", classOf[JsonLongField].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(s, k) =>
+          // key must be a literal; evaluated once at resolution
+          JsonLongField(s, k.eval().asInstanceOf[UTF8String].toString)
+        case _ => throw new IllegalArgumentException("json_long_field(json, 'key')")
       }))
 }
 
