@@ -86,14 +86,17 @@ object KMeans {
   }
 
   /** Map-only assignment against driver-collected centroids: per-row
-    * argmin over a literal centroid array (struct ordering ties on the
-    * smaller cell id, like [[assign]]) — no crossJoin rows, no exchange.
-    * This is the 100-TB IVF shape: assignment is the ingest-time map with
-    * broadcast centroids; [[assign]] remains for centroid tables too large
-    * to collect.
+    * argmin with struct-min tie semantics (smaller cell id), like
+    * [[assign]] — no crossJoin rows, no exchange. The argmin runs on the
+    * native [[org.apache.spark.sql.graft.NearestCentroid]] expression (one
+    * allocation-free codegen loop; bit-identical to the compose form by
+    * construction, property-tested in KMeansSpec). This is the 100-TB IVF
+    * shape: assignment is the ingest-time map with broadcast centroids;
+    * [[assign]] remains for centroid tables too large to collect.
     */
   def assignWith(vecs: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
-    vecs.withColumn("cell", array_min(distStructs(cents)).getField("c_label"))
+    vecs.withColumn("cell",
+        org.apache.spark.sql.graft.VectorExpressions.nearest_centroid(col("embedding"), cents))
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
 
   /** [[probeCells]] against driver-collected centroids: sort the per-cell

@@ -555,17 +555,12 @@ object VectorOps {
           acc
         }
       }
-      def codeCol(sub: Int): org.apache.spark.sql.Column = {
-        val structs = array(cb(sub).map { case (l, c) =>
-          struct(
-            aggregate(
-              zip_with(slice(col("embedding"), sub * D + 1, D), lit(c.toArray),
-                (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-              lit(0.0), (a, b) => a + b).as("d"),
-            lit(l).as("c_label"))
-        }: _*)
-        array_min(structs).getField("c_label")
-      }
+      // per-subspace quantizer: the native NearestCentroid argmin over the
+      // 8-dim slice starting at sub*D (no per-row slice/zip_with/struct
+      // allocation — the "native PQEncode expression" of the scale notes)
+      def codeCol(sub: Int): org.apache.spark.sql.Column =
+        org.apache.spark.sql.graft.VectorExpressions
+          .nearest_centroid(col("embedding"), cb(sub), offset = sub * D)
       val coded = emb.filter(col("vec_id") =!= 0)
         .select(Seq(col("vec_id"), col("label"), col("embedding")) ++
           (0 until M).map(sub => codeCol(sub).as(s"code_$sub")): _*)

@@ -131,6 +131,36 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Nearest-centroid argmin (see NearestCentroid): squared-L2 over
+    * emb[offset ..< offset+len] vs each centroid as a sequential double
+    * fold; smallest distance wins, ties on the smaller label. Double.compare
+    * orders NaN largest — the same verdicts as Spark's struct-min over
+    * (d, label).
+    */
+  def nearestCentroid(emb: ArrayData, labels: Array[Long],
+      cents: Array[Array[Double]], offset: Int): Long = {
+    var bestD = Double.NaN
+    var bestL = Long.MaxValue
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val x = emb.getFloat(offset + i).toDouble - cent(i)
+        d += x * x
+        i += 1
+      }
+      val cmp = java.lang.Double.compare(d, bestD)
+      if (first || cmp < 0 || (cmp == 0 && labels(c) < bestL)) {
+        bestD = d; bestL = labels(c); first = false
+      }
+      c += 1
+    }
+    bestL
+  }
+
   /** First top-level field named `key` of a JSON OBJECT, parsed as a long
     * (see JsonLongField). One byte-level scan, no parser allocation: ASCII
     * structural bytes ('{' '"' ':' ',') can never be UTF-8 continuation

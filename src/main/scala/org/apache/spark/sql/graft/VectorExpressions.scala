@@ -94,11 +94,59 @@ case class FloatVectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Nearest-centroid argmin against a driver-collected codebook: for an
+  * embedding column and a broadcast-scale table of (label, centroid), emit
+  * the label of the centroid minimizing squared L2 distance over
+  * `embedding[offset ..< offset+len]` (len = the centroid length — `offset`
+  * selects a PQ subspace; 0/full-length is plain IVF assignment).
+  *
+  * Bit-identical BY CONSTRUCTION to the compose form it replaces
+  * (`array_min` over `struct(aggregate(zip_with(slice…)), label)`,
+  * property-tested in KMeansSpec): distances accumulate as the same
+  * sequential left-to-right double fold of (x−c)², and ties take the
+  * smaller label (Double.compare also orders NaN largest, like Spark's
+  * double ordering; −0.0 can't arise from a sum of squares). The compose
+  * form allocated k zip_with arrays + k structs + an array-of-structs PER
+  * ROW (~80 allocations/row for the PQ encoder); this is one
+  * allocation-free scalar loop inside whole-stage codegen — the "native
+  * PQEncode expression" the 100-TB notes on q58 called for.
+  */
+case class NearestCentroid(child: Expression, labels: Array[Long],
+    cents: Array[Array[Double]], offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(labels.length == cents.length && labels.length > 0,
+    s"codebook shape: ${labels.length} labels vs ${cents.length} centroids")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.nearestCentroid(input.asInstanceOf[ArrayData], labels, cents, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val labelsRef = ctx.addReferenceObj("labels", labels, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.nearestCentroid($c, $labelsRef, $centsRef, $offset)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd double dot product of two float-array columns. */
   def float_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd nearest-centroid label over a driver-collected codebook. */
+  def nearest_centroid(emb: Column, codebook: Seq[(Long, Seq[Double])],
+      offset: Int = 0): Column =
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(emb),
+      codebook.map(_._1).toArray, codebook.map(_._2.toArray).toArray, offset))
 
   /** Codegen'd L2 norm of a float-array column. */
   def float_norm(a: Column): Column =

@@ -107,6 +107,40 @@ class MlSpec extends SparkSpec {
     assert(aggNodes.isEmpty, "an aggregate groups on an array column")
   }
 
+  test("NearestCentroid: native argmin bit-identical to the compose form, ties and offsets") {
+    import org.apache.spark.sql.graft.VectorExpressions.nearest_centroid
+    val rnd = new scala.util.Random(42)
+    // duplicate centroid under two labels forces distance ties → smaller label
+    val base = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val codebook: Seq[(Long, Seq[Double])] =
+      Seq((3L, base), (1L, base)) ++ (4L to 9L).map(l =>
+        (l, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    import spark.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    Seq(0, 8).foreach { offset =>
+      // the compose form assignWith used before the native expression
+      val structs = array(codebook.map { case (l, c) =>
+        struct(
+          aggregate(
+            zip_with(slice(col("embedding"), offset + 1, 8), lit(c.toArray),
+              (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+            lit(0.0), (a, b) => a + b).as("d"),
+          lit(l).as("c_label"))
+      }: _*)
+      val diff = vecs.select(
+          nearest_centroid(col("embedding"), codebook, offset).as("native"),
+          array_min(structs).getField("c_label").as("compose"))
+        .filter(col("native") =!= col("compose")).count()
+      assert(diff == 0L, s"offset=$offset: $diff rows diverge from the compose argmin")
+    }
+    // tie rows really exist and picked label 1 (the smaller of the duplicate pair)
+    val picked = vecs.select(nearest_centroid(col("embedding"), codebook, 0).as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!picked.contains(3L), s"duplicate-centroid tie must resolve to label 1: $picked")
+  }
+
   test("weight snapshot round-trips through parquet") {
     val w = Array.tabulate(64)(_ * 0.5)
     val path = java.nio.file.Files.createTempDirectory("wts").toString + "/w"
