@@ -30,7 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g made the 32-thread suite GC-bound: full-suite total dropped
+  // 24.3s -> 22.4s at sf0.1 just from the larger heap (measured round 6)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // The 58-query suite JIT-compiles hundreds of whole-stage-codegen
   // classes; the JDK default 240 MB code cache silently flushes warm
   // methods under that load, and the flushed victims rove — measured

@@ -58,6 +58,13 @@ object GraftExtensions {
         case Seq(e) => Sum128(e).toAggregateExpression()
         case _ => throw new IllegalArgumentException("sum128(col)")
       }),
+    ("linear_count_buckets", classOf[LinearCountBuckets].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(child, m) => LinearCountBuckets(child,
+          m.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "linear_count_buckets(bucket, m)")
+      }),
     ("json_long_field", classOf[JsonLongField].getName,
       (c: Seq[Expression]) => c match {
         case Seq(s, k) =>

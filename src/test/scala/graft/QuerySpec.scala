@@ -64,12 +64,15 @@ class QuerySpec extends SparkSpec {
     // least 1e-6 from the nearest half-integer, so an ulp can never flip
     // the floor.
     val m = (1L << 20).toDouble
-    def bucket(c: org.apache.spark.sql.Column) =
-      substring(md5(c.cast("string").cast("binary")), 1, 5)
+    val p = 2147483647L
+    def bucket(k: String) = {
+      val x = s"((($k % $p) * 1103515245 + ($k div $p) * 12345) % $p)"
+      expr(s"($x * $x % $p * 69069) % $p % ${1L << 20}")
+    }
     val filled = Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(bucket(col("l_partkey"))).as("fp"),
-        countDistinct(bucket(col("l_orderkey"))).as("fo"))
+      .agg(countDistinct(bucket("l_partkey")).as("fp"),
+        countDistinct(bucket("l_orderkey")).as("fo"))
       .collect()
       .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
     assert(filled.nonEmpty && filled.forall(f => f > 0 && f < m * 0.5),
