@@ -278,6 +278,15 @@ object Relational {
 
   /** Q10 — distinct aggregates (SURVEY §2.5 note: absent in reference, free in
     * Spark). Single-row, integer-only.
+    *
+    * Shape: one single-distinct aggregation per key column, crossJoined
+    * (each is a 1-row global agg). Spark plans N distincts in one
+    * aggregate via Expand — N row copies into ONE shuffle whose volume is
+    * the union of all per-column distinct keys. Split, each aggregation
+    * map-side-dedups its own column and shuffles only that column's
+    * partial distincts; the extra scans are column-pruned parquet reads,
+    * and scans are the cheap currency at 100 TB — shuffles are not.
+    * (Measured at sf0.1: 0.64s expand vs 0.35s split.)
     */
   val q10Distinct: QueryDef = QueryDef.sql(
     "q10_distinct",
@@ -286,12 +295,11 @@ object Relational {
       |  count(DISTINCT l_orderkey) AS n_orders,
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "lineitem")
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables(s, dir, "lineitem")
+    li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .crossJoin(li.agg(countDistinct(col("l_suppkey")).as("n_supps")))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
   }
 
   /** Q11 — group-size min/max (SURVEY A3: partition-size min/max

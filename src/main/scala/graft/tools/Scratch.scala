@@ -64,6 +64,54 @@ object Scratch {
     time("q1 full current", 5)(graft.queries.Relational.q1PricingSummary.fn(spark, dir))
     time("q12 full current", 5)(graft.queries.Relational.q12Rollup.fn(spark, dir))
 
+    // q10 variants: expand-based multi-distinct vs separate aggs crossJoined
+    time("q10 expand form", 5)(
+      li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows")))
+    time("q10 crossjoin form", 5) {
+      val p = li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+      val s2 = li.agg(countDistinct(col("l_suppkey")).as("n_supps"))
+      val o = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val n = li.agg(count(lit(1)).as("n_rows"))
+      p.crossJoin(s2).crossJoin(o).crossJoin(n)
+    }
+
+    // q38 variants: percentile aggregate vs groupBy-count + window cumsum
+    time("q38 percentile form", 5)(
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_partkey, 0.5)").as("median_part"),
+          expr("percentile(l_suppkey, 0.5)").as("median_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
+    time("q38 cumsum form", 5) {
+      import org.apache.spark.sql.expressions.Window
+      def med(vcol: String, out: String) = {
+        val cnt = li.groupBy(col("l_returnflag"), col(vcol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("v")
+        val cum = cnt
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+        cum.groupBy(col("l_returnflag"), col("n"))
+          .agg(
+            (max(when(col("cum") - col("c") <= (col("n") - 1) / 2 &&
+              (col("n") - 1) / 2 < col("cum"), col("v"))) +
+              (max(when(col("cum") - col("c") <= col("n") / 2 &&
+                col("n") / 2 < col("cum"), col("v"))) -
+                max(when(col("cum") - col("c") <= (col("n") - 1) / 2 &&
+                  (col("n") - 1) / 2 < col("cum"), col("v")))) * 0.5).as(out))
+          .select(col("l_returnflag"), col(out))
+      }
+      med("l_partkey", "median_part")
+        .join(med("l_suppkey", "median_supp"), "l_returnflag")
+        .join(li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")), "l_returnflag")
+        .orderBy("l_returnflag")
+    }
+
     // q42 decomposition
     {
       import graft.ml.KMeans
