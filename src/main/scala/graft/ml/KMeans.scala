@@ -25,15 +25,21 @@ import org.apache.spark.sql.types._
   */
 object KMeans {
 
-  /** Element-wise decimal-exact mean per `keyCol` → (c_label, centroid). */
-  def centroids(vecs: DataFrame, keyCol: String): DataFrame =
+  /** Element-wise decimal-exact mean per `keyCol` → (c_label, centroid).
+    * The exact sum runs as Sum128 over scale-9 unscaled longs
+    * (Decimal9Nanos; bit-identical to sum(CAST(v AS DECIMAL(18,9))) — see
+    * Sum128.scala — without a per-row Decimal in the aggregate hash map).
+    */
+  def centroids(vecs: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.SumExpressions.{decimal9_nanos, sum128Nanos}
     vecs
       .select(col(keyCol).as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
       .groupBy(col("c_label"), col("idx"))
-      .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 9)))
-        .cast(DecimalType(38, 9)).cast(DoubleType) / count(lit(1))).as("m"))
+      .agg((sum128Nanos(decimal9_nanos(col("v").cast(DoubleType)))
+        .cast(DoubleType) / count(lit(1))).as("m"))
       .groupBy(col("c_label"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").as("centroid"))
+  }
 
   /** Squared L2 distance, sequential double fold (engine-stable). */
   private val dist = expr(

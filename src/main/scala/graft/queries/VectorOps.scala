@@ -43,10 +43,15 @@ object VectorOps {
       |      FROM embeddings)
       |GROUP BY label, idx
       |ORDER BY label, idx""".stripMargin) { (s, dir) =>
+    // exact sum as Sum128 over scale-9 unscaled longs — bit-identical to
+    // sum(CAST(v AS DECIMAL(18,9))) without per-row Decimal allocation
+    // (see Sum128.scala / Decimal9Nanos)
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
       .groupBy(col("label"), col("idx").cast(LongType).as("idx"))
-      .agg((sum(col("v").cast(DecimalType(18, 9))).cast(DecimalType(38, 9))
+      .agg((org.apache.spark.sql.graft.SumExpressions
+        .sum128Nanos(org.apache.spark.sql.graft.SumExpressions
+          .decimal9_nanos(col("v").cast(DoubleType)))
         .cast(DoubleType) / count(lit(1))).as("m"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "idx")

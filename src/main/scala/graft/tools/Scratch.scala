@@ -112,6 +112,25 @@ object Scratch {
         .orderBy("l_returnflag")
     }
 
+    // centroid aggregation: where does KMeans.centroids spend time?
+    {
+      val emb = graft.Tables(spark, dir, "embeddings")
+      time("cent explode only", 5)(
+        emb.select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy(col("c_label"), col("idx")).agg(count(lit(1)).as("c")))
+      time("cent double sum", 5)(
+        emb.select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy(col("c_label"), col("idx"))
+          .agg((sum(col("v").cast(DoubleType)) / count(lit(1))).as("m")))
+      time("cent decimal sum", 5)(
+        emb.select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy(col("c_label"), col("idx"))
+          .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 9)))
+            .cast(DecimalType(38, 9)).cast(DoubleType) / count(lit(1))).as("m")))
+      time("cent full (collect_list)", 5)(
+        graft.ml.KMeans.centroids(emb.withColumn("__k", col("label")), "__k"))
+    }
+
     // q42 decomposition
     {
       import graft.ml.KMeans

@@ -45,11 +45,12 @@ import org.apache.spark.sql.types._
   * classic carry-out identity — and the high word adds `v >> 63` (sign
   * extension of the long operand) plus that carry.
   */
-case class Sum128(child: Expression)
+case class Sum128(child: Expression, scale: Int = 0)
     extends DeclarativeAggregate with UnaryLike[Expression] with ExpectsInputTypes {
+  require(scale >= 0 && scale <= 9, s"sum128 scale must be in [0, 9], got $scale")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
-  override def dataType: DataType = DecimalType(38, 0)
+  override def dataType: DataType = DecimalType(38, scale)
   override def nullable: Boolean = true
   override def prettyName: String = "sum128"
 
@@ -85,39 +86,35 @@ case class Sum128(child: Expression)
     add128(hi.left, lo.left, hi.right, lo.right) :+ Or(seen.left, seen.right)
 
   override lazy val evaluateExpression: Expression =
-    If(seen, Int128ToDecimal(hi, lo), Literal(null, DecimalType(38, 0)))
+    If(seen, Int128ToDecimal(hi, lo, scale), Literal(null, DecimalType(38, scale)))
 
   override protected def withNewChildInternal(newChild: Expression): Sum128 =
     copy(child = newChild)
 }
 
-/** (hi, lo) two's-complement 128-bit → DECIMAL(38,0), exact. Evaluated once
-  * per output group (not per row), so the BigInteger path costs nothing
-  * measurable; the hot per-row/per-merge path stays in [[Sum128]]'s pure
-  * long arithmetic.
+/** (hi, lo) two's-complement 128-bit → DECIMAL(38,scale) whose UNSCALED
+  * value is the 128-bit integer (scale 0 = plain integer sum; scale 9 =
+  * a sum of scale-9 fixed-point "nanos"), exact. Evaluated once per output
+  * group (not per row), so the BigInteger path costs nothing measurable;
+  * the hot per-row/per-merge path stays in [[Sum128]]'s pure long
+  * arithmetic.
   */
-case class Int128ToDecimal(hiExpr: Expression, loExpr: Expression)
+case class Int128ToDecimal(hiExpr: Expression, loExpr: Expression, scale: Int = 0)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = hiExpr
   override def right: Expression = loExpr
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
-  override def dataType: DataType = DecimalType(38, 0)
+  override def dataType: DataType = DecimalType(38, scale)
   override def nullable: Boolean = false
   override def prettyName: String = "int128_to_decimal"
 
-  private def toDecimal(h: Long, l: Long): Decimal = {
-    val big = java.math.BigInteger.valueOf(h).shiftLeft(64)
-      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(l)))
-    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(big)), 38, 0)
-  }
-
   override def nullSafeEval(h: Any, l: Any): Any =
-    toDecimal(h.asInstanceOf[Long], l.asInstanceOf[Long])
+    Int128ToDecimal.javaToDecimal(h.asInstanceOf[Long], l.asInstanceOf[Long], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (h, l) =>
-      s"org.apache.spark.sql.graft.Int128ToDecimal$$.MODULE$$.javaToDecimal($h, $l)")
+      s"org.apache.spark.sql.graft.Int128ToDecimal$$.MODULE$$.javaToDecimal($h, $l, $scale)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int128ToDecimal =
@@ -126,15 +123,64 @@ case class Int128ToDecimal(hiExpr: Expression, loExpr: Expression)
 
 object Int128ToDecimal {
   /** Codegen entry point (static call target). */
-  def javaToDecimal(h: Long, l: Long): Decimal = {
+  def javaToDecimal(h: Long, l: Long, scale: Int): Decimal = {
     val big = java.math.BigInteger.valueOf(h).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(l)))
-    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(big)), 38, 0)
+    Decimal(scala.math.BigDecimal(new java.math.BigDecimal(big, scale)), 38, scale)
   }
+}
+
+/** Scale-9 fixed-point projection of a double, as the DECIMAL cast does it:
+  * `BigDecimal.valueOf(d)` (the SHORTEST-REPR string route — NOT the exact
+  * binary expansion; the two can round differently at scale 9, so the
+  * string route is load-bearing for oracle parity) rounded HALF_UP, as an
+  * unscaled long. `Decimal9Nanos(v)` summed by `Sum128(_, scale = 9)` is
+  * bit-identical to `sum(CAST(v AS DECIMAL(18,9)))` (property-tested in
+  * Sum128Spec) without allocating a Decimal per ROW in the aggregate hash
+  * map — the nanos long is one `BigDecimal.valueOf` in the projection
+  * stage, and the sum is pure long carry arithmetic.
+  */
+case class Decimal9Nanos(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "decimal9_nanos"
+
+  override def nullSafeEval(input: Any): Any =
+    Decimal9Nanos.nanos(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Decimal9Nanos$$.MODULE$$.nanos($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Decimal9Nanos {
+  /** valueOf = Double.toString route, matching Spark's double→decimal cast;
+    * longValueExact throws loudly on |v| ≥ ~9.2e9 instead of corrupting.
+    */
+  def nanos(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 }
 
 object SumExpressions {
   /** Exact 128-bit sum of a long column → DECIMAL(38,0). */
   def sum128(c: Column): Column =
     ExpressionUtils.column(Sum128(ExpressionUtils.expression(c)).toAggregateExpression())
+
+  /** Exact 128-bit sum of scale-9 fixed-point longs → DECIMAL(38,9). */
+  def sum128Nanos(c: Column): Column =
+    ExpressionUtils.column(Sum128(ExpressionUtils.expression(c), scale = 9).toAggregateExpression())
+
+  /** Scale-9 unscaled-long projection of a double column (decimal-cast
+    * rounding semantics, no per-row Decimal in the downstream aggregate).
+    */
+  def decimal9_nanos(c: Column): Column =
+    ExpressionUtils.column(Decimal9Nanos(ExpressionUtils.expression(c)))
 }

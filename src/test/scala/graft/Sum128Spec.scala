@@ -66,6 +66,31 @@ class Sum128Spec extends SparkSpec {
     assert(zeroSum.agg(sum128(col("v")).cast("long")).head.getLong(0) == 0L)
   }
 
+  test("sum128Nanos(decimal9_nanos(v)) bit-identical to the decimal-cast sum") {
+    import org.apache.spark.sql.graft.SumExpressions.{decimal9_nanos, sum128Nanos}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // float-derived doubles (the embedding domain) + exact-tie values
+    // (odd multiples of 2^-10 land exactly on .5 at scale 9) + negatives
+    val vs = Seq.fill(4000)(rnd.nextFloat() * 16 - 8).map(_.toDouble) ++
+      Seq(1.0 / 1024, -1.0 / 1024, 3.0 / 1024, -3.0 / 1024, 0.0, -0.0)
+    val df = vs.map(v => (rnd.nextInt(5), v)).toDF("k", "v").repartition(9)
+    val both = df.groupBy("k")
+      .agg(
+        sum128Nanos(decimal9_nanos(col("v"))).cast("string").as("s128"),
+        sum(col("v").cast("decimal(18,9)")).cast("decimal(38,9)").cast("string").as("sdec"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"group ${r.get(0)}: ${r.getString(1)} != ${r.getString(2)}"))
+    // per-value check too: the unscaled long must equal the decimal cast
+    val rows = vs.toDF("v")
+      .select(decimal9_nanos(col("v")).as("n"),
+        (col("v").cast("decimal(18,9)") * lit(1000000000L)).cast("long").as("d"))
+      .filter(col("n") =!= col("d")).count()
+    assert(rows == 0L)
+  }
+
   test("registered as a SQL function and stays inside whole-stage codegen") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
