@@ -94,8 +94,10 @@ object TextOps {
         .select(
           col("doc_id"),
           size(col("t")).as("n_tokens"),
-          expr(s"size(filter(t, x -> x IN ($stopIn)))").as("n_stop"),
-          expr("aggregate(t, 0L, (a, x) -> a + length(x))").as("len_sum"),
+          org.apache.spark.sql.graft.TextExpressions
+            .tokens_in_set(col("t"), stop).as("n_stop"),
+          org.apache.spark.sql.graft.TextExpressions
+            .token_length_sum(col("t")).as("len_sum"),
           (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).as("n_punct"),
           length(col("text")).as("n_chars"))
         .select(
@@ -123,8 +125,11 @@ object TextOps {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
     val hitsSqls = markers.map { case (l, ws) =>
       s"len(list_filter(t, x -> x IN (${inList(ws)}))) AS ${l}_hits" }
+    // native one-pass set-membership counts: the filter-lambda form ran
+    // four CodegenFallback HOFs per row (see TokensInSet)
     val hitsSpark = markers.map { case (l, ws) =>
-      expr(s"size(filter(t, x -> x IN (${inList(ws)})))").as(s"${l}_hits") }
+      org.apache.spark.sql.graft.TextExpressions
+        .tokens_in_set(col("t"), ws).as(s"${l}_hits") }
     val caseSql =
       """CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
         |     WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
@@ -272,10 +277,16 @@ object TextOps {
       |  n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // native scans: the split+filter form ran a regex split plus a
+    // CodegenFallback lambda; the regexp_extract_all form materialized
+    // every match string just to count them (see WsTokenCount /
+    // BpeishTokenCount — property-tested equal)
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        expr("size(filter(split(text, '[ ]+'), x -> x != ''))").as("ws_tokens"),
-        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("bpeish_tokens"),
+        org.apache.spark.sql.graft.TextExpressions
+          .ws_token_count(col("text")).as("ws_tokens"),
+        org.apache.spark.sql.graft.TextExpressions
+          .bpeish_token_count(col("text")).as("bpeish_tokens"),
         col("n_chars"))
       .orderBy("doc_id")
   }

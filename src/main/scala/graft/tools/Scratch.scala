@@ -112,6 +112,27 @@ object Scratch {
         .orderBy("l_returnflag")
     }
 
+    // q38: percentile over raw rows vs pre-counted (v, freq) pairs
+    time("q38 freq form", 5) {
+      val cnt = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_partkey, 0.5)").as("x")) // warm guard
+      cnt
+    }
+    time("q38 freq real", 5) {
+      val byPart = li.groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("cp"))
+      val bySupp = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("cs"))
+      val p = byPart.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_partkey, 0.5, cp)").as("median_part"),
+          sum(col("cp")).as("n"))
+      val sup = bySupp.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_suppkey, 0.5, cs)").as("median_supp"))
+      p.join(sup, "l_returnflag")
+        .select(col("l_returnflag"), col("median_part"), col("median_supp"), col("n"))
+        .orderBy("l_returnflag")
+    }
+
     // centroid aggregation: where does KMeans.centroids spend time?
     {
       val emb = graft.Tables(spark, dir, "embeddings")

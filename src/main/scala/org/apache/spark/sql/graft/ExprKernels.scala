@@ -131,6 +131,77 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of array elements contained in a small string set (see
+    * TokensInSet) — `size(filter(t, x -> x IN (…)))` as one pass over the
+    * UTF8String array against a hash set, no per-element lambda frames.
+    */
+  def tokensInSet(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** Σ length(x) over a token array in code points (see TokenLengthSum) —
+    * `aggregate(t, 0L, (a, x) -> a + length(x))` without the fold lambda.
+    */
+  def tokenLengthSum(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += arr.getUTF8String(i).numChars(); i += 1 }
+    s
+  }
+
+  /** Number of maximal runs of non-space bytes (space = 0x20) — equals
+    * `size(filter(split(text, '[ ]+'), x -> x <> ''))` for any input: the
+    * split's non-empty segments are exactly those runs. Byte-level is safe:
+    * 0x20 is never a UTF-8 continuation byte.
+    */
+  def wsTokenCount(s: UTF8String): Int = {
+    val n = s.numBytes
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == ' ') inRun = false
+      else if (!inRun) { count += 1; inRun = true }
+      i += 1
+    }
+    count
+  }
+
+  /** Match count of the BPE-ish alternation `[a-z]+|[0-9]+|[^a-z0-9 ]`
+    * over the LOWERCASED text (see BpeishTokenCount): the regex engine's
+    * left-to-right greedy scan is exactly "letter runs + digit runs + one
+    * per other non-space code point", so one code-point walk reproduces
+    * the regexp_extract_all count without the regex machinery.
+    */
+  def bpeishTokenCount(input: UTF8String): Int = {
+    val s = input.toLowerCase.toString
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') {
+        count += 1
+        while (i < n && { val c = s.codePointAt(i); c >= 'a' && c <= 'z' }) i += Character.charCount(s.codePointAt(i))
+      } else if (cp >= '0' && cp <= '9') {
+        count += 1
+        while (i < n && { val c = s.codePointAt(i); c >= '0' && c <= '9' }) i += Character.charCount(s.codePointAt(i))
+      } else {
+        if (cp != ' ') count += 1
+        i += Character.charCount(cp)
+      }
+    }
+    count
+  }
+
   /** Nearest-centroid argmin (see NearestCentroid): squared-L2 over
     * emb[offset ..< offset+len] vs each centroid as a sequential double
     * fold; smallest distance wins, ties on the smaller label. Double.compare

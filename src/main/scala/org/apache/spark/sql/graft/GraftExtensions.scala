@@ -58,6 +58,21 @@ object GraftExtensions {
         case Seq(e) => Sum128(e).toAggregateExpression()
         case _ => throw new IllegalArgumentException("sum128(col)")
       }),
+    ("token_length_sum", classOf[TokenLengthSum].getName,
+      (c: Seq[Expression]) => TokenLengthSum(c.head)),
+    ("ws_token_count", classOf[WsTokenCount].getName,
+      (c: Seq[Expression]) => WsTokenCount(c.head)),
+    ("bpeish_token_count", classOf[BpeishTokenCount].getName,
+      (c: Seq[Expression]) => BpeishTokenCount(c.head)),
+    ("tokens_in_set", classOf[TokensInSet].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(arr, set) =>
+          // the set must be a literal array of strings; evaluated once
+          val vals = set.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          TokensInSet(arr, (0 until vals.numElements()).map(i => vals.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "tokens_in_set(tokens, array('a', 'b', ...))")
+      }),
     ("linear_count_buckets", classOf[LinearCountBuckets].getName,
       (c: Seq[Expression]) => c match {
         case Seq(child, m) => LinearCountBuckets(child,

@@ -75,6 +75,106 @@ case class ShingleHashes(child: Expression, arity: Int = 2)
     copy(child = newChild)
 }
 
+/** `size(filter(tokens, x -> x IN (set)))` as a native one-pass count.
+  * Higher-order functions (ArrayFilter + LambdaFunction) are
+  * CodegenFallback — each call interpreted a lambda per element AND pushed
+  * the whole projection out of whole-stage codegen; q19 evaluated four of
+  * them per row. The set lives in a prebuilt HashSet referenced from
+  * generated code. Equivalence is property-tested (TextFunctionsSpec).
+  */
+case class TokensInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tokens_in_set"
+
+  @transient private lazy val hashSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokensInSet(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], hashSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("set", hashSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.tokensInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `aggregate(tokens, 0L, (a, x) -> a + length(x))` as a native sum —
+  * same CodegenFallback motivation as [[TokensInSet]].
+  */
+case class TokenLengthSum(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_length_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenLengthSum(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.tokenLengthSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace token count: maximal non-space runs, ==
+  * `size(filter(split(text, '[ ]+'), x -> x <> ''))` (property-tested).
+  */
+case class WsTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ws_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.wsTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.wsTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE-ish token count: match count of `[a-z]+|[0-9]+|[^a-z0-9 ]` over the
+  * lowercased text, as one code-point scan ==
+  * `size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))`
+  * (property-tested).
+  */
+case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpeish_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.bpeishTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.bpeishTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
@@ -87,4 +187,20 @@ object TextExpressions {
     */
   def ngram_hashes(c: Column, arity: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c), arity))
+
+  /** One-pass count of tokens contained in a small literal set. */
+  def tokens_in_set(c: Column, set: Seq[String]): Column =
+    ExpressionUtils.column(TokensInSet(ExpressionUtils.expression(c), set))
+
+  /** Σ length(token) in code points, as a native fold. */
+  def token_length_sum(c: Column): Column =
+    ExpressionUtils.column(TokenLengthSum(ExpressionUtils.expression(c)))
+
+  /** Count of maximal non-space runs (whitespace tokenization count). */
+  def ws_token_count(c: Column): Column =
+    ExpressionUtils.column(WsTokenCount(ExpressionUtils.expression(c)))
+
+  /** Match count of the BPE-ish alternation over lowercased text. */
+  def bpeish_token_count(c: Column): Column =
+    ExpressionUtils.column(BpeishTokenCount(ExpressionUtils.expression(c)))
 }

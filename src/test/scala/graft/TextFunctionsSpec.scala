@@ -32,4 +32,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
     assert(got(2) == Seq.empty)
   }
+
+  test("native text counters equal their SQL compose forms on generated inputs") {
+    import org.apache.spark.sql.graft.TextExpressions._
+    // adversarial strings: unicode, runs of spaces/punct, digit/letter
+    // boundaries, empty, the set words as substrings
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("the", "a", "of", "und", "x", "9", "42", "Ω", "é!",
+      " ", "  ", ",", "...", "ab9", "9ab", "th", "thee", "\t", "ñ é")
+    val texts = (1 to 400).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString("")
+    } ++ Seq("", " ", "the of the", "a  b", "ΩΩ 9a")
+    val set = Seq("the", "a", "of", "and")
+    val setIn = set.map(w => s"'$w'").mkString(", ")
+    val df = texts.toDF("text")
+      .withColumn("t", graft.functions.TextFunctions.tokens("text"))
+    val diverged = df.select(
+        tokens_in_set(col("t"), set).as("n1"),
+        expr(s"size(filter(t, x -> x IN ($setIn)))").as("n2"),
+        token_length_sum(col("t")).as("l1"),
+        expr("aggregate(t, 0L, (a, x) -> a + length(x))").as("l2"),
+        ws_token_count(col("text")).as("w1"),
+        expr("size(filter(split(text, '[ ]+'), x -> x != ''))").as("w2"),
+        bpeish_token_count(col("text")).as("b1"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("b2"))
+      .filter(col("n1") =!= col("n2") || col("l1") =!= col("l2") ||
+        col("w1") =!= col("w2") || col("b1") =!= col("b2"))
+    assert(diverged.count() == 0L, diverged.collect().mkString("\n"))
+  }
 }
