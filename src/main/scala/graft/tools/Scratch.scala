@@ -112,6 +112,25 @@ object Scratch {
         .orderBy("l_returnflag")
     }
 
+    // q23: lag/cumsum windows vs built-in session_window aggregation
+    time("q23 current", 5)(graft.queries.EventOps.q23Sessionize.fn(spark, dir))
+    time("q23 session_window", 5) {
+      val ev = graft.Tables(spark, dir, "events")
+      import org.apache.spark.sql.expressions.Window
+      val sess = ev
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sv"))
+      sess
+        .withColumn("session_idx",
+          row_number().over(Window.partitionBy("user_id").orderBy(col("sw.start"))).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("session_start"), col("session_end"), (col("sv") / 100.0).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    }
+
     // q38: percentile over raw rows vs pre-counted (v, freq) pairs
     time("q38 freq form", 5) {
       val cnt = li.groupBy(col("l_returnflag"))
