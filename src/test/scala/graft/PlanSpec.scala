@@ -145,4 +145,40 @@ class PlanSpec extends SparkSpec {
     val p52 = planOf(queries.PipelineOps.q52SourceNovelty.fn(spark, sf))
     assert(p52.contains("array_distinct"), p52.take(400))
   }
+
+  test("q35/q10: distinct sketches and split distincts plan without Expand") {
+    // q35's bitset aggregate and q10's per-column aggregations exist to
+    // keep the multi-distinct Expand (N row copies into one shuffle) out
+    // of the plan — lock that in
+    val p35 = planOf(queries.Relational.q35ApproxDistinct.fn(spark, sf))
+    assert(!p35.contains("Expand"), p35.take(600))
+    assert(p35.contains("linear_count_buckets"), p35.take(600))
+    val p10 = planOf(queries.Relational.q10Distinct.fn(spark, sf))
+    assert(!p10.contains("Expand"), p10.take(600))
+  }
+
+  test("q25/q19/q40/q18: native scalar replacements keep CodegenFallback out") {
+    // get_json_object, ArrayFilter lambdas and regexp_extract_all are
+    // CodegenFallback — their native replacements must stay in the plan
+    val p25 = planOf(queries.EventOps.q25JsonExtract.fn(spark, sf))
+    assert(p25.contains("json_long_field") && !p25.contains("get_json_object"),
+      p25.take(600))
+    val p19 = planOf(queries.TextOps.q19LangId.fn(spark, sf))
+    assert(p19.contains("tokens_in_set") && !p19.contains("filter(t"),
+      p19.take(600))
+    val p40 = planOf(queries.TextOps.q40TokenCount.fn(spark, sf))
+    assert(p40.contains("ws_token_count") && p40.contains("bpeish_token_count") &&
+      !p40.contains("regexp_extract_all"), p40.take(600))
+    val p18 = planOf(queries.TextOps.q18TextQuality.fn(spark, sf))
+    assert(p18.contains("tokens_in_set") && p18.contains("token_length_sum"),
+      p18.take(600))
+  }
+
+  test("ANN assignment runs on the native argmin, not the compose form") {
+    val p42 = planOf(queries.VectorOps.q42AnnIvf.fn(spark, sf))
+    assert(p42.contains("nearest_centroid"), p42.take(600))
+    assert(!p42.contains("array_min"), "compose-form argmin crept back")
+    val p58 = planOf(queries.VectorOps.q58AnnPq.fn(spark, sf))
+    assert(p58.contains("nearest_centroid"), p58.take(600))
+  }
 }
