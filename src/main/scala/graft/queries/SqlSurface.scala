@@ -68,11 +68,16 @@ object SqlSurface {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // native PercentileLong: bit-identical to the built-in percentile()
+    // (PercentileSpec) with a primitive long->count map instead of the
+    // boxed OpenHashMap the built-in fills per row
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_partkey, 0.5)").as("median_part"),
-        expr("percentile(l_suppkey, 0.5)").as("median_supp"),
+        org.apache.spark.sql.graft.PercentileLong
+          .percentile_long(col("l_partkey"), 0.5).as("median_part"),
+        org.apache.spark.sql.graft.PercentileLong
+          .percentile_long(col("l_suppkey"), 0.5).as("median_supp"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }

@@ -80,6 +80,19 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "linear_count_buckets(bucket, m)")
       }),
+    ("percentile_long", classOf[PercentileLong].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(child, p) =>
+          // SQL fractional literals eval to Decimal, not java.lang.Number
+          val pct = p.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"percentile_long(col, p): non-numeric percentage $other")
+          }
+          PercentileLong(child, pct).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("percentile_long(col, p)")
+      }),
     ("json_long_field", classOf[JsonLongField].getName,
       (c: Seq[Expression]) => c match {
         case Seq(s, k) =>
