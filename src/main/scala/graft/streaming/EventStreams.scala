@@ -47,6 +47,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed approximate distinct users per event type — the streaming
+    * twin of q35's linear-counting sketch. The native
+    * [[org.apache.spark.sql.graft.LinearCountBuckets]] aggregate is the
+    * state: m/8 bytes per (window × type) in the state store, OR-merged
+    * incrementally — the point of a sketch in a stream, where exact
+    * count(DISTINCT) is unsupported precisely because its state is
+    * unbounded. Same quadratic bucket hash and estimator as q35.
+    */
+  def approxDistinctUsers(events: DataFrame, m: Int = 1 << 16,
+      watermark: String = "2 hours"): DataFrame = {
+    val p = 2147483647L
+    val x = s"(((user_id % $p) * 1103515245 + (user_id div $p) * 12345) % $p)"
+    val bucket = expr(s"($x * $x % $p * 69069) % $p % $m")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(org.apache.spark.sql.graft.LinearCount
+        .linear_count_buckets(bucket, m).as("filled"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        floor(lit(-m.toDouble) * log(lit(1.0) - col("filled").cast("double") / m) + 0.5)
+          .cast("long").as("approx_users"))
+  }
+
   /** Streaming twin of q23_sessionize: native session_window with a 30-min
     * gap — Spark merges/evicts session state under the watermark.
     */

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSpec {
     assert(missing.filter(col("bucket") < cutoff).count() == 0)
   }
 
+  test("streaming approx-distinct users: sketch equals the batch sketch per window") {
+    val m = 1 << 16
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val got = EventStreams.runToMemory(
+      EventStreams.approxDistinctUsers(stream, m), "approx_users_t")
+    // batch twin: identical bucket hash + estimator over the same table
+    val p = 2147483647L
+    val x = s"(((user_id % $p) * 1103515245 + (user_id div $p) * 12345) % $p)"
+    val batch = Tables(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(expr(s"($x * $x % $p * 69069) % $p % $m")).as("filled"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        floor(lit(-m.toDouble) * log(lit(1.0) - col("filled").cast("double") / m) + 0.5)
+          .cast("long").as("approx_b"))
+    val joined = got.join(batch, Seq("bucket", "event_type"), "inner")
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("approx_users") =!= col("approx_b")).count() == 0)
+  }
+
   test("streaming sessionization: emitted sessions equal batch sessions") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(
