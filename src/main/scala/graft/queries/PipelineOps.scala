@@ -246,7 +246,45 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Q59 — per-source document-length quartiles: the curation dashboard
+    * for length-distribution drift (a source whose p25 collapses or p75
+    * explodes changed its extraction or got polluted). Exact percentiles
+    * on the native [[org.apache.spark.sql.graft.PercentileLong]] —
+    * primitive long→count state, O(distinct lengths) per source.
+    *
+    * Cross-engine exactness: 0.25/0.5/0.75 are deliberate — the R-7 rank
+    * p·(n−1) then has an exactly-representable dyadic fraction, so BOTH
+    * interpolation forms ((1−f)·a + f·b and a + (b−a)·f) evaluate exactly
+    * on integer lengths and the engines agree bit-for-bit at any n.
+    * Arbitrary percentages (0.9) would put a rounding ulp between the
+    * engines' algebraically-equal formulas.
+    */
+  val q59LengthPercentiles: QueryDef = QueryDef.sql(
+    "q59_length_percentiles",
+    """SELECT source,
+      |  quantile_cont(n_chars, 0.25) AS p25_chars,
+      |  quantile_cont(n_chars, 0.5) AS p50_chars,
+      |  quantile_cont(n_chars, 0.75) AS p75_chars,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  count(*) AS n_docs
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.PercentileLong.percentile_long
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        percentile_long(col("n_chars"), 0.25).as("p25_chars"),
+        percentile_long(col("n_chars"), 0.5).as("p50_chars"),
+        percentile_long(col("n_chars"), 0.75).as("p75_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
-    q54VocabCoverage)
+    q54VocabCoverage, q59LengthPercentiles)
 }
