@@ -588,7 +588,53 @@ object VectorOps {
     }
   }
 
+  /** Q60 — centroid-distance outliers: per label, the 5 vectors LEAST
+    * aligned with their label centroid (lowest dot). The
+    * mislabeled/corrupted-embedding detector of a curation pipeline —
+    * vectors far from their class center poison ANN graphs and
+    * classifier training, and are exactly the rows a human reviews first.
+    * (A norm-based outlier variant is vacuous on this corpus: the
+    * embeddings are unit-normalized, ‖x‖² = 1 ± 2e-7.)
+    *
+    * Exactness chain: centroids are the established decimal-exact label
+    * means (same CentSql/centroids pair q42 relies on); per-row dots are
+    * sequential double folds against those identical centroid doubles;
+    * rank ties break on vec_id. Scale: centroid table is k·dim doubles
+    * broadcast back — one scan of the vectors, no vector shuffle; the
+    * per-label top-5 window sees only (label, dot) pairs.
+    */
+  val q60CentroidOutliers: QueryDef = QueryDef.sql(
+    "q60_centroid_outliers",
+    s"""WITH c0 AS (${CentSql("embeddings", "label")}),
+       |d AS (
+       |  SELECT e.vec_id, e.label,
+       |    ${DotSeqSql("e.embedding", "c.centroid")} AS dot
+       |  FROM embeddings e JOIN c0 c ON e.label = c.c_label),
+       |r AS (
+       |  SELECT vec_id, label, dot,
+       |    row_number() OVER (PARTITION BY label ORDER BY dot, vec_id) AS rnk
+       |  FROM d)
+       |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, dot
+       |FROM r WHERE rnk <= 5
+       |ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+    import graft.ml.KMeans
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, dir, "embeddings")
+    val c0 = KMeans.collectCentroids(KMeans.centroids(
+      emb.withColumn("__k", col("label")), "__k"))
+    val cents = s.createDataFrame(c0).toDF("c_label", "centroid")
+    val d = emb.join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("centroid")).as("dot"))
+    d.withColumn("rnk",
+        row_number().over(Window.partitionBy("label").orderBy(col("dot"), col("vec_id")))
+          .cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("label"), col("rnk"), col("vec_id"), col("dot"))
+      .orderBy("label", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh, q42AnnIvf,
-    q46EmbeddingNeardupLsh, q53AnnRecall, q58AnnPq)
+    q46EmbeddingNeardupLsh, q53AnnRecall, q58AnnPq, q60CentroidOutliers)
 }
