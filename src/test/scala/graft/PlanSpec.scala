@@ -174,6 +174,15 @@ class PlanSpec extends SparkSpec {
       p18.take(600))
   }
 
+  test("q59/q60: percentile on native aggregate; centroid stats broadcast back") {
+    val p59 = planOf(queries.PipelineOps.q59LengthPercentiles.fn(spark, sf))
+    assert(p59.contains("percentile_long"), p59.take(600))
+    assert(!p59.contains("ObjectHashAggregate") || p59.contains("percentile_long"),
+      "q59 must aggregate on the primitive-state percentile")
+    val p60 = planOf(queries.VectorOps.q60CentroidOutliers.fn(spark, sf))
+    assert(p60.contains("BroadcastHashJoin"), "q60 centroid join must broadcast")
+  }
+
   test("ANN assignment runs on the native argmin, not the compose form") {
     val p42 = planOf(queries.VectorOps.q42AnnIvf.fn(spark, sf))
     assert(p42.contains("nearest_centroid"), p42.take(600))
