@@ -66,24 +66,34 @@ object Bench {
     // SPARK_GRAFT_ONLY=q21_ngram_jaccard,q24_asof_join → bench a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-        val times = (1 to runs).flatMap { _ =>
+    // Measure in PASSES over the whole suite (run 1 of every query, then
+    // run 2, then run 3) rather than 3 back-to-back runs per query: this
+    // box slows under sustained load, and per-query consecutive runs make
+    // thermal state a function of ALPHABETICAL POSITION (q5x always
+    // measured hottest). Passes give every query one sample from each
+    // thermal epoch; the median then compares like with like.
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    (1 to runs).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
           } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               System.err.println(s"[bench] FAILED $name: ${errors(name)}")
-              None
           } finally Caches.clearAll(spark) // each run pays its full cost
         }
-        if (times.isEmpty) None
-        else Some(name -> times.sorted.apply(times.size / 2)) // median
       }
+    }
+    val results = selected.flatMap { case (name, _) =>
+      samples.get(name).filter(_.nonEmpty)
+        .map(ts => name -> ts.sorted.apply(ts.size / 2)) // median
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
