@@ -47,15 +47,17 @@ object CurationOps {
          |    len(regexp_extract_all(props, '$num')) AS n_hits
          |FROM events
          |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // fused native scrub: one String materialization for all six regex
+      // passes (3 sequential replaces + 3 counts on the original) — same
+      // algorithm as the regexp_replace/regexp_count compose form it
+      // replaces (property-tested in RegexScrubSpec)
       Tables(s, dir, "events")
+        .withColumn("sc", org.apache.spark.sql.graft.RegexScrub.regex_scrub(
+          col("props"),
+          Seq(email -> "<EMAIL>", ipv4 -> "<IP>", num -> "<NUM>")))
         .select(col("event_id"), col("event_type"),
-          regexp_replace(regexp_replace(regexp_replace(col("props"),
-            lit(email), lit("<EMAIL>")),
-            lit(ipv4), lit("<IP>")),
-            lit(num), lit("<NUM>")).as("scrubbed"),
-          (expr(s"regexp_count(props, '$email')") +
-            expr(s"regexp_count(props, '$ipv4')") +
-            expr(s"regexp_count(props, '$num')")).as("n_hits"))
+          col("sc.scrubbed").as("scrubbed"),
+          col("sc.n_hits").as("n_hits"))
         .orderBy("event_id")
     }
   }
