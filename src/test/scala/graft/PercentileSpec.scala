@@ -32,6 +32,22 @@ class PercentileSpec extends SparkSpec {
     }
   }
 
+  test("state map growth: >2^10 distinct keys still bit-match the built-in") {
+    // LongCounts starts at 1024 slots and grows at half load — force
+    // several doublings and re-check equality through partial+merge
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 60000).map(_ => rnd.nextInt(20000).toLong - 10000L)
+      .toDF("v").repartition(7)
+    val r = df.agg(
+        percentile_long(col("v"), 0.5).as("native"),
+        expr("percentile(v, CAST(0.5 AS DOUBLE))").as("builtin"))
+      .head
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}")
+  }
+
   test("null inputs skip; empty input is NULL; SQL registration works") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
