@@ -210,6 +210,12 @@ object ExprKernels {
     */
   def nearestCentroid(emb: ArrayData, labels: Array[Long],
       cents: Array[Array[Double]], offset: Int): Long = {
+    // UnsafeArrayData.getFloat past numElements reads garbage SILENTLY —
+    // fail loudly on a codebook/vector dimension mismatch instead
+    if (emb.numElements() < offset + cents(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector has ${emb.numElements()} dims, " +
+          s"codebook needs ${offset + cents(0).length} (offset $offset + len ${cents(0).length})")
     var bestD = Double.NaN
     var bestL = Long.MaxValue
     var first = true

@@ -139,6 +139,11 @@ class MlSpec extends SparkSpec {
     val picked = vecs.select(nearest_centroid(col("embedding"), codebook, 0).as("c"))
       .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(!picked.contains(3L), s"duplicate-centroid tie must resolve to label 1: $picked")
+    // dimension mismatch fails loudly instead of silently reading garbage
+    val err = intercept[Exception] {
+      vecs.select(nearest_centroid(col("embedding"), codebook, offset = 12)).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("weight snapshot round-trips through parquet") {
