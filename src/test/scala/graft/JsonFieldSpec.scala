@@ -90,6 +90,17 @@ class JsonFieldSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys: native takes the first occurrence, like the built-in") {
+    val cases = Seq(
+      """{"k": 1, "k": 2}""",
+      """{"k": 7, "a": 0, "k": 9}""",
+      """{"a": 1, "k": 3, "k": null}""")
+    cases.foreach { json =>
+      assert(native(json, "k") == builtin(json, "k"),
+        s"$json: native=${native(json, "k")} builtin=${builtin(json, "k")}")
+    }
+  }
+
   test("codegen and interpreted paths agree through a real plan + SQL registry") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     import spark.implicits._
