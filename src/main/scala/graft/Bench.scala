@@ -48,6 +48,10 @@ object Bench {
       // default 100-entry Janino cache thrashes across queries — every
       // revisit re-pays ~100-300 ms of source-level compilation.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // NOTE: spark.local.dir on /dev/shm was tried and is 3-20x SLOWER
+      // here (q21 0.9s -> 17s): tmpfs pages fight the 24g heap for the
+      // same VM memory and shuffle-file mmap behaves pathologically.
+      // Disk-backed /tmp with OS writeback is the fast path on this box.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
