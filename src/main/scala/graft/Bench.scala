@@ -48,6 +48,9 @@ object Bench {
       // default 100-entry Janino cache thrashes across queries — every
       // revisit re-pays ~100-300 ms of source-level compilation.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Measured, kept at defaults: shuffle lz4 OFF is ~1.6x slower on the
+      // shuffle-heavy subset (7.1s vs 4.5s) — the I/O volume reduction
+      // beats the codec CPU even on local disk.
       // NOTE: spark.local.dir on /dev/shm was tried and is 3-20x SLOWER
       // here (q21 0.9s -> 17s): tmpfs pages fight the 24g heap for the
       // same VM memory and shuffle-file mmap behaves pathologically.
