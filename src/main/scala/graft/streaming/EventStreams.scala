@@ -59,7 +59,12 @@ object EventStreams {
       watermark: String = "2 hours"): DataFrame = {
     val p = 2147483647L
     val x = s"(((user_id % $p) * 1103515245 + (user_id div $p) * 12345) % $p)"
-    val bucket = expr(s"($x * $x % $p * 69069) % $p % $m")
+    // x may be negative for a negative user_id (SQL % keeps the dividend's
+    // sign) but x*x is non-negative and < 2^62, so every later step stays
+    // non-negative; the final pmod makes that contract explicit rather
+    // than relying on the squaring (LinearCountBuckets.update REQUIRES a
+    // non-negative bucket and would abort the whole streaming query)
+    val bucket = expr(s"pmod(($x * $x % $p * 69069) % $p, $m)")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -50,7 +50,15 @@ object Vocab {
       .withColumn("id", row_number().over(w))
   }
 
-  /** Broadcastable word→id map (driver holds O(vocab), not O(corpus)). */
-  def toMap(vocab: DataFrame): Map[String, Int] =
+  /** Broadcastable word→id map (driver holds O(vocab), not O(corpus)).
+    * The O(k) contract is enforced, not assumed: a vocab DataFrame that is
+    * secretly corpus-sized (a missed top-k upstream) fails loudly here
+    * instead of OOMing the driver mid-collect.
+    */
+  def toMap(vocab: DataFrame, maxVocab: Int = 1 << 22): Map[String, Int] = {
+    val n = vocab.count()
+    require(n <= maxVocab,
+      s"Vocab.toMap collects the vocab to the driver: got $n rows > cap $maxVocab")
     vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
 }

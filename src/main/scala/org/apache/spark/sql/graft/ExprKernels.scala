@@ -216,6 +216,17 @@ object ExprKernels {
       throw new IllegalArgumentException(
         s"nearest_centroid: vector has ${emb.numElements()} dims, " +
           s"codebook needs ${offset + cents(0).length} (offset $offset + len ${cents(0).length})")
+    // getFloat on a NULL array slot likewise reads 0.0 SILENTLY (ArrayType
+    // accepts containsNull=true input) — the compose form this kernel is
+    // property-tested against propagates null instead, so fail loudly
+    var e = 0
+    while (e < cents(0).length) {
+      if (emb.isNullAt(offset + e))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: null element at index ${offset + e}; " +
+            "embedding arrays must be null-free")
+      e += 1
+    }
     var bestD = Double.NaN
     var bestL = Long.MaxValue
     var first = true
@@ -299,15 +310,22 @@ object ExprKernels {
         }
       }
       if (matches) {
-        // parse an integer value; anything else → null
+        // parse an integer value; anything else → null. Accumulate NEGATED
+        // (the classic Long.parseLong shape): Long.MinValue has no positive
+        // twin, so positive accumulation would null-overflow on the one
+        // value -9223372036854775808 that the built-in CAST parses fine.
         var neg = false
         if (b() == '-') { neg = true; i += 1 }
         if (i >= n || b() < '0' || b() > '9') return null
+        val limit = if (neg) Long.MinValue else -Long.MaxValue
+        val multmin = limit / 10
         var acc = 0L
         while (i < n && b() >= '0' && b() <= '9') {
           val d = b() - '0'
-          if (acc > (Long.MaxValue - d) / 10) return null // overflow
-          acc = acc * 10 + d
+          if (acc < multmin) return null // overflow
+          acc *= 10
+          if (acc < limit + d) return null // overflow
+          acc -= d
           i += 1
         }
         // fraction part: truncate toward zero, like the legacy CAST(string
@@ -320,7 +338,7 @@ object ExprKernels {
         }
         if (i < n && { val c = b(); c == 'e' || c == 'E' }) return null
         if (i < n && { val c = b(); c != ',' && c != '}' && c != ' ' && c != '\t' && c != '\n' && c != '\r' }) return null
-        return java.lang.Long.valueOf(if (neg) -acc else acc)
+        return java.lang.Long.valueOf(if (neg) acc else -acc)
       }
       // skip this value
       val c0 = b()

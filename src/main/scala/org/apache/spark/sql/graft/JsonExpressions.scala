@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocates nothing but the boxed result.
   *
   * Scope (documented, property-enforced): top-level field of an object,
-  * numeric values — integers parse, floats truncate toward zero (the
-  * legacy-cast rule); strings, bools, nulls, nested values, exponent forms
-  * and |v| > Long.MaxValue (so also Long.MinValue itself) are null, all
-  * matching the get_json_object+CAST verdicts on those shapes. Nested and
+  * numeric values — integers parse over the FULL long range (negated
+  * accumulation, so Long.MinValue parses exactly as the built-in CAST
+  * does), floats truncate toward zero (the legacy-cast rule); strings,
+  * bools, nulls, nested values, exponent forms and values outside
+  * [Long.MinValue, Long.MaxValue] are null, all matching the
+  * get_json_object+CAST verdicts on those shapes. Nested and
   * string-valued paths stay on the built-in.
   */
 case class JsonLongField(child: Expression, key: String)

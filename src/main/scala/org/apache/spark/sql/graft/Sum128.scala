@@ -162,6 +162,16 @@ case class Decimal9Nanos(child: Expression)
 object Decimal9Nanos {
   /** valueOf = Double.toString route, matching Spark's double→decimal cast;
     * longValueExact throws loudly on |v| ≥ ~9.2e9 instead of corrupting.
+    *
+    * Domain contract: callers feed embedding-element values (|v| ≤ ~1 by
+    * unit normalization; KMeans means are convex combinations, so also ≤ 1)
+    * — the scale-9 unscaled value then fits a long with 9 decimal digits to
+    * spare. This is a deliberate behavior change vs the
+    * `sum(CAST(v AS DECIMAL(18,9)))` it replaces, which null-overflows per
+    * value in legacy mode (the sum silently skips the row): inside the
+    * guaranteed domain the two never diverge, and outside it a crash beats
+    * a silently-dropped addend. Callers with unvetted inputs must range-
+    * check before projecting.
     */
   def nanos(d: Double): Long =
     java.math.BigDecimal.valueOf(d)

@@ -30,7 +30,7 @@ class JsonFieldSpec extends SparkSpec {
   test("agrees with get_json_object+CAST on generated well-formed objects") {
     val keyGen = Gen.oneOf("k", "key", "kk", "value2")
     val scalarGen: Gen[String] = Gen.oneOf(
-      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(_.toString),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString),
       Gen.chooseNum(-1e6, 1e6).map(_.toString),                   // float → truncate
       Gen.alphaNumStr.map(s => "\"" + s + "\""),                  // string → null
       Gen.oneOf("true", "false", "null"),                         // → null
@@ -81,6 +81,8 @@ class JsonFieldSpec extends SparkSpec {
       ("""{"kk": 1, "k": 2}""", "k") -> Some(2L),
       ("""{"a": {"k": 9}, "k": 3}""", "k") -> Some(3L), // top-level only
       ("""{"k": 9223372036854775807}""", "k") -> Some(Long.MaxValue),
+      ("""{"k": -9223372036854775808}""", "k") -> Some(Long.MinValue),
+      ("""{"k": -9223372036854775809}""", "k") -> None, // negative overflow
       ("""{"k": 9223372036854775808}""", "k") -> None, // overflow
       ("""[1, 2]""", "k") -> None,
       ("""not json""", "k") -> None,

@@ -144,6 +144,14 @@ class MlSpec extends SparkSpec {
       vecs.select(nearest_centroid(col("embedding"), codebook, offset = 12)).collect()
     }
     assert(err.getMessage != null)
+    // a NULL array element likewise fails loudly (getFloat would silently
+    // read it as 0.0; the compose form propagates null instead)
+    val withNull = Seq((0L, Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val nullErr = intercept[Exception] {
+      withNull.select(nearest_centroid(col("embedding"), codebook, 0)).collect()
+    }
+    assert(nullErr.getMessage != null)
   }
 
   test("weight snapshot round-trips through parquet") {
