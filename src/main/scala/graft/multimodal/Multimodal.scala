@@ -108,6 +108,58 @@ object Multimodal {
     s.copy(height = outH, width = outW, data = out)
   }
 
+  /** P7 resize, INTER_LINEAR twin of the reference's default resize path
+    * (ImageDataSource.scala:134-151 → Mat.resize, jcaffe/Mat.java:58-76;
+    * OpenCV resize defaults to INTER_LINEAR): textbook real-valued bilinear
+    * over an HWC buffer with OpenCV's half-pixel-center source mapping
+    * `f = (dst + 0.5) · src/out − 0.5`, edge-clamped, rounded half-up per
+    * channel. Exact byte parity with OpenCV is NOT claimed: OpenCV
+    * quantizes the interpolation weights to 11-bit fixed point, which can
+    * flip the final byte by ±1 near exact coefficient boundaries; this
+    * kernel keeps exact real weights, and MultimodalSpec pins the output
+    * against hand-computed pixels.
+    */
+  def resizeBilinear(s: MediaSample, outW: Int, outH: Int): MediaSample = {
+    require(!s.encoded, "decode before resize")
+    require(outW > 0 && outH > 0)
+    // half-pixel source coordinate clamped into the grid: returns the low
+    // index i0 and the fractional weight toward i0+1, both in-range so the
+    // interpolation stays convex (a boundary sample replicates the edge)
+    def axis(dst: Int, out: Int, src: Int): (Int, Double) = {
+      if (src == 1) (0, 0.0)
+      else {
+        val f0 = (dst + 0.5) * src.toDouble / out - 0.5
+        val f = math.max(0.0, math.min(f0, src - 1.0))
+        val i0 = math.min(math.floor(f).toInt, src - 2)
+        (i0, f - i0)
+      }
+    }
+    val c = s.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      val (y0, dy) = axis(y, outH, s.height)
+      val y1 = if (y0 + 1 < s.height) y0 + 1 else y0
+      var x = 0
+      while (x < outW) {
+        val (x0, dx) = axis(x, outW, s.width)
+        val x1 = if (x0 + 1 < s.width) x0 + 1 else x0
+        var ch = 0
+        while (ch < c) {
+          def px(yy: Int, xx: Int): Int =
+            s.data((yy * s.width + xx) * c + ch) & 0xff
+          val v = (1 - dy) * ((1 - dx) * px(y0, x0) + dx * px(y0, x1)) +
+            dy * ((1 - dx) * px(y1, x0) + dx * px(y1, x1))
+          out((y * outW + x) * c + ch) = math.round(v).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    s.copy(height = outH, width = outW, data = out)
+  }
+
   /** P8 (LmdbRDD.scala:270-281): channel-planar CHW bytes → interleaved HWC.
     * Real kernel — the reference runs this on every LMDB-decoded sample.
     */
@@ -218,13 +270,17 @@ object Multimodal {
     * (iterator-chained like the reference's transformer thread, minus the
     * cross-task singleton M6 anti-pattern — each partition is pure).
     * Undecodable samples drop out (reference ImageDataSource.scala:144-151:
-    * decode-failed Mats are skipped, the batch keeps filling).
+    * decode-failed Mats are skipped, the batch keeps filling). Resize
+    * defaults to [[resizeBilinear]] — the reference's Mat.resize default is
+    * OpenCV INTER_LINEAR — with `bilinear = false` opting into the cheaper
+    * nearest-neighbour kernel.
     */
   def decodeAndResize(ds: Dataset[MediaSample], outW: Int, outH: Int,
-      numChannels: Int = 0): Dataset[MediaSample] = {
+      numChannels: Int = 0, bilinear: Boolean = true): Dataset[MediaSample] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.flatMap(s =>
-      decode(s, numChannels).map(resizeNearest(_, outW, outH))))
+    val resize: MediaSample => MediaSample =
+      if (bilinear) resizeBilinear(_, outW, outH) else resizeNearest(_, outW, outH)
+    ds.mapPartitions(_.flatMap(s => decode(s, numChannels).map(resize)))
   }
 
   /** Build a MediaSample dataset from the documents table, payload = utf8

@@ -59,6 +59,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.data(0) == px(0)) // top-left preserved by NN
   }
 
+  test("resizeBilinear: hand-computed pixels, downscale and upscale") {
+    // 2x2 gray source: [[0, 100], [200, 50]]
+    val s = MediaSample("1", "x", 1, 2, 2, encoded = false,
+      Array[Byte](0, 100, 200.toByte, 50))
+    // 2x2 -> 3x3, half-pixel mapping f=(d+0.5)*2/3-0.5 gives source
+    // fractions (0, 0.5, 1) per axis after edge clamping:
+    //   row0: 0, .5*0+.5*100=50, 100
+    //   row1: 100, .25*(0+100+200+50)=87.5->88, .5*100+.5*50=75
+    //   row2: 200, 125, 50
+    val up3 = Multimodal.resizeBilinear(s, 3, 3)
+    assert(up3.width == 3 && up3.height == 3)
+    assert(up3.data.map(_ & 0xff).toSeq ==
+      Seq(0, 50, 100, 100, 88, 75, 200, 125, 50))
+    // 2x2 -> 4x4, fractions (0, 0.25, 0.75, 1) per axis:
+    val up4 = Multimodal.resizeBilinear(s, 4, 4)
+    assert(up4.data.map(_ & 0xff).toSeq == Seq(
+      0, 25, 75, 100,          // dy=0
+      50, 59, 78, 88,          // dy=.25: 59.375, 78.125, 87.5 (half-up)
+      150, 128, 84, 63,        // dy=.75: 128.125, 84.375, 62.5 (half-up)
+      200, 163, 88, 50))       // dy=1:  162.5, 87.5
+    // identity resize is exact
+    assert(Multimodal.resizeBilinear(s, 2, 2).data.toSeq == s.data.toSeq)
+    // channels interpolate independently (unsigned bytes > 127 included)
+    val c2 = MediaSample("2", "x", 2, 1, 2, encoded = false,
+      Array[Byte](10, 250.toByte, 30, 130.toByte))
+    val r2 = Multimodal.resizeBilinear(c2, 2, 1)
+    assert(r2.data.map(_ & 0xff).toSeq == Seq(10, 250, 30, 130))
+    val mid = Multimodal.resizeBilinear(c2, 1, 1) // both pixels at weight .5
+    assert(mid.data.map(_ & 0xff).toSeq == Seq(20, 190))
+  }
+
   test("frameSample: every k-th frame, exact frame boundaries") {
     val payload = Array.tabulate(30)(_.toByte)
     val frames = Multimodal.frameSample(payload, frameBytes = 10, everyK = 2)
