@@ -30,11 +30,54 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open a streaming view of an events parquet path. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  /** Open a streaming view of an events parquet path. `maxFilesPerTrigger`
+    * bounds each micro-batch to that many source files (modification-time
+    * order) — the lever the specs use to drive MULTI-batch runs with late
+    * arrivals instead of one batch swallowing everything.
+    */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stream-stream enrichment join — the streaming form of q24's as-of
+    * (SURVEY §2.10): each left event joins the right-stream rows for the
+    * same user whose event time lies in `[l.ts − horizon, l.ts]`.
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, which is exactly what lets Spark EVICT state: a
+    * right row leaves the state store once the watermark passes
+    * `r.ts + horizon`, a left row once it passes `l.ts` — state is
+    * O(events inside the horizon window), never O(stream). The late bound
+    * is eviction, not an input filter (measured in StreamingSpec): a late
+    * row still joins whatever state eviction has not yet reclaimed —
+    * cleanup runs at each batch's END — and a row later than that emits
+    * nothing. Results are append-mode deterministic for a fixed batching.
+    *
+    * As-of semantics note: the batch q24 reduces the same bounded candidate
+    * set to the latest-at-or-before row (top-1 per event). An unwindowed
+    * per-event top-1 cannot emit in append mode downstream of a
+    * stream-stream join, so the streaming operator ships the HORIZON
+    * CANDIDATES — the batch reconciliation (or an update-mode consumer)
+    * applies the final top-1, the same split every streaming as-of
+    * deployment makes.
+    */
+  def enrichAsOf(left: DataFrame, right: DataFrame, horizon: String = "1 day",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+        expr("l.user_id = r.user_id") &&
+          col("r.ts") <= col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $horizon"))
+      .select(col("l.event_id").as("event_id"), col("l.ts").as("ts"),
+        col("l.user_id").as("user_id"), col("l.event_type").as("event_type"),
+        col("r.event_id").as("ref_id"), col("r.ts").as("ref_ts"),
+        col("r.value").as("ref_value"))
   }
 
   /** Streaming twin of q22_events_hourly: tumbling event-time window with a

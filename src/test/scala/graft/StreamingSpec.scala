@@ -84,6 +84,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == n)
   }
 
+  test("streaming as-of enrichment: multi-batch stream-stream join drops late rows") {
+    import spark.implicits._
+    val dirL = java.nio.file.Files.createTempDirectory("asof_clicks")
+    val dirR = java.nio.file.Files.createTempDirectory("asof_purchases")
+    def ns(hour: Double): Long = (hour * 3600e9).toLong
+    def writeRows(dir: java.nio.file.Path, name: String, mod: Long,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("asof_part")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    // batch 1: on-time clicks + purchases; watermark after = 20:00 − 2 h = 18:00
+    writeRows(dirL, "a.parquet", 10000L, Seq(
+      (3L, ns(14), 1L, "click", 0.0, "{}"),
+      (5L, ns(12), 2L, "click", 0.0, "{}"),
+      (6L, ns(20), 2L, "click", 0.0, "{}")))
+    writeRows(dirR, "a.parquet", 10000L, Seq(
+      (0L, ns(0.5), 1L, "purchase", 1.0, "{}"),
+      (2L, ns(13.5), 1L, "purchase", 7.0, "{}"),
+      (4L, ns(11.5), 2L, "purchase", 9.0, "{}"),
+      (9L, ns(20), 2L, "purchase", 3.0, "{}"),
+      (10L, ns(18.5), 1L, "purchase", 4.0, "{}")))
+    // batch 2: a late click — 19:00 joins purchase 10 still held in state.
+    // State CLEANUP runs at end-of-batch AFTER inputs join (an in-batch
+    // late row still sees not-yet-evicted state), so batch 2 is also the
+    // first batch whose end evicts purchase 0 (1:30 + 1 h < the 18:00
+    // watermark)
+    writeRows(dirL, "b.parquet", 20000L, Seq(
+      (7L, ns(19), 1L, "click", 0.0, "{}")))
+    // batch 3: a VERY late click at 1:00 — its only candidate (purchase 0)
+    // was evicted at the end of batch 2, so it emits nothing
+    writeRows(dirL, "c.parquet", 30000L, Seq(
+      (8L, ns(1), 1L, "click", 0.0, "{}")))
+    val left = EventStreams.readEvents(spark, dirL.toString, maxFilesPerTrigger = Some(1))
+    val right = EventStreams.readEvents(spark, dirR.toString, maxFilesPerTrigger = Some(1))
+    val got = EventStreams.runToMemory(
+      EventStreams.enrichAsOf(left, right, horizon = "1 hour"), "asof_t")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    // per-user candidates within [l.ts − 1 h, l.ts]; user 2's clicks never
+    // see user 1's purchases; event 8 emits nothing (its candidate state
+    // was evicted — the bounded-state contract late rows pay for)
+    assert(got == Set((3L, 2L), (5L, 4L), (6L, 9L), (7L, 10L)))
+  }
+
   test("streaming stratified sample equals the batch q49 subset") {
     import graft.streaming.DocumentStreams
     val dir = java.nio.file.Files.createTempDirectory("docs_stream")
