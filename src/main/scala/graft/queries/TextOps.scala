@@ -351,7 +351,84 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** CMS geometry: 4 hash rows × 8192 buckets; pairwise-independent-style
+    * affine hashes over the shingle fingerprint, constants small enough
+    * that fp·A never overflows a long (fp < 10^9+7, A < 2^31).
+    */
+  private val CmsA = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+  private val CmsB = Seq(12345L, 362437L, 1013904223L, 1L)
+  private val CmsP = 1000000007L
+  private val CmsW = 8192
+  private val HotT = 30 // heavy-hitter threshold on the CMS estimate
+
+  /** Q61 — boilerplate n-gram heavy hitters via a count-min sketch: the
+    * frequency-sketch complement of q21 (which CAPS hot shingles out of
+    * its join, df ≤ 50 — q61 is the operator that FINDS them; at sf0.1
+    * boilerplate bigrams reach df 338). Per-doc-distinct bigram shingles
+    * feed a 4×8192 counter table; a shingle's estimate is the MIN of its
+    * four row counters (classic CMS — always ≥ the true count); shingles
+    * whose estimate clears the threshold emit with the exact document
+    * frequency alongside (the overestimate readout).
+    *
+    * Scale shape: the sketch aggregation groups into AT MOST 4·8192 = 32k
+    * cells regardless of corpus size — map-side partials shrink the
+    * shuffle to the cell table, which then BROADCASTS back (a count-min
+    * sketch is a fixed-width mergeable aggregate; at 100 TB the same 32k
+    * cells, just bigger counts). The exact-df arm keyed by shingle exists
+    * for the verify/meter readout — a production pipeline keeps only the
+    * sketch + a candidate stream, which is precisely what it is for.
+    * Determinism: counts and estimates are exact integers from identical
+    * affine bucket arithmetic, so both engines derive the same survivor
+    * set and (est DESC, fp) order.
+    */
+  val q61HeavyHitters: QueryDef = {
+    def BucketSql(fpExpr: String, rExpr: String): String =
+      s"((($fpExpr) * [${CmsA.mkString(", ")}][$rExpr+1] + " +
+        s"[${CmsB.mkString(", ")}][$rExpr+1]) % $CmsP) % $CmsW"
+    QueryDef.sql(
+      "q61_heavy_hitters",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+         |  FROM (SELECT doc_id, ${graft.functions.TextFunctions.WordBigramsOverT} AS bg
+         |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+         |cms AS (
+         |  SELECT r, ${BucketSql("fp", "r")} AS b, count(*) AS c
+         |  FROM sh, unnest([0, 1, 2, 3]) AS t(r)
+         |  GROUP BY r, b),
+         |df AS (SELECT fp, count(*) AS df FROM sh GROUP BY fp)
+         |SELECT fp, est, df FROM (
+         |  SELECT df.fp, min(cms.c) AS est, min(df.df) AS df
+         |  FROM df CROSS JOIN unnest([0, 1, 2, 3]) AS t(r)
+         |  JOIN cms ON cms.r = t.r AND cms.b = ${BucketSql("df.fp", "t.r")}
+         |  GROUP BY df.fp)
+         |WHERE est >= $HotT
+         |ORDER BY est DESC, fp
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      def bucket(fp: org.apache.spark.sql.Column, r: Int) =
+        (fp * CmsA(r) + CmsB(r)) % CmsP % CmsW
+      def rbCol = explode(array((0 until 4).map(r =>
+        struct(lit(r).as("pr"), bucket(col("fp"), r).as("pb"))): _*)).as("rb")
+      val sh = docs.select(col("doc_id"), explode(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks))).as("fp"))
+      val cms = sh.select(rbCol)
+        .groupBy(col("rb.pr").as("r"), col("rb.pb").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val dft = sh.groupBy("fp").agg(count(lit(1)).as("df"))
+      dft.select(col("fp"), col("df"), rbCol)
+        .join(broadcast(cms),
+          col("rb.pr") === col("r") && col("rb.pb") === col("b"))
+        .groupBy(col("fp"))
+        .agg(min(col("c")).as("est"), min(col("df")).as("df"))
+        .filter(col("est") >= HotT)
+        .select("fp", "est", "df")
+        .orderBy(col("est").desc, col("fp"))
+        .limit(50)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
-    q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix)
+    q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
+    q61HeavyHitters)
 }

@@ -187,6 +187,16 @@ class PlanSpec extends SparkSpec {
       p18.take(600))
   }
 
+  test("q61: CMS cell table aggregates with partials and broadcasts back") {
+    val p = planOf(queries.TextOps.q61HeavyHitters.fn(spark, sf))
+    // the 4x8192-cell sketch is the broadcast side of the estimate join —
+    // the corpus-sized relation never shuffles onto the cell key space
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert("partial".r.findFirstIn(p).isDefined, "CMS counts must map-side combine")
+    assert(p.contains("shingle_hashes"), "shingles must use the native expression")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q59/q60: percentile on native aggregate; centroid stats broadcast back") {
     val p59 = planOf(queries.PipelineOps.q59LengthPercentiles.fn(spark, sf))
     assert(p59.contains("percentile_long"), p59.take(600))
