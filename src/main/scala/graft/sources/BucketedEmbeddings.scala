@@ -40,10 +40,18 @@ object BucketedEmbeddings {
   def apply(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((spark, dir), synchronized { build(spark, dir) })
 
-  /** Deterministic per-source-dir location under the JVM temp root. */
+  /** Deterministic per-source location under the JVM temp root. The key
+    * fingerprints the source parquet's path, size and mtime — a
+    * regenerated testdata file at the SAME path (new round, new seed)
+    * gets a fresh layout instead of silently serving stale buckets.
+    */
   def layoutPath(dir: String): String = {
+    val src = Paths.get(s"$dir/embeddings.parquet")
+    val stamp =
+      if (Files.exists(src)) s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|$stamp".getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft-layout/$Version-emb-$key"
   }
 
