@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints two JSON lines — a verbose record with
+  * per-query seconds first, then a compact {"metric":"total",...} summary
+  * LAST so it always lands inside the driver's bounded stdout tail (the
+  * 61-query map alone exceeds 2000 chars and got round 7 recorded as
+  * "parsed": null when it was the final line).
   *
   * Materialization is a `noop` datasource write, not `count()` — count lets
   * Catalyst drop projections (a scan-only plan would "win" dishonestly);
@@ -101,6 +105,9 @@ object Bench {
       samples.get(name).filter(_.nonEmpty)
         .map(ts => name -> ts.sorted.apply(ts.size / 2)) // median
     }
+    val minResults = selected.flatMap { case (name, _) =>
+      samples.get(name).filter(_.nonEmpty).map(ts => name -> ts.min)
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -111,11 +118,25 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
+    val minTotal = minResults.map(_._2).sum
+    // Emission order matters: the driver parses a bounded TAIL of stdout
+    // (observed: 2000 chars). At 61 queries the full per-query map is ~2.1 KB
+    // on one line, which pushed the whole record out of the window in round 7
+    // ("parsed": null). So the verbose line — full per-query medians, errors —
+    // goes FIRST (audit trail, also written to a file), and a compact summary
+    // line small enough to always fit the tail goes LAST.
+    val detailLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
-    println(line)
+    // min_total: sum of per-query MINIMA across passes — robust to this box's
+    // thermal throttling (a hot pass inflates medians uniformly; the min of
+    // one-sample-per-thermal-epoch is the coolest observed execution).
+    val summaryLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"nqueries":${results.size},"nerrors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
+    println(detailLine)
+    println(summaryLine)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), detailLine + "\n" + summaryLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
