@@ -56,9 +56,13 @@ object Vocab {
     * instead of OOMing the driver mid-collect.
     */
   def toMap(vocab: DataFrame, maxVocab: Int = 1 << 22): Map[String, Int] = {
-    val n = vocab.count()
-    require(n <= maxVocab,
-      s"Vocab.toMap collects the vocab to the driver: got $n rows > cap $maxVocab")
-    vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // One action, not count()+collect() (which recomputes the full corpus
+    // aggregation lineage twice): take(cap+1) both fetches the rows and
+    // proves the cap — the +1th row's existence is the violation signal,
+    // without ever materializing more than cap+1 rows on the driver.
+    val rows = vocab.take(maxVocab + 1)
+    require(rows.length <= maxVocab,
+      s"Vocab.toMap collects the vocab to the driver: got > cap $maxVocab rows")
+    rows.map(r => r.getString(0) -> r.getInt(1)).toMap
   }
 }

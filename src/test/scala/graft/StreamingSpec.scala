@@ -58,6 +58,51 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("approx_users") =!= col("approx_b")).count() == 0)
   }
 
+  test("streaming approx-distinct users: negative user ids flow (pmod bucket)") {
+    // Regression: the bucket hash used SQL %, which keeps the dividend's
+    // sign — a negative user_id produced a negative bucket and
+    // LinearCountBuckets.update's require(bucket >= 0) ABORTED the whole
+    // streaming query. TPC-H ids are positive so the oracle never caught
+    // it; the API contract has no such restriction. Long.MinValue is the
+    // worst case (|x| has no positive twin).
+    import org.apache.spark.sql.Row
+    val t0 = java.time.Instant.parse("2026-01-01T00:30:00Z").toEpochMilli
+    def nanos(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000000L
+    val rows = Seq(
+      Row(1L, nanos(0), -1L, "view", 1.0, "{}"),
+      Row(2L, nanos(5), Long.MinValue, "view", 1.0, "{}"),
+      Row(3L, nanos(10), -777L, "view", 1.0, "{}"),
+      Row(4L, nanos(15), 42L, "view", 1.0, "{}"),
+      // hour-10 row pushes the final watermark past the hour-0 window
+      Row(5L, nanos(600), -1L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("events_negids")
+    val table = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), EventStreams.rawSchema)
+    table.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val m = 1 << 16
+    val stream = spark.readStream.schema(EventStreams.rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = EventStreams.runToMemory(
+      EventStreams.approxDistinctUsers(stream, m), "approx_neg_t")
+    // batch twin with the same pmod bucket over the same rows
+    val p = 2147483647L
+    val x = s"(((user_id % $p) * 1103515245 + (user_id div $p) * 12345) % $p)"
+    val batch = table
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(expr(s"pmod(($x * $x % $p * 69069) % $p, $m)")).as("filled"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        floor(lit(-m.toDouble) * log(lit(1.0) - col("filled").cast("double") / m) + 0.5)
+          .cast("long").as("approx_b"))
+    val joined = got.join(batch, Seq("bucket", "event_type"), "inner")
+    assert(got.count() > 0, "hour-0 window was never emitted — query likely aborted")
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("approx_users") =!= col("approx_b")).count() == 0)
+    // the hour-0 window saw 4 distinct users (3 negative, 1 positive)
+    assert(got.filter(col("approx_users") === 4).count() >= 1)
+  }
+
   test("streaming sessionization: emitted sessions equal batch sessions") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val got = EventStreams.runToMemory(
