@@ -1,0 +1,254 @@
+package graft.jobs
+
+/** Declarative job configuration — the reference's config-as-schema role
+  * (caffe-grid/src/main/scala/com/yahoo/ml/caffe/Config.scala:64-87: a
+  * solver/net prototxt declaring the data source, format and column wiring,
+  * parsed and VALIDATED at startup before any cluster work starts). The
+  * graft twin is a small JSON document instead of prototxt: Spark-native
+  * jobs wire DataFrames, so the config declares where the frame comes from
+  * (path/format/table), which columns play id/feature/label, the model
+  * dimensionality, and the gradient-descent hyper-parameters that
+  * Config.scala reads out of SolverParameter.
+  *
+  * Example:
+  * {{{
+  * {
+  *   "source":    {"path": "/data/train", "format": "parquet",
+  *                 "idCol": "vec_id", "featureCol": "embedding", "labelCol": "label"},
+  *   "validation":{"path": "/data/val"},
+  *   "dim": 64, "lr": 0.5, "iters": 40, "l2": 1e-4, "validateEvery": 10,
+  *   "model": "/models/lr", "output": "/out/features", "outputFormat": "json"
+  * }
+  * }}}
+  *
+  * The run MODE (-train / -features / -test) comes from the CLI like the
+  * reference's (Config.scala:440-442), not the file — the same document
+  * drives the whole train → features → test lifecycle.
+  */
+final case class SourceSpec(
+    path: String,
+    format: String = "parquet",
+    table: String = "",
+    idCol: String = "vec_id",
+    featureCol: String = "embedding",
+    labelCol: String = "label") {
+  /** Resolved data location: `table` set means `path` is a directory of
+    * `<table>.parquet` tables (the Tables layout); empty means `path` IS
+    * the dataset.
+    */
+  def dataPath: String = if (table.nonEmpty) s"$path/$table.parquet" else path
+}
+
+final case class JobConfig(
+    source: SourceSpec,
+    dim: Int,
+    validation: Option[SourceSpec] = None,
+    lr: Double = 1.0,
+    iters: Int = 50,
+    l2: Double = 1e-4,
+    validateEvery: Int = 10,
+    model: String = "",
+    output: String = "",
+    outputFormat: String = "json")
+
+object JobConfig {
+
+  /** Parse + validate, failing at startup like the reference's Config
+    * constructor — a malformed declaration must never reach the cluster.
+    */
+  def load(path: String): JobConfig =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def fromJson(text: String): JobConfig = {
+    val root = Json.parse(text) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => fail(s"config root must be a JSON object, got $other")
+    }
+    val known = Set("source", "validation", "dim", "lr", "iters", "l2",
+      "validateEvery", "model", "output", "outputFormat")
+    val unknown = root.keySet -- known
+    if (unknown.nonEmpty) fail(s"unknown config keys: ${unknown.mkString(", ")}")
+
+    def sourceSpec(v: Any, label: String): SourceSpec = v match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val sKnown = Set("path", "format", "table", "idCol", "featureCol", "labelCol")
+        val sUnknown = m.keySet -- sKnown
+        if (sUnknown.nonEmpty) fail(s"unknown $label keys: ${sUnknown.mkString(", ")}")
+        val d = SourceSpec(path = "")
+        val s = SourceSpec(
+          path = str(m, "path", ""),
+          format = str(m, "format", d.format),
+          table = str(m, "table", d.table),
+          idCol = str(m, "idCol", d.idCol),
+          featureCol = str(m, "featureCol", d.featureCol),
+          labelCol = str(m, "labelCol", d.labelCol))
+        if (s.path.isEmpty) fail(s"$label.path is required")
+        if (!Set("parquet", "json", "csv", "orc").contains(s.format))
+          fail(s"$label.format must be parquet/json/csv/orc, got '${s.format}'")
+        s
+      case other => fail(s"$label must be a JSON object, got $other")
+    }
+
+    val d = JobConfig(source = SourceSpec("_defaults_"), dim = 1)
+    val cfg = JobConfig(
+      source = sourceSpec(root.getOrElse("source", fail("source is required")), "source"),
+      validation = root.get("validation").map(sourceSpec(_, "validation")),
+      dim = int(root, "dim", 0),
+      lr = dbl(root, "lr", d.lr),
+      iters = int(root, "iters", d.iters),
+      l2 = dbl(root, "l2", d.l2),
+      validateEvery = int(root, "validateEvery", d.validateEvery),
+      model = str(root, "model", d.model),
+      output = str(root, "output", d.output),
+      outputFormat = str(root, "outputFormat", d.outputFormat))
+    if (cfg.dim <= 0) fail(s"dim must be a positive integer, got ${cfg.dim}")
+    if (cfg.iters <= 0) fail(s"iters must be positive, got ${cfg.iters}")
+    if (cfg.lr <= 0d) fail(s"lr must be positive, got ${cfg.lr}")
+    if (cfg.l2 < 0d) fail(s"l2 must be non-negative, got ${cfg.l2}")
+    if (cfg.validateEvery <= 0) fail(s"validateEvery must be positive, got ${cfg.validateEvery}")
+    if (!Set("json", "parquet", "csv").contains(cfg.outputFormat))
+      fail(s"outputFormat must be json/parquet/csv, got '${cfg.outputFormat}'")
+    cfg
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"job config: $msg")
+
+  private def str(m: Map[String, Any], k: String, dflt: String): String =
+    m.get(k).map {
+      case s: String => s
+      case other => fail(s"$k must be a string, got $other")
+    }.getOrElse(dflt)
+
+  private def dbl(m: Map[String, Any], k: String, dflt: Double): Double =
+    m.get(k).map {
+      case n: Double => n
+      case other => fail(s"$k must be a number, got $other")
+    }.getOrElse(dflt)
+
+  private def int(m: Map[String, Any], k: String, dflt: Int): Int =
+    m.get(k).map {
+      case n: Double if n.isWhole && n.abs <= Int.MaxValue => n.toInt
+      case other => fail(s"$k must be an integer, got $other")
+    }.getOrElse(dflt)
+}
+
+/** Minimal strict JSON reader for config documents — objects, arrays,
+  * strings (with escapes), numbers (as Double), booleans, null. No
+  * dependency beyond the JDK; ~the grammar, nothing else (duplicate keys
+  * rejected, trailing garbage rejected).
+  */
+private[jobs] object Json {
+
+  def parse(text: String): Any = {
+    val p = new Parser(text)
+    p.ws()
+    val v = p.value()
+    p.ws()
+    if (!p.eof) p.err("trailing characters after the JSON document")
+    v
+  }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def eof: Boolean = i >= s.length
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"job config JSON at offset $i: $msg")
+    def ws(): Unit = while (!eof && Character.isWhitespace(s.charAt(i))) i += 1
+    private def peek: Char = { if (eof) err("unexpected end of input"); s.charAt(i) }
+    private def expect(c: Char): Unit =
+      if (eof || s.charAt(i) != c) err(s"expected '$c'") else i += 1
+
+    def value(): Any = peek match {
+      case '{' => obj()
+      case '[' => arr()
+      case '"' => string()
+      case 't' => lit("true", true)
+      case 'f' => lit("false", false)
+      case 'n' => lit("null", null)
+      case c if c == '-' || (c >= '0' && c <= '9') => number()
+      case c => err(s"unexpected character '$c'")
+    }
+
+    private def lit(word: String, v: Any): Any =
+      if (s.regionMatches(i, word, 0, word.length)) { i += word.length; v }
+      else err(s"expected '$word'")
+
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      var m = Map.empty[String, Any]
+      if (peek == '}') { i += 1; return m }
+      var done = false
+      while (!done) {
+        ws()
+        val k = string()
+        if (m.contains(k)) err(s"duplicate key '$k'")
+        ws(); expect(':'); ws()
+        m += k -> value()
+        ws()
+        peek match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case c => err(s"expected ',' or '}', got '$c'")
+        }
+      }
+      m
+    }
+
+    private def arr(): List[Any] = {
+      expect('['); ws()
+      val b = List.newBuilder[Any]
+      if (peek == ']') { i += 1; return b.result() }
+      var done = false
+      while (!done) {
+        ws()
+        b += value()
+        ws()
+        peek match {
+          case ',' => i += 1
+          case ']' => i += 1; done = true
+          case c => err(s"expected ',' or ']', got '$c'")
+        }
+      }
+      b.result()
+    }
+
+    private def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (peek != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          peek match {
+            case '"' => sb += '"'; i += 1
+            case '\\' => sb += '\\'; i += 1
+            case '/' => sb += '/'; i += 1
+            case 'n' => sb += '\n'; i += 1
+            case 't' => sb += '\t'; i += 1
+            case 'r' => sb += '\r'; i += 1
+            case 'b' => sb += '\b'; i += 1
+            case 'f' => sb += '\f'; i += 1
+            case 'u' =>
+              if (i + 5 > s.length) err("truncated \\u escape")
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 5
+            case c2 => err(s"bad escape '\\$c2'")
+          }
+        } else { sb += c; i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+
+    private def number(): Double = {
+      val start = i
+      if (peek == '-') i += 1
+      while (!eof && { val c = s.charAt(i)
+        (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-' }) i += 1
+      val t = s.substring(start, i)
+      try t.toDouble
+      catch { case _: NumberFormatException => err(s"bad number '$t'") }
+    }
+  }
+}

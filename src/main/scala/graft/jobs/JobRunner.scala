@@ -1,0 +1,139 @@
+package graft.jobs
+
+import graft.Graft
+import graft.ml.TrainConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI entry point — the reference driver's `spark-submit ... -train -conf
+  * solver.prototxt` contract (caffe-grid/.../CaffeOnSpark.scala:27-84: mode
+  * flags select train / feature-extraction / test over the declared source;
+  * Config.scala:409-449 the flag surface). Usage:
+  *
+  * {{{
+  * spark-submit --class graft.jobs.JobRunner graft.jar \
+  *   -train -conf job.json [-model /models/lr]
+  *   -features -conf job.json [-model /models/lr] [-output /out] [-outputFormat parquet]
+  *   -test -conf job.json [-model /models/lr] [-output /out/test_result.json]
+  * }}}
+  *
+  * Mode flags mirror the reference's: `-train` fits and snapshots weights to
+  * `model`; `-features` loads weights and writes the forward-pass frame to
+  * `output` in `outputFormat`; `-test` loads weights and writes the metric
+  * map as one JSON document (the reference's test_result file,
+  * CaffeOnSpark.scala:62-80). CLI `-model/-output/-outputFormat` override
+  * the config file's fields, so one document drives the whole lifecycle.
+  * Like the reference, `-train -test` in one invocation trains first, then
+  * tests with the freshly-snapshotted weights.
+  */
+object JobRunner {
+
+  final case class Invocation(
+      cfg: JobConfig, train: Boolean, features: Boolean, test: Boolean)
+
+  /** Parse argv + config file, failing before any cluster work (the
+    * reference validates flags/proto at Config construction).
+    */
+  def parse(args: Array[String]): Invocation = {
+    var conf = ""
+    var train = false; var features = false; var test = false
+    var model: Option[String] = None
+    var output: Option[String] = None
+    var outputFormat: Option[String] = None
+    var i = 0
+    def optValue(flag: String): String = {
+      i += 1
+      if (i >= args.length) usage(s"$flag requires a value")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "-train" => train = true
+        case "-features" => features = true
+        case "-test" => test = true
+        case "-conf" => conf = optValue("-conf")
+        case "-model" => model = Some(optValue("-model"))
+        case "-output" => output = Some(optValue("-output"))
+        case "-outputFormat" => outputFormat = Some(optValue("-outputFormat"))
+        case other => usage(s"unknown argument '$other'")
+      }
+      i += 1
+    }
+    if (conf.isEmpty) usage("-conf <job.json> is required")
+    if (!train && !features && !test)
+      usage("at least one of -train / -features / -test is required")
+    var cfg = JobConfig.load(conf)
+    model.foreach(m => cfg = cfg.copy(model = m))
+    output.foreach(o => cfg = cfg.copy(output = o))
+    outputFormat.foreach(f => cfg = cfg.copy(outputFormat = f))
+    if (cfg.model.isEmpty)
+      usage("a model path is required (config 'model' or CLI -model)")
+    if ((features || test) && cfg.output.isEmpty)
+      usage("-features/-test need an output path (config 'output' or CLI -output)")
+    Invocation(cfg, train, features, test)
+  }
+
+  private def usage(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$msg\nusage: JobRunner (-train|-features|-test)+ -conf job.json " +
+        "[-model path] [-output path] [-outputFormat json|parquet|csv]")
+
+  private def readSource(spark: SparkSession, s: SourceSpec): DataFrame =
+    spark.read.format(s.format).load(s.dataPath)
+
+  /** Session-injected body so tests (and notebook users) can run a declared
+    * job without owning JVM-global session construction.
+    */
+  def run(spark: SparkSession, inv: Invocation): Unit = {
+    val cfg = inv.cfg
+    val g = new Graft(spark, cfg.dim,
+      TrainConfig(lr = cfg.lr, iters = cfg.iters, l2 = cfg.l2,
+        validateEvery = cfg.validateEvery))
+    val src = cfg.source
+
+    if (inv.train) {
+      val data = readSource(spark, src)
+      val weights = cfg.validation match {
+        case Some(v) =>
+          val (w, metrics) =
+            g.trainWithValidation(data, readSource(spark, v), src.featureCol, src.labelCol)
+          // validation metric frame rides along with the snapshot (the
+          // reference's interleaved-validation output frame)
+          if (cfg.output.nonEmpty)
+            metrics.write.mode("overwrite").format(cfg.outputFormat)
+              .save(s"${cfg.output}/validation_metrics")
+          w
+        case None => g.train(data, src.featureCol, src.labelCol)
+      }
+      g.save(weights, cfg.model)
+    }
+
+    if (inv.features) {
+      val w = g.load(cfg.model)
+      g.features(readSource(spark, src), w, src.idCol, src.featureCol)
+        .write.mode("overwrite").format(cfg.outputFormat)
+        .save(s"${cfg.output}/features")
+    }
+
+    if (inv.test) {
+      val w = g.load(cfg.model)
+      val metrics = g.test(readSource(spark, src), w, src.idCol, src.featureCol)
+      // one small JSON document, like the reference's test_result file
+      val json = metrics.toSeq.sortBy(_._1).map { case (k, vs) =>
+        s"""  "$k": ${vs.mkString("[", ", ", "]")}"""
+      }.mkString("{\n", ",\n", "\n}\n")
+      val out = java.nio.file.Paths.get(s"${cfg.output}/test_result.json")
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val inv = parse(args)
+    val spark = SparkSession.builder()
+      .appName("graft-job")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, inv)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.jobs.{JobConfig, JobRunner, SourceSpec}
+import org.apache.spark.sql.functions._
+
+/** The declared-job lifecycle end to end FROM CONFIG ALONE — the
+  * reference's `spark-submit -train -conf solver.prototxt` contract
+  * (CaffeOnSpark.scala:27-84) on the Spark-native engine: a JSON document
+  * names the source/columns/hyper-parameters, the CLI flags pick the mode,
+  * and no Scala wiring appears anywhere in the "user" code below.
+  */
+class JobRunnerSpec extends SparkSpec {
+
+  private def writeConf(json: String): String = {
+    val p = java.nio.file.Files.createTempFile("job", ".json")
+    java.nio.file.Files.writeString(p, json)
+    p.toString
+  }
+
+  test("declared train -> features -> test lifecycle from one config document") {
+    val work = java.nio.file.Files.createTempDirectory("jobrun").toString
+    // a labeled copy of the embeddings table is the declared source
+    Tables(spark, sf, "embeddings")
+      .withColumn("y", when(expr("embedding[0] + embedding[1]") > 0, 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$work/train")
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$work/train", "labelCol": "y"},
+         |  "validation": {"path": "$work/train", "labelCol": "y"},
+         |  "dim": 64, "lr": 2.0, "iters": 20, "validateEvery": 10,
+         |  "model": "$work/model",
+         |  "output": "$work/out",
+         |  "outputFormat": "parquet"
+         |}""".stripMargin)
+
+    // -train: fits, snapshots weights, writes the validation-metric frame
+    JobRunner.run(spark, JobRunner.parse(Array("-train", "-conf", conf)))
+    val w = graft.ml.LogisticRegression.loadWeights(spark, s"$work/model")
+    assert(w.length == 64 && w.exists(_ != 0d))
+    val metrics = spark.read.parquet(s"$work/out/validation_metrics")
+    assert(metrics.columns.toSeq == Seq("iteration", "accuracy", "loss"))
+    assert(metrics.count() >= 2)
+
+    // -features -test: loads the snapshot, writes both artifacts
+    JobRunner.run(spark,
+      JobRunner.parse(Array("-features", "-test", "-conf", conf)))
+    val feats = spark.read.parquet(s"$work/out/features")
+    assert(feats.columns.toSeq == Seq("SampleID", "ip1", "prob"))
+    assert(feats.count() == spark.read.parquet(s"$work/train").count())
+    val testJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/out/test_result.json"))
+    assert(testJson.contains("\"prob\"") && testJson.contains("\"ip1\""))
+
+    // CLI -model override beats the file's path
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-train", "-conf", conf, "-model", s"$work/model2")))
+    assert(graft.ml.LogisticRegression
+      .loadWeights(spark, s"$work/model2").length == 64)
+  }
+
+  test("config parse maps every field and applies defaults") {
+    val cfg = JobConfig.fromJson(
+      """{"source": {"path": "/data", "table": "embeddings", "format": "parquet"},
+        |  "dim": 8, "model": "/m"}""".stripMargin)
+    assert(cfg == JobConfig(
+      source = SourceSpec("/data", table = "embeddings"),
+      dim = 8, model = "/m"))
+    assert(cfg.source.dataPath == "/data/embeddings.parquet")
+    assert(SourceSpec("/data/x.parquet").dataPath == "/data/x.parquet")
+  }
+
+  test("malformed declarations fail at parse time, before any cluster work") {
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](JobConfig.fromJson(json)).getMessage
+    assert(bad("""{"dim": 8}""").contains("source is required"))
+    assert(bad("""{"source": {"path": "/d"}}""").contains("dim"))
+    assert(bad("""{"source": {"path": "/d"}, "dim": 8, "wat": 1}""").contains("wat"))
+    assert(bad("""{"source": {"path": "/d", "nope": 1}, "dim": 8}""").contains("nope"))
+    assert(bad("""{"source": {"path": "/d"}, "dim": 2.5}""").contains("integer"))
+    assert(bad("""{"source": {"path": "/d", "format": "xml"}, "dim": 8}""")
+      .contains("format"))
+    assert(bad("""{"source": {"path": "/d"}, "dim": 8, "iters": -1}""")
+      .contains("iters"))
+    assert(bad("""{"source": {"path": "/d"}, "dim": 8,}""").contains("offset"))
+    assert(bad("""{"source": {"path": "/d"}, "dim": 8} tail""").contains("trailing"))
+    assert(bad("""{"a": 1, "a": 2}""").contains("duplicate"))
+    // flag surface: mode and conf are mandatory; model must come from somewhere
+    def badArgs(args: String*): String =
+      intercept[IllegalArgumentException](JobRunner.parse(args.toArray)).getMessage
+    assert(badArgs("-conf", "x.json").contains("-train"))
+    assert(badArgs("-train").contains("-conf"))
+    assert(badArgs("-train", "-conf").contains("requires a value"))
+    assert(badArgs("-train", "-conf", "x.json", "-frobnicate").contains("frobnicate"))
+  }
+}
