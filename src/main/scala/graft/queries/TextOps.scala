@@ -355,10 +355,13 @@ object TextOps {
     * affine hashes over the shingle fingerprint, constants small enough
     * that fp·A never overflows a long (fp < 10^9+7, A < 2^31).
     */
-  private val CmsA = Seq(1103515245L, 69069L, 1664525L, 22695477L)
-  private val CmsB = Seq(12345L, 362437L, 1013904223L, 1L)
-  private val CmsP = 1000000007L
-  private val CmsW = 8192
+  // package-visible: the streaming twin (DocumentStreams.heavyHitterCells)
+  // maintains the SAME cell table as keyed state, so its readout is
+  // comparable cell-for-cell with this query's
+  private[graft] val CmsA = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+  private[graft] val CmsB = Seq(12345L, 362437L, 1013904223L, 1L)
+  private[graft] val CmsP = 1000000007L
+  private[graft] val CmsW = 8192
   private val HotT = 30 // heavy-hitter threshold on the CMS estimate
 
   /** Q61 — boilerplate n-gram heavy hitters via a count-min sketch: the

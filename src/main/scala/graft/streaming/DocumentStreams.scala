@@ -119,4 +119,49 @@ object DocumentStreams {
         GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
+
+  /** Streaming twin of q61's boilerplate heavy-hitter sketch: the count-min
+    * cell table (4 rows × 8192 buckets, [[graft.queries.TextOps.CmsA]]
+    * family) maintained as a streaming aggregation. A count-min sketch is
+    * a fixed-width MERGEABLE aggregate, so the stream's state is exactly
+    * the ≤32k cells — independent of how many documents flow — and
+    * micro-batch partial counts merge into it the same way map-side
+    * partials merge in the batch shuffle. Complete output mode re-emits
+    * the table each trigger (it IS the bounded result; q35's
+    * linear-counting twin established the sketch-as-state pattern with
+    * watermarked windows — here the sketch is corpus-global, so the state
+    * bound comes from the table width, not eviction).
+    *
+    * Readout is [[estimateHitters]]: join candidate fingerprints against
+    * the (broadcastable) cell table, `min` across the 4 rows = the classic
+    * count-min overestimate of document frequency.
+    */
+  def heavyHitterCells(docs: DataFrame): DataFrame = {
+    import graft.queries.TextOps.{CmsA, CmsB, CmsP, CmsW}
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+      org.apache.spark.sql.graft.TextExpressions.shingle_hashes(
+        graft.functions.TextFunctions.tokens("text")))).as("fp"))
+    val rb = explode(array((0 until 4).map(r =>
+      struct(lit(r).as("pr"),
+        ((col("fp") * CmsA(r) + CmsB(r)) % CmsP % CmsW).as("pb"))): _*))
+    sh.select(rb.as("rb"))
+      .groupBy(col("rb.pr").as("r"), col("rb.pb").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Batch readout over an emitted [[heavyHitterCells]] table: the
+    * count-min estimate (min across the 4 row counters) for each candidate
+    * fingerprint in `candidates(fp)`. The cell table is ≤32k rows by
+    * construction, hence the broadcast.
+    */
+  def estimateHitters(cells: DataFrame, candidates: DataFrame): DataFrame = {
+    import graft.queries.TextOps.{CmsA, CmsB, CmsP, CmsW}
+    val rb = explode(array((0 until 4).map(r =>
+      struct(lit(r).as("pr"),
+        ((col("fp") * CmsA(r) + CmsB(r)) % CmsP % CmsW).as("pb"))): _*))
+    candidates.select(col("fp"), rb.as("rb"))
+      .join(broadcast(cells), col("rb.pr") === col("r") && col("rb.pb") === col("b"))
+      .groupBy("fp")
+      .agg(min(col("c")).as("est"))
+  }
 }

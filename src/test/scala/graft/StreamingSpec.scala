@@ -232,6 +232,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming heavy-hitter sketch merges cells across micro-batches") {
+    import graft.streaming.DocumentStreams
+    // two doc_id-split files => two micro-batches: the count-min cells must
+    // ACCUMULATE across the boundary for the final table to equal the batch
+    // sketch over the whole corpus
+    val docs = Tables(spark, sf, "documents")
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("docs_cms")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("cms_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, docs.filter(col("doc_id") <= mid))
+    writePart("b.parquet", 20000L, docs.filter(col("doc_id") > mid))
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // complete mode: the bounded cell table IS the result, re-emitted whole
+    val gotCells = EventStreams.runToMemory(
+      DocumentStreams.heavyHitterCells(stream), "cms_t", outputMode = "complete")
+    val batchCells = DocumentStreams.heavyHitterCells(docs)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cellSet(gotCells) == cellSet(batchCells),
+      "streamed cell table diverges from the batch sketch — state did not merge")
+    // readout: the estimate is a true overestimate of every exact df, and
+    // bit-equal to the batch readout (same cells, same min-of-rows)
+    import org.apache.spark.sql.graft.TextExpressions.shingle_hashes
+    import graft.functions.TextFunctions.tokens
+    val dft = docs
+      .select(col("doc_id"), explode(array_distinct(shingle_hashes(tokens("text")))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    val est = DocumentStreams.estimateHitters(gotCells, dft.select("fp"))
+    val joined = est.join(dft, "fp")
+    assert(joined.count() == dft.count())
+    assert(joined.filter(col("est") < col("df")).count() == 0,
+      "count-min estimate fell below an exact document frequency")
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
