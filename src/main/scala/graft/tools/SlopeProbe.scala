@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** Dev tool (not in the driver contract): measures the CANDIDATE VOLUME of
+  * the blocked/banded dedup queries at two scale factors, from the executed
+  * plan's own `numOutputRows` metrics — the empirical check that the
+  * sub-quadratic scale story (SCALE.md) rests on. A blocking scheme is
+  * linear-ish iff its candidate row count grows ~proportionally with the
+  * corpus; a quadratic leak shows up as a ~100× jump across a 10× SF step.
+  *
+  * Output: for each query × SF, the top row-producing plan nodes
+  * (joins/expansions), so the candidate stage is read off the real plan
+  * rather than re-derived.
+  */
+object SlopeProbe {
+
+  private val Targets = Seq("q21_ngram_jaccard", "q28_embedding_neardup",
+    "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def walk(p: SparkPlan): Seq[SparkPlan] = (p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // q21 persists its posting lists: the shingle explode/aggregate
+        // execute inside the cached subtree, whose metrics live on the
+        // relation's cachedPlan, not in this query's tree
+        imts +: walk(imts.relation.cachedPlan)
+      case n => Seq(n)
+    }).flatten
+
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.Tables(spark, sfDir, "documents").count()
+      val embs = graft.Tables(spark, sfDir, "embeddings").count()
+      println(s"== corpus @ ${sfDir.split('/').last}: documents=$docs embeddings=$embs")
+    }
+    for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+         name <- Targets) {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // drive THROUGH df.queryExecution (a write re-plans internally and
+      // would leave these metrics untouched); results are small
+      df.collect()
+      val rows = walk(df.queryExecution.executedPlan)
+        .flatMap(n => n.metrics.get("numOutputRows")
+          .map(m => (n.nodeName, m.value)))
+        .filter { case (nn, _) =>
+          nn.contains("Join") || nn.contains("Generate") || nn.contains("Expand") }
+        .sortBy(-_._2)
+      println(s"== $name @ ${sfDir.split('/').last}")
+      rows.take(8).foreach { case (nn, v) => println(f"   $v%12d  $nn") }
+      graft.Caches.clearAll(spark)
+    }
+    spark.stop()
+  }
+}
