@@ -67,18 +67,18 @@ object Bench {
     // differ only in file paths), so this fills the codegen cache and JITs
     // the hot loops; the measured runs below then reflect execution, not
     // first-call compilation.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally Caches.clearAll(spark)
-    }
-
     // SPARK_GRAFT_ONLY=q21_ngram_jaccard,q24_asof_join → bench a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally Caches.clearAll(spark)
+    }
     // Measure in PASSES over the whole suite (run 1 of every query, then
     // run 2, then run 3) rather than 3 back-to-back runs per query: this
     // box slows under sustained load, and per-query consecutive runs make
