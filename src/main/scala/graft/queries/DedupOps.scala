@@ -238,80 +238,16 @@ object DedupOps {
     cross.unionAll(intra).orderBy("a", "b")
   }
 
-  /** Connected components of an undirected pair graph by min-label
-    * propagation: every node's label converges to the smallest node id in
-    * its component (the canonical deterministic cluster id). Returns
-    * (id, lbl) for every node appearing in `pairs`.
-    *
-    * Scale shape: each round is a bounded number of shuffles keyed by node
-    * id — one neighbour-min propagation (edges join labels, groupBy min)
-    * plus one POINTER JUMP (labels relabeled through their own label's
-    * label, the path-halving step), so convergence takes O(log diameter)
-    * rounds rather than O(diameter); a driver-side changed-count check
-    * (O(1) driver state) detects the fixpoint. The jaccard-threshold pair
-    * graph is NOT all tight cliques — low thresholds produce long
-    * similarity chains (measured at sf0.01/threshold 0.06: plain
-    * propagation needs tens of rounds, halving converges in ~6) — which
-    * is the same reason the MapReduce CC literature (large-star/
-    * small-star) restructures paths every round. Per-round persists are
-    * materialized by the convergence count and dropped the round after,
-    * so lineage stays bounded.
-    */
-  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
-      maxRounds: Int = 50): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.toDF("x", "y")
-    val und = edges.union(edges.select(col("y"), col("x"))).toDF("x", "y")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint, not persist: the self-join below puts `labels` in
-    // its own lineage TWICE, so without truncation the logical plan
-    // doubles every round and the analyzer, not the executors, becomes
-    // the bottleneck (measured: minutes per round by round ~15).
-    // localCheckpoint replaces the plan with the materialized rows.
-    var labels = und.select(col("x").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"connectedComponents did not converge in $maxRounds rounds")
-      // min neighbour label per node (every node has >=1 edge by construction)
-      val prop = und
-        .join(labels.select(col("id").as("y2"), col("lbl").as("nlbl")),
-          col("y") === col("y2"))
-        .groupBy(col("x").as("id")).agg(min(col("nlbl")).as("minNbr"))
-      val hop = labels
-        .join(prop, "id")
-        .select(col("id"), least(col("lbl"), col("minNbr")).as("lbl"))
-        .localCheckpoint() // read twice by the jump below
-      // pointer jump (path halving): relabel through the label's own
-      // label — lbl' = lbl(lbl). Labels only ever decrease toward the
-      // component minimum, so the fixpoint is unchanged; chain length
-      // halves per round instead of shrinking by one.
-      val next = hop.as("h")
-        .join(hop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("j"),
-          col("h.lbl") === col("jid"), "left")
-        .select(col("h.id").as("id"),
-          least(col("h.lbl"), coalesce(col("jlbl"), col("h.lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-    }
-    und.unpersist(blocking = false)
-    labels
-  }
-
-  /** Q62 — near-duplicate CLUSTERS: connected components over the verified
-    * q21 n-gram-Jaccard pair graph, with the component's minimum doc_id as
-    * the canonical cluster id (what a dedup pipeline keys representative
-    * selection on — pairs alone under-merge: A~B and B~C must collapse to
-    * one cluster even when A~C misses the threshold). The oracle reaches
-    * the same fixpoint through a recursive transitive-closure CTE; both
-    * engines start from the bit-identical q21 pair set, and min-label is
-    * order-independent, so the clustering is exact, not approximate.
+  /** Q62 — near-duplicate CLUSTERS: connected components
+    * ([[graft.operators.Components]], min-label propagation with pointer
+    * jumping) over the verified q21 n-gram-Jaccard pair graph, with the
+    * component's minimum doc_id as the canonical cluster id (what a dedup
+    * pipeline keys representative selection on — pairs alone under-merge:
+    * A~B and B~C must collapse to one cluster even when A~C misses the
+    * threshold). The oracle reaches the same fixpoint through a recursive
+    * transitive-closure CTE; both engines start from the bit-identical
+    * q21 pair set, and min-label is order-independent, so the clustering
+    * is exact, not approximate.
     */
   val q62DedupClusters: QueryDef = QueryDef.sql(
     "q62_dedup_clusters",
@@ -330,10 +266,10 @@ object DedupOps {
        |  ON l.cluster_id = c.cluster_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val pairs = TextOps.q21NgramJaccard.fn(s, dir).select("a", "b")
-    val cc = connectedComponents(pairs)
-    val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+    val cc = graft.operators.Components.connectedComponents(pairs)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
   }

@@ -1,18 +1,19 @@
 package graft
 
-import graft.queries.DedupOps
+import graft.operators.Components
 
 /** connectedComponents: min-label fixpoint over pair graphs — the cluster
   * layer of the dedup pipeline (q62 wires it over the q21 pair set; this
   * spec pins the operator on constructed graphs where the answer is
   * obvious, including the long-chain shape whose diameter the pointer
-  * jump exists for).
+  * jump exists for — plain propagation at the old maxIter=20 silently
+  * returned a WRONG clustering on chains longer than 20).
   */
 class ConnectedComponentsSpec extends SparkSpec {
 
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    DedupOps.connectedComponents(pairs.toDF("a", "b"))
+    Components.connectedComponents(pairs.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
