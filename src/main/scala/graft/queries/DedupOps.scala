@@ -274,6 +274,53 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Q63 — the DEDUPLICATED CORPUS: near-dup clusters applied back to the
+    * documents table, keeping each cluster's minimum doc_id and every
+    * unpaired document ([[graft.operators.Components.canonicalize]]) —
+    * the actual deliverable of a dedup pipeline (q20/q21/q31 find, q62
+    * clusters, q63 emits what survives).
+    *
+    * THRESHOLD HYGIENE (measured): q62 deliberately clusters the FULL
+    * q21 pair graph (jaccard ≥ 0.06) to expose raw transitive structure —
+    * but transitive merging at a weak threshold over-deletes
+    * catastrophically: at sf0.01 that graph chains 498 of 500 docs into
+    * one component, so "dedup" would keep 2 documents. The corpus is
+    * bimodal (7 436 pairs in [0.06, 0.2) vs 25 true near-dups ≥ 0.7), so
+    * the DELIVERABLE thresholds edges at jaccard ≥ 0.5 before clustering
+    * — the standard practice for exactly this cluster-growth reason.
+    *
+    * Scale shape: anti-join against the "non-canonical member" set, so
+    * the corpus never shuffles on cluster keys — at 100 TB the drop set
+    * is |docs-in-strong-pairs| rows broadcast or hash-joined against the
+    * corpus scan, and everything upstream is q62's bounded machinery.
+    */
+  val q63CanonicalCorpus: QueryDef = QueryDef.sql(
+    "q63_canonical_corpus",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |drop AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = TextOps.q21NgramJaccard.fn(s, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    graft.operators.Components.canonicalize(docs, pairs)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters)
+    Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
+      q63CanonicalCorpus)
 }
