@@ -105,6 +105,42 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** (doc_id, band, bh) MinHash band keys for every document — exactly
+    * q31's banding (same shingles, same hash family, same 4×4 bands),
+    * factored for reuse by the streaming near-dup flagger
+    * ([[graft.streaming.DocumentStreams.nearDupFlags]]): a band-key
+    * collision here IS q31's candidate criterion, so flagging against an
+    * index of these keys inherits its no-false-negative contract.
+    */
+  private[graft] def minhashBands(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), sort_array(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")))).as("fps"))
+      .select(col("doc_id"), org.apache.spark.sql.graft.SketchExpressions
+        .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        expr(s"aggregate(slice(sig, 4*band+1, 4), 0L, (a, b) -> (a * 31 + b) % $P)").as("bh"))
+
+  /** One-row-per-doc variant: the 4 band keys packed as `band * P + bh`
+    * longs in a single array column `band_keys` — the map-only shape the
+    * streaming flagger tests against its index without an explode.
+    */
+  private[graft] def minhashBandKeys(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), sort_array(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")))).as("fps"))
+      .select(col("doc_id"), org.apache.spark.sql.graft.SketchExpressions
+        .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, 3), j -> j * ${P}L + " +
+          s"aggregate(slice(sig, 4*j+1, 4), 0L, (a, b) -> (a * 31 + b) % $P))")
+        .as("band_keys"))
+
   /** Q32 — SimHash document sketch: 32-bit signature from term-frequency
     * weighted token-hash bits. Map-only (the sketch is the shuffle-free part;
     * hamming-bucketed pair generation is the library follow-up).

@@ -120,6 +120,36 @@ object DocumentStreams {
       .toDF()
   }
 
+  /** Streaming near-duplicate flagging — the INCREMENTAL dedup shape: an
+    * arriving document is flagged when any of its 4 MinHash band keys
+    * (exactly q31's banding, via [[graft.queries.DedupOps.minhashBandKeys]])
+    * collides with the band-key index of an existing CORPUS. This is how a
+    * production pipeline dedups an ingest stream against data already
+    * curated: the stream side is MAP-ONLY (each doc derives its own
+    * signature and tests membership — no state, no shuffle, no join), and
+    * the corpus index is a Bloom filter of band keys built once batch-side
+    * and broadcast.
+    *
+    * Semantics mirror q31's candidate stage: a band collision is exactly
+    * q31's candidate criterion, and Bloom membership has NO false
+    * negatives — every stream doc that q31 would pair with a corpus doc is
+    * flagged; fpp adds a small surplus of spurious flags (flagged docs go
+    * to a verify stage in production, just as q31 verifies candidates with
+    * exact Jaccard). At 10¹⁰ corpus docs × 4 bands and 1% fpp the filter
+    * is ~48 GB — shard by band and chain mightContain, or raise fpp; the
+    * stream side stays map-only either way.
+    */
+  def nearDupFlags(stream: DataFrame, corpus: DataFrame,
+      expectedBandKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bf = graft.queries.DedupOps.minhashBandKeys(corpus)
+      .select(explode(col("band_keys")).as("k"))
+      .stat.bloomFilter("k", expectedBandKeys, fpp)
+    val hits = udf((ks: Seq[Long]) => ks.count(bf.mightContain(_)).toLong)
+    graft.queries.DedupOps.minhashBandKeys(stream)
+      .select(col("doc_id"), hits(col("band_keys")).as("n_band_hits"))
+      .filter(col("n_band_hits") >= 1)
+  }
+
   /** Streaming twin of q61's boilerplate heavy-hitter sketch: the count-min
     * cell table (4 rows × 8192 buckets, [[graft.queries.TextOps.CmsA]]
     * family) maintained as a streaming aggregation. A count-min sketch is

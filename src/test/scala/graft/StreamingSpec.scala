@@ -232,6 +232,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming near-dup flags: no false negatives vs the exact band join") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    // stream the b-side of known q31 near-dup pairs (so true positives
+    // exist) plus a slice of unrelated docs (so true negatives exist)
+    val pairs = queries.DedupOps.q31MinhashLsh.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus lost its implanted near-dups")
+    val streamIds = (pairs.map(_._2).distinct.take(10) ++
+      docs.select("doc_id").collect().map(_.getLong(0))
+        .filterNot(id => pairs.exists(p => p._1 == id || p._2 == id)).take(10)).toSet
+    val stream = docs.filter(col("doc_id").isin(streamIds.toSeq: _*))
+    val corpus = docs.filter(!col("doc_id").isin(streamIds.toSeq: _*))
+    // exact expectation: stream docs sharing any (band, bh) with the corpus
+    val exact = queries.DedupOps.minhashBands(stream).as("s")
+      .join(queries.DedupOps.minhashBands(corpus).as("c"),
+        col("s.band") === col("c.band") && col("s.bh") === col("c.bh"))
+      .select(col("s.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "expected at least one banded partner in the corpus")
+    val dir = java.nio.file.Files.createTempDirectory("docs_neardup")
+    stream.write.mode("overwrite").parquet(dir.toString + "/s")
+    val flagged = EventStreams.runToMemory(
+      DocumentStreams.nearDupFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus), "neardup_t")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom band index missed true near-dup candidates: ${exact -- flagged}")
+    // fp sanity: the surplus over exact stays small (4 keys/doc at 1% fpp)
+    assert(flagged.size <= exact.size + math.max(3, streamIds.size / 5),
+      s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
+  }
+
   test("streaming heavy-hitter sketch merges cells across micro-batches") {
     import graft.streaming.DocumentStreams
     // two doc_id-split files => two micro-batches: the count-min cells must
