@@ -58,26 +58,29 @@ object Components {
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nmin"))
+      // the round's OLD label rides along so the convergence check below
+      // is a filter on the checkpointed rows, not another join+shuffle
       val hop = labels
         .join(neighborMin, "id")
-        .select(col("id"), least(col("component"), col("nmin")).as("component"))
-        .localCheckpoint() // read twice by the jump below
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), col("nmin")).as("component"))
       // pointer jump: labels only ever decrease toward the component
-      // minimum, so relabeling through lbl(lbl) preserves the fixpoint
+      // minimum, so relabeling through lbl(lbl) preserves the fixpoint.
+      // hop appears twice in this plan and is recomputed rather than
+      // checkpointed — two cheap joins beat an extra materialization
+      // barrier per round.
       val next = hop.as("h")
         .join(hop.select(col("id").as("jid"), col("component").as("jc")).as("j"),
           col("h.component") === col("jid"), "left")
-        .select(col("h.id").as("id"),
+        .select(col("h.id").as("id"), col("h.old").as("old"),
           least(col("h.component"), coalesce(col("jc"), col("h.component")))
             .as("component"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+        .localCheckpoint() // ONE materialization per round; truncates lineage
+      changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select("id", "component")
     }
     sym.unpersist(blocking = false)
-    labels
+    labels.select("id", "component")
   }
 
   /** Canonicalize a document set against a near-dup pair relation: every
