@@ -138,7 +138,7 @@ object JobConfig {
   * dependency beyond the JDK; ~the grammar, nothing else (duplicate keys
   * rejected, trailing garbage rejected).
   */
-private[jobs] object Json {
+private[graft] object Json {
 
   def parse(text: String): Any = {
     val p = new Parser(text)

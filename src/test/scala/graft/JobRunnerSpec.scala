@@ -69,6 +69,22 @@ class JobRunnerSpec extends SparkSpec {
     assert(SourceSpec("/data/x.parquet").dataPath == "/data/x.parquet")
   }
 
+  test("JSON reader round-trips every config field through escapes and numbers") {
+    // paths with every escape class the reader supports, plus numeric forms
+    val cfg = JobConfig.fromJson(
+      """{"source": {"path": "/a b\/c\\d\"e\tfég", "labelCol": "y\n"},
+        |  "dim": 64, "lr": 2.5e-1, "iters": 40, "l2": 1E-4,
+        |  "validateEvery": 10, "model": "/m", "outputFormat": "csv"}""".stripMargin)
+    assert(cfg.source.path == "/a b/c\\d\"e\tfég")
+    assert(cfg.source.labelCol == "y\n")
+    assert(cfg.lr == 0.25 && cfg.l2 == 1e-4 && cfg.dim == 64)
+    assert(cfg.outputFormat == "csv")
+    // arrays and nested values parse (even though config ignores them via
+    // unknown-key rejection, the grammar must not choke mid-document)
+    val arr = jobs.Json.parse("""[1, -2.5, "x", true, null, {"k": []}]""")
+    assert(arr == List(1.0, -2.5, "x", true, null, Map("k" -> Nil)))
+  }
+
   test("malformed declarations fail at parse time, before any cluster work") {
     def bad(json: String): String =
       intercept[IllegalArgumentException](JobConfig.fromJson(json)).getMessage
