@@ -231,7 +231,11 @@ private[graft] object Json {
             case 'f' => sb += '\f'; i += 1
             case 'u' =>
               if (i + 5 > s.length) err("truncated \\u escape")
-              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              val hex = s.substring(i + 1, i + 5)
+              if (!hex.forall(c =>
+                (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                err(s"bad \\u escape '\\u$hex'")
+              sb += Integer.parseInt(hex, 16).toChar
               i += 5
             case c2 => err(s"bad escape '\\$c2'")
           }

@@ -116,14 +116,22 @@ object JobRunner {
 
     if (inv.test) {
       val w = g.load(cfg.model)
-      val metrics = g.test(readSource(spark, src), w, src.idCol, src.featureCol)
-      // one small JSON document, like the reference's test_result file
+      // test evaluates the held-out source when one is declared (the
+      // reference's test mode reads its own test data source), falling back
+      // to the training source for single-source jobs
+      val testSrc = cfg.validation.getOrElse(src)
+      val metrics = g.test(readSource(spark, testSrc), w, testSrc.idCol, testSrc.featureCol)
+      // one small JSON document, like the reference's test_result file —
+      // written through the job filesystem (FSUtils role) so hdfs://- and
+      // s3://-style output URIs work under spark-submit, not just file://
       val json = metrics.toSeq.sortBy(_._1).map { case (k, vs) =>
         s"""  "$k": ${vs.mkString("[", ", ", "]")}"""
       }.mkString("{\n", ",\n", "\n}\n")
-      val out = java.nio.file.Paths.get(s"${cfg.output}/test_result.json")
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json)
+      val out = new org.apache.hadoop.fs.Path(s"${cfg.output}/test_result.json")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stream = fs.create(out, true)
+      try stream.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally stream.close()
     }
   }
 

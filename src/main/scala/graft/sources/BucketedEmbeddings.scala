@@ -107,10 +107,14 @@ object BucketedEmbeddings {
       try stream.forEach { p =>
         val n = p.getFileName.toString
         // a `.tmp-` dir may be another JVM's IN-PROGRESS build of this same
-        // layout (it lost or hasn't reached the rename yet) — only reap it
-        // once it is clearly abandoned (no write for 30+ minutes)
-        val isStaleTmp = n.contains(".tmp-") &&
-          (try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis > 30 * 60 * 1000L
+        // layout (it lost or hasn't reached the rename yet) — only reap a
+        // build of THIS source (prefix match; never another source's live
+        // build) and only once clearly abandoned: a long parquet write
+        // touches files inside `_temporary`, leaving the top-level dir's
+        // mtime at build start, so staleness is judged on the NEWEST mtime
+        // anywhere in the subtree
+        val isStaleTmp = n.startsWith(sourcePrefix) && n.contains(".tmp-") &&
+          (try System.currentTimeMillis() - newestMtime(p) > 30 * 60 * 1000L
            catch { case _: java.io.IOException => false })
         val isOldStamp = !n.contains(".tmp-") && n != name && n.startsWith(sourcePrefix)
         if (isStaleTmp || isOldStamp)
@@ -118,6 +122,19 @@ object BucketedEmbeddings {
           catch { case _: java.io.IOException => () } // another JVM may still hold it
       } finally stream.close()
     }
+  }
+
+  /** Most recent modification time of any entry in the subtree rooted at
+    * `p` — the liveness signal for an in-progress distributed write.
+    */
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    var newest = Files.getLastModifiedTime(p).toMillis
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val stream = Files.list(p)
+      try stream.forEach(c => newest = math.max(newest, newestMtime(c)))
+      finally stream.close()
+    }
+    newest
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -23,10 +23,17 @@ class JobRunnerSpec extends SparkSpec {
     Tables(spark, sf, "embeddings")
       .withColumn("y", when(expr("embedding[0] + embedding[1]") > 0, 1).otherwise(0))
       .write.mode("overwrite").parquet(s"$work/train")
+    // the held-out frame has ALL-ZERO features: dot(w, 0) = 0 exactly, so a
+    // -test that truly reads it must report ip1 mean 0.0 / prob mean 0.5 —
+    // bit-exact evidence it did not silently evaluate the training source
+    Tables(spark, sf, "embeddings")
+      .withColumn("embedding", expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+      .withColumn("y", lit(0))
+      .write.mode("overwrite").parquet(s"$work/val")
     val conf = writeConf(
       s"""{
          |  "source": {"path": "$work/train", "labelCol": "y"},
-         |  "validation": {"path": "$work/train", "labelCol": "y"},
+         |  "validation": {"path": "$work/val", "labelCol": "y"},
          |  "dim": 64, "lr": 2.0, "iters": 20, "validateEvery": 10,
          |  "model": "$work/model",
          |  "output": "$work/out",
@@ -50,6 +57,9 @@ class JobRunnerSpec extends SparkSpec {
     val testJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$work/out/test_result.json"))
     assert(testJson.contains("\"prob\"") && testJson.contains("\"ip1\""))
+    // the zero-feature held-out source, not the training source (see above)
+    assert(testJson.contains("\"ip1\": [0.0]"))
+    assert(testJson.contains("\"prob\": [0.5, 0.5]"))
 
     // CLI -model override beats the file's path
     JobRunner.run(spark, JobRunner.parse(
@@ -100,6 +110,11 @@ class JobRunnerSpec extends SparkSpec {
     assert(bad("""{"source": {"path": "/d"}, "dim": 8,}""").contains("offset"))
     assert(bad("""{"source": {"path": "/d"}, "dim": 8} tail""").contains("trailing"))
     assert(bad("""{"a": 1, "a": 2}""").contains("duplicate"))
+    // invalid hex in a \u escape reports a positioned parse error, not a
+    // raw NumberFormatException (string built by concat so the SCALA lexer
+    // never sees a \u sequence)
+    assert(bad("{\"source\": {\"path\": \"\\" + "uZZ99\"}, \"dim\": 8}")
+      .contains("escape"))
     // flag surface: mode and conf are mandatory; model must come from somewhere
     def badArgs(args: String*): String =
       intercept[IllegalArgumentException](JobRunner.parse(args.toArray)).getMessage
