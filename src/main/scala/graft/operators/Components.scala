@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   * clustering, not a slow one.
   *
   * Scale shape: each round is a bounded number of shuffles keyed on node
-  * id; the convergence check is a driver-side changed-count (O(1) driver
-  * state). Lineage is truncated per round with localCheckpoint — the
-  * jump's self-join doubles the LOGICAL plan otherwise and the analyzer,
-  * not the executors, becomes the bottleneck (measured: minutes per round
-  * by round ~15 with persist alone).
+  * id, driven by ONE action — the convergence changed-count, which also
+  * materializes the round's LAZY localCheckpoint (O(1) driver state;
+  * measured on a 65-node chain: 64 AQE stage-jobs total vs 72 when the
+  * checkpoint was eager and the count a second action per round — the
+  * ConnectedComponentsSpec job-accounting test pins this). Lineage is
+  * truncated per round with localCheckpoint — the jump's self-join
+  * doubles the LOGICAL plan otherwise and the analyzer, not the
+  * executors, becomes the bottleneck (measured: minutes per round by
+  * round ~15 with persist alone).
   *
   * Determinism: min() over labels is order-independent — the fixpoint
   * (every node labeled with its component's minimum id) is the same
@@ -45,7 +49,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materializes inside round 1's job
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -75,7 +79,11 @@ object Components {
         .select(col("h.id").as("id"), col("h.old").as("old"),
           least(col("h.component"), coalesce(col("jc"), col("h.component")))
             .as("component"))
-        .localCheckpoint() // ONE materialization per round; truncates lineage
+        // LAZY checkpoint: the convergence count below is the round's ONE
+        // action — computing it materializes every partition of the
+        // checkpointed RDD (count scans all rows), so the round needs no
+        // separate eager-materialization job. Lineage still truncates.
+        .localCheckpoint(eager = false)
       changed = next.filter(col("component") =!= col("old")).count()
       labels = next.select("id", "component")
     }
