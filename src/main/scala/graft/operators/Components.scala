@@ -41,8 +41,18 @@ object Components {
   /** Components of the undirected graph given by `edges` (cols `a`, `b`).
     * Returns (id, component) where component = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsInstrumented(edges, maxRounds)._1
+
+  /** Instrumented twin for the scale probe (tools/CcProbe) and specs: the
+    * same single implementation, also returning per-round (changedCount,
+    * wallMillis) so rounds-to-converge vs graph scale is measurable
+    * instead of asserted — the O(log diameter) claim is a SCALE.md row.
+    */
+  private[graft] def connectedComponentsInstrumented(edges: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Seq[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
+    val roundStats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -54,6 +64,7 @@ object Components {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
+      val roundStart = System.nanoTime()
       require(rounds <= maxRounds,
         s"connectedComponents did not converge in $maxRounds rounds")
       // min neighbour label per node (every node has >=1 edge by construction)
@@ -85,10 +96,11 @@ object Components {
         // separate eager-materialization job. Lineage still truncates.
         .localCheckpoint(eager = false)
       changed = next.filter(col("component") =!= col("old")).count()
+      roundStats += ((changed, (System.nanoTime() - roundStart) / 1000000L))
       labels = next.select("id", "component")
     }
     sym.unpersist(blocking = false)
-    labels.select("id", "component")
+    (labels.select("id", "component"), roundStats.toSeq)
   }
 
   /** Canonicalize a document set against a near-dup pair relation: every
