@@ -25,6 +25,29 @@ import org.apache.spark.sql.SparkSession
   * reported in an `errors` object.
   */
 object Bench {
+
+  /** The driver records the LAST stdout line from a bounded ~2000-char
+    * tail; a summary that cannot fit there with generous headroom is the
+    * round-7 regression class (the record silently became "parsed": null).
+    * Budget is a QUARTER of the window so trailing log decoration or a
+    * final newline quirk can never push the line out.
+    */
+  private[graft] val SummaryCharBudget = 512
+
+  /** The compact machine-read summary — kept assembled in one place so the
+    * emit-time size guard below covers every field that could grow.
+    */
+  private[graft] def compactSummary(total: Double, minTotal: Double,
+      nQueries: Int, nErrors: Int, runs: Int, sfDir: String): String = {
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"nqueries":$nQueries,"nerrors":$nErrors,"runs":$runs,"sf":"$sfDir"}"""
+    require(line.length <= SummaryCharBudget,
+      s"bench summary line is ${line.length} chars (> $SummaryCharBudget): " +
+        "it would risk falling out of the driver's bounded stdout tail — " +
+        "shrink the summary, never append to it")
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,7 +154,7 @@ object Bench {
     // thermal throttling (a hot pass inflates medians uniformly; the min of
     // one-sample-per-thermal-epoch is the coolest observed execution).
     val summaryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"nqueries":${results.size},"nerrors":${errors.size},"runs":$runs,"sf":"$sfDir"}"""
+      compactSummary(total, minTotal, results.size, errors.size, runs, sfDir)
     println(detailLine)
     println(summaryLine)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

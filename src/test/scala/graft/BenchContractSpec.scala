@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench emission contract: the driver parses a bounded ~2000-char
+  * stdout tail and records the LAST line. Round 7 lost its bench record
+  * ("parsed": null) because the final line outgrew that window; the
+  * summary is now built through one guarded function so the failure mode
+  * is a loud bench error at emit time, never a silently-unparsed round.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("the compact summary fits the tail budget with realistic values") {
+    val line = Bench.compactSummary(
+      total = 28.424242424242, minTotal = 24.808080808080,
+      nQueries = 63, nErrors = 0, runs = 3, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 512)
+    // and it stays a single line (a wrapped line would split the tail parse)
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+  }
+
+  test("a summary that could overflow the tail window fails loudly") {
+    val huge = "x" * 600
+    val e = intercept[IllegalArgumentException] {
+      Bench.compactSummary(1.0, 1.0, 63, 0, 3, sfDir = huge)
+    }
+    assert(e.getMessage.contains("stdout tail"))
+  }
+}
