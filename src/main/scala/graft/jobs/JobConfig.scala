@@ -39,6 +39,27 @@ final case class SourceSpec(
   def dataPath: String = if (table.nonEmpty) s"$path/$table.parquet" else path
 }
 
+/** One declared curation stage: an op name from
+  * [[CurationStages.Ops]] plus its parameters (validated at parse time;
+  * the accessors below are for the already-validated runtime read).
+  */
+final case class StageSpec(op: String, params: Map[String, Any] = Map.empty) {
+  private def missing(k: String): Nothing = throw new IllegalArgumentException(
+    s"job config: stage '$op' requires parameter '$k'")
+  def str(k: String): String =
+    params.get(k).map(_.asInstanceOf[String]).getOrElse(missing(k))
+  def dbl(k: String, dflt: Double): Double =
+    params.get(k).map(_.asInstanceOf[Double]).getOrElse(dflt)
+  def int(k: String): Int =
+    params.get(k).map(_.asInstanceOf[Double].toInt).getOrElse(missing(k))
+  def int(k: String, dflt: Int): Int =
+    params.get(k).map(_.asInstanceOf[Double].toInt).getOrElse(dflt)
+  def ratesMap: Map[String, Long] =
+    params.get("rates").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Double].toLong })
+      .getOrElse(Map.empty)
+}
+
 final case class JobConfig(
     source: SourceSpec,
     dim: Int,
@@ -49,7 +70,8 @@ final case class JobConfig(
     validateEvery: Int = 10,
     model: String = "",
     output: String = "",
-    outputFormat: String = "json")
+    outputFormat: String = "json",
+    stages: Seq[StageSpec] = Nil)
 
 object JobConfig {
 
@@ -65,7 +87,7 @@ object JobConfig {
       case other => fail(s"config root must be a JSON object, got $other")
     }
     val known = Set("source", "validation", "dim", "lr", "iters", "l2",
-      "validateEvery", "model", "output", "outputFormat")
+      "validateEvery", "model", "output", "outputFormat", "stages")
     val unknown = root.keySet -- known
     if (unknown.nonEmpty) fail(s"unknown config keys: ${unknown.mkString(", ")}")
 
@@ -89,6 +111,62 @@ object JobConfig {
       case other => fail(s"$label must be a JSON object, got $other")
     }
 
+    def stageSpec(v: Any, idx: Int): StageSpec = v match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val op = m.getOrElse("op",
+          fail(s"stages[$idx] needs an 'op' field")) match {
+          case s: String => s
+          case other => fail(s"stages[$idx].op must be a string, got $other")
+        }
+        val allowed = graft.jobs.CurationStages.Ops.getOrElse(op,
+          fail(s"stages[$idx]: unknown op '$op' (known: " +
+            s"${graft.jobs.CurationStages.Ops.keys.toSeq.sorted.mkString(", ")})"))
+        val params = m - "op"
+        val unknownP = params.keySet -- allowed
+        if (unknownP.nonEmpty)
+          fail(s"stages[$idx] ($op): unknown parameters ${unknownP.mkString(", ")}")
+        def num(k: String)(check: Double => Boolean, what: String): Unit =
+          params.get(k).foreach {
+            case n: Double => if (!check(n)) fail(s"stages[$idx] ($op): $k $what, got $n")
+            case other => fail(s"stages[$idx] ($op): $k must be a number, got $other")
+          }
+        def reqStr(k: String): Unit = params.get(k) match {
+          case Some(_: String) => ()
+          case Some(other) => fail(s"stages[$idx] ($op): $k must be a string, got $other")
+          case None => fail(s"stages[$idx] ($op): $k is required")
+        }
+        op match {
+          case "near_dedup" =>
+            num("threshold")(t => t > 0d && t <= 1d, "must be in (0, 1]")
+          case "decontaminate" =>
+            reqStr("holdoutSource")
+            num("minShared")(n => n.isWhole && n >= 1, "must be a positive integer")
+          case "quality_filter" =>
+            num("minScore")(_ => true, "")
+          case "stratified_sample" =>
+            num("default")(n => n.isWhole && n >= 0 && n <= 100, "must be an integer 0..100")
+            params.get("rates").foreach {
+              case rm: Map[String @unchecked, Any @unchecked] => rm.foreach {
+                case (_, r: Double) if r.isWhole && r >= 0 && r <= 100 => ()
+                case (l, r) => fail(s"stages[$idx] ($op): rate for '$l' must be an integer 0..100, got $r")
+              }
+              case other => fail(s"stages[$idx] ($op): rates must be an object, got $other")
+            }
+          case "temperature_mix" =>
+            num("alpha")(_ > 0d, "must be positive")
+            params.get("budgetDocs") match {
+              case Some(n: Double) if n.isWhole && n >= 1 => ()
+              case Some(other) => fail(s"stages[$idx] ($op): budgetDocs must be a positive integer, got $other")
+              case None => fail(s"stages[$idx] ($op): budgetDocs is required")
+            }
+          case "pack" =>
+            num("tokenBudget")(n => n.isWhole && n >= 1, "must be a positive integer")
+          case _ => () // exact_dedup / pii_scrub: no parameters
+        }
+        StageSpec(op, params)
+      case other => fail(s"stages[$idx] must be a JSON object, got $other")
+    }
+
     val d = JobConfig(source = SourceSpec("_defaults_"), dim = 1)
     val cfg = JobConfig(
       source = sourceSpec(root.getOrElse("source", fail("source is required")), "source"),
@@ -100,8 +178,18 @@ object JobConfig {
       validateEvery = int(root, "validateEvery", d.validateEvery),
       model = str(root, "model", d.model),
       output = str(root, "output", d.output),
-      outputFormat = str(root, "outputFormat", d.outputFormat))
-    if (cfg.dim <= 0) fail(s"dim must be a positive integer, got ${cfg.dim}")
+      outputFormat = str(root, "outputFormat", d.outputFormat),
+      stages = root.get("stages") match {
+        case Some(l: List[Any @unchecked]) =>
+          l.zipWithIndex.map { case (v, i) => stageSpec(v, i) }
+        case Some(other) => fail(s"stages must be a JSON array, got $other")
+        case None => Nil
+      })
+    // dim drives the model lifecycle; a pure curation pipeline (stages
+    // declared) doesn't have one
+    if (cfg.stages.isEmpty && cfg.dim <= 0)
+      fail(s"dim must be a positive integer, got ${cfg.dim}")
+    if (cfg.dim < 0) fail(s"dim must not be negative, got ${cfg.dim}")
     if (cfg.iters <= 0) fail(s"iters must be positive, got ${cfg.iters}")
     if (cfg.lr <= 0d) fail(s"lr must be positive, got ${cfg.lr}")
     if (cfg.l2 < 0d) fail(s"l2 must be non-negative, got ${cfg.l2}")

@@ -14,6 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   -train -conf job.json [-model /models/lr]
   *   -features -conf job.json [-model /models/lr] [-output /out] [-outputFormat parquet]
   *   -test -conf job.json [-model /models/lr] [-output /out/test_result.json]
+  *   -curate -conf pipeline.json [-output /out]   // stages: [...] jobs (CurationStages)
   * }}}
   *
   * Mode flags mirror the reference's: `-train` fits and snapshots weights to
@@ -28,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object JobRunner {
 
   final case class Invocation(
-      cfg: JobConfig, train: Boolean, features: Boolean, test: Boolean)
+      cfg: JobConfig, train: Boolean, features: Boolean, test: Boolean,
+      curate: Boolean = false)
 
   /** Parse argv + config file, failing before any cluster work (the
     * reference validates flags/proto at Config construction).
@@ -36,6 +38,7 @@ object JobRunner {
   def parse(args: Array[String]): Invocation = {
     var conf = ""
     var train = false; var features = false; var test = false
+    var curate = false
     var model: Option[String] = None
     var output: Option[String] = None
     var outputFormat: Option[String] = None
@@ -50,6 +53,7 @@ object JobRunner {
         case "-train" => train = true
         case "-features" => features = true
         case "-test" => test = true
+        case "-curate" => curate = true
         case "-conf" => conf = optValue("-conf")
         case "-model" => model = Some(optValue("-model"))
         case "-output" => output = Some(optValue("-output"))
@@ -59,22 +63,26 @@ object JobRunner {
       i += 1
     }
     if (conf.isEmpty) usage("-conf <job.json> is required")
-    if (!train && !features && !test)
-      usage("at least one of -train / -features / -test is required")
+    if (!train && !features && !test && !curate)
+      usage("at least one of -train / -features / -test / -curate is required")
     var cfg = JobConfig.load(conf)
     model.foreach(m => cfg = cfg.copy(model = m))
     output.foreach(o => cfg = cfg.copy(output = o))
     outputFormat.foreach(f => cfg = cfg.copy(outputFormat = f))
-    if (cfg.model.isEmpty)
+    if ((train || features || test) && cfg.model.isEmpty)
       usage("a model path is required (config 'model' or CLI -model)")
-    if ((features || test) && cfg.output.isEmpty)
-      usage("-features/-test need an output path (config 'output' or CLI -output)")
-    Invocation(cfg, train, features, test)
+    if ((train || features || test) && cfg.dim <= 0)
+      usage("-train/-features/-test need a positive 'dim' in the config")
+    if ((features || test || curate) && cfg.output.isEmpty)
+      usage("-features/-test/-curate need an output path (config 'output' or CLI -output)")
+    if (curate && cfg.stages.isEmpty)
+      usage("-curate needs a non-empty 'stages' array in the config")
+    Invocation(cfg, train, features, test, curate)
   }
 
   private def usage(msg: String): Nothing =
     throw new IllegalArgumentException(
-      s"$msg\nusage: JobRunner (-train|-features|-test)+ -conf job.json " +
+      s"$msg\nusage: JobRunner (-train|-features|-test|-curate)+ -conf job.json " +
         "[-model path] [-output path] [-outputFormat json|parquet|csv]")
 
   private def readSource(spark: SparkSession, s: SourceSpec): DataFrame =
@@ -85,10 +93,20 @@ object JobRunner {
     */
   def run(spark: SparkSession, inv: Invocation): Unit = {
     val cfg = inv.cfg
-    val g = new Graft(spark, cfg.dim,
+    // lazy: a curate-only job has no model dimensionality to declare
+    lazy val g = new Graft(spark, cfg.dim,
       TrainConfig(lr = cfg.lr, iters = cfg.iters, l2 = cfg.l2,
         validateEvery = cfg.validateEvery))
     val src = cfg.source
+
+    if (inv.curate) {
+      // the declared stage chain over the declared source — the whole
+      // curation dataflow from the document, no Scala wiring
+      CurationStages.run(spark.read.format(src.format).load(src.dataPath),
+          cfg.stages)
+        .write.mode("overwrite").format(cfg.outputFormat)
+        .save(s"${cfg.output}/corpus")
+    }
 
     if (inv.train) {
       val data = readSource(spark, src)

@@ -20,6 +20,37 @@ object CurationOps {
   private val toks = tokens("text")
   private val ToksSql = TokensSql("text")
 
+  /** The q55 scrub-rule table (pattern → replacement, applied in order) —
+    * shared with the curation pipeline's pii_scrub stage so "the PII
+    * rules" is one definition.
+    */
+  private[graft] val PiiRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+" -> "<EMAIL>",
+    "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+" -> "<IP>",
+    "[0-9]+" -> "<NUM>")
+
+  /** The q56 quality model over a token-array column: (stop_ratio,
+    * distinct_ratio, len_norm, score) — shared with the pipeline's
+    * quality_filter stage; the weights are the published checkpoint.
+    */
+  private[graft] def qualityColumns(t: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val stopIn = QualityStopwords.map(w => s"'$w'").mkString(", ")
+    val stop = expr(s"size(filter(t, x -> x IN ($stopIn))) / size(t)")
+    val dist = expr("size(array_distinct(t)) / size(t)")
+    val len = least(size(t) / 100.0, lit(1.0))
+    val (w0, wStop, wDist, wLen) = QualityWeights
+    (stop, dist, len,
+      lit(w0) + lit(wStop) * stop + lit(wDist) * dist + lit(wLen) * len)
+  }
+  private[graft] val QualityStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in")
+  // Offline fit of graft.ml.LogisticRegression on (stop, distinct, len)
+  // at sf0.001, rounded to 1 decimal (the rounding is part of the
+  // published model, like any shipped checkpoint).
+  private[graft] val QualityWeights = (-2.2, 3.0, 2.5, 1.5)
+
   /** Q55 — sensitive-token scrubbing (PII redaction shape): a chained
     * regex-rule table applied per row — emails, then IPv4s, then any
     * residual digit run — with a per-row hit count for audit sampling.
@@ -32,9 +63,9 @@ object CurationOps {
     * changing the plan shape.
     */
   val q55PiiScrub: QueryDef = {
-    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
-    val ipv4 = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
-    val num = "[0-9]+"
+    val email = PiiRules(0)._1
+    val ipv4 = PiiRules(1)._1
+    val num = PiiRules(2)._1
     QueryDef.sql(
       "q55_pii_scrub",
       s"""SELECT event_id, event_type,
@@ -53,8 +84,7 @@ object CurationOps {
       // replaces (property-tested in RegexScrubSpec)
       Tables(s, dir, "events")
         .withColumn("sc", org.apache.spark.sql.graft.RegexScrub.regex_scrub(
-          col("props"),
-          Seq(email -> "<EMAIL>", ipv4 -> "<IP>", num -> "<NUM>")))
+          col("props"), PiiRules))
         .select(col("event_id"), col("event_type"),
           col("sc.scrubbed").as("scrubbed"),
           col("sc.n_hits").as("n_hits"))
@@ -79,12 +109,8 @@ object CurationOps {
     * filter is map-only at any corpus size.
     */
   val q56QualityFilter: QueryDef = {
-    val stopIn = Seq("the", "a", "an", "and", "or", "of", "to", "in")
-      .map(w => s"'$w'").mkString(", ")
-    // Offline fit of graft.ml.LogisticRegression on (stop, distinct, len)
-    // at sf0.001, rounded to 1 decimal (the rounding is part of the
-    // published model, like any shipped checkpoint).
-    val (w0, wStop, wDist, wLen) = (-2.2, 3.0, 2.5, 1.5)
+    val stopIn = QualityStopwords.map(w => s"'$w'").mkString(", ")
+    val (w0, wStop, wDist, wLen) = QualityWeights
     QueryDef.sql(
       "q56_quality_filter",
       s"""SELECT doc_id, stop_ratio, distinct_ratio, len_norm, score
@@ -100,16 +126,12 @@ object CurationOps {
          |  WHERE len(t) > 0)
          |WHERE score > 0.0
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (stop, dist, len, score) = qualityColumns(col("t"))
       Tables(s, dir, "documents")
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) > 0)
-        .select(col("doc_id"),
-          expr(s"size(filter(t, x -> x IN ($stopIn))) / size(t)").as("stop_ratio"),
-          expr("size(array_distinct(t)) / size(t)").as("distinct_ratio"),
-          least(size(col("t")) / 100.0, lit(1.0)).as("len_norm"))
-        .withColumn("score",
-          lit(w0) + lit(wStop) * col("stop_ratio")
-            + lit(wDist) * col("distinct_ratio") + lit(wLen) * col("len_norm"))
+        .select(col("doc_id"), stop.as("stop_ratio"), dist.as("distinct_ratio"),
+          len.as("len_norm"), score.as("score"))
         .filter(col("score") > 0.0)
         .orderBy("doc_id")
     }

@@ -68,14 +68,24 @@ object PipelineOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
        |  FROM (SELECT doc_id, lang, source, len($ToksSql) AS n_tok FROM documents))
        |ORDER BY lang, source, doc_id""".stripMargin) { (s, dir) =>
+    packed(Tables(s, dir, "documents"), tokenBudget = 256)
+      .select("doc_id", "lang", "source", "n_tok", "cum_tok", "bin")
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  /** The q50 packer over any documents-shaped frame, with the token budget
+    * as a parameter — shared by the registered query (budget 256) and the
+    * curation pipeline's pack stage. Keeps the caller's columns and adds
+    * n_tok / cum_tok / bin.
+    */
+  private[graft] def packed(docs: org.apache.spark.sql.DataFrame,
+      tokenBudget: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("lang", "source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(toks).cast("long").as("n_tok"))
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .withColumn("bin", expr("(cum_tok - n_tok) div 256"))
-      .orderBy("lang", "source", "doc_id")
+      .withColumn("bin", expr(s"(cum_tok - n_tok) div $tokenBudget"))
   }
 
   /** Document frequency cap for q51 contamination n-grams — same rationale
@@ -120,7 +130,19 @@ object PipelineOps {
        |JOIN sizes s ON s.doc_id = test_id
        |WHERE shared >= 2
        |ORDER BY test_id, train_id""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    contaminationOverlap(Tables(s, dir, "documents"), holdout = "src19")
+      .filter(col("shared") >= 2)
+      .orderBy("test_id", "train_id")
+  }
+
+  /** The q51 contamination relation (test_id, train_id, shared, n_test,
+    * overlap; shared ≥ 1) over any documents-shaped frame, the held-out
+    * source as a parameter — the ONE implementation shared by the
+    * registered query (holdout 'src19', shared ≥ 2) and the curation
+    * pipeline's decontaminate stage.
+    */
+  private[graft] def contaminationOverlap(docs: org.apache.spark.sql.DataFrame,
+      holdout: String): org.apache.spark.sql.DataFrame = {
     // array_distinct before the explode = the (doc, fp) DISTINCT done
     // map-side inside each row — no dedup exchange
     val grams = docs
@@ -133,9 +155,9 @@ object PipelineOps {
     val postings = grams
       .groupBy("fp")
       .agg(
-        sort_array(clc(when(col("source") === "src19", col("doc_id")), DfCap + 1))
+        sort_array(clc(when(col("source") === holdout, col("doc_id")), DfCap + 1))
           .as("tests"),
-        sort_array(clc(when(col("source") =!= "src19", col("doc_id")), DfCap + 1))
+        sort_array(clc(when(col("source") =!= holdout, col("doc_id")), DfCap + 1))
           .as("trains"))
       .filter(size(col("tests")) + size(col("trains")) <= DfCap)
       .filter(size(col("tests")) > 0)
@@ -149,11 +171,9 @@ object PipelineOps {
         .as("p"))
       .groupBy(col("p.test_id").as("test_id"), col("p.train_id").as("train_id"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 2)
       .join(sizes.withColumnRenamed("doc_id", "test_id"), "test_id")
       .withColumn("overlap", col("shared") / col("n_test"))
       .select("test_id", "train_id", "shared", "n_test", "overlap")
-      .orderBy("test_id", "train_id")
   }
 
   /** Q52 — marginal novelty per source: treat sources as arriving in

@@ -208,7 +208,17 @@ object TextOps {
        |JOIN sizes sb ON sb.doc_id = b
        |WHERE inter / (sa.n + sb.n - inter) >= 0.06
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    ngramJaccardPairs(Tables(s, dir, "documents")).orderBy("a", "b")
+  }
+
+  /** The q21 pair relation (a, b, inter, na, nb, jaccard ≥ 0.06) over any
+    * documents-shaped frame (doc_id, text) — the ONE implementation shared
+    * by the registered query and the declarative curation pipeline's
+    * near-dedup stage ([[graft.jobs.CurationStages]]), which filters it to
+    * its own threshold.
+    */
+  private[graft] def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // Shingles are keyed by their 64-bit rolling hash, not the string —
     // long keys move ~4× fewer bytes than 15-char strings and hash/compare
     // faster; the same hash runs in the oracle so any collision is
@@ -261,7 +271,6 @@ object TextOps {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.06)
       .select("a", "b", "inter", "na", "nb", "jaccard")
-      .orderBy("a", "b")
   }
 
   /** Q40 — token counting for training-data budgeting: whitespace tokens vs

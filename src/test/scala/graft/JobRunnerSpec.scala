@@ -68,6 +68,97 @@ class JobRunnerSpec extends SparkSpec {
       .loadWeights(spark, s"$work/model2").length == 64)
   }
 
+  test("declared curation pipeline runs end-to-end from JSON alone") {
+    val work = java.nio.file.Files.createTempDirectory("jobcurate").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [
+         |    {"op": "exact_dedup"},
+         |    {"op": "near_dedup", "threshold": 0.5},
+         |    {"op": "decontaminate", "holdoutSource": "src19", "minShared": 2},
+         |    {"op": "pii_scrub"},
+         |    {"op": "quality_filter", "minScore": 0.0},
+         |    {"op": "temperature_mix", "alpha": 0.5, "budgetDocs": 200},
+         |    {"op": "pack", "tokenBudget": 256}
+         |  ]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val corpus = spark.read.parquet(s"$work/out/corpus")
+    val input = Tables(spark, sf, "documents")
+    // the funnel dropped rows at dedup/decontaminate/quality/mix stages
+    val n = corpus.count()
+    assert(n > 0 && n < input.count(), s"corpus kept $n rows")
+    // pack appended its packing columns on top of the document schema
+    assert(Seq("doc_id", "lang", "source", "n_tok", "cum_tok", "bin")
+      .forall(corpus.columns.contains))
+    // pii_scrub rewrote text: every digit run became a placeholder token
+    assert(corpus.filter(col("text").rlike("[0-9]")).count() == 0)
+    // decontaminate removed the held-out source entirely
+    assert(corpus.filter(col("source") === "src19").count() == 0)
+    // determinism: the declared pipeline is reproducible bit-for-bit
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-curate", "-conf", conf, "-output", s"$work/out2")))
+    val again = spark.read.parquet(s"$work/out2/corpus")
+    assert(corpus.exceptAll(again).isEmpty && again.exceptAll(corpus).isEmpty)
+  }
+
+  test("pipeline stages match their registered-operator semantics") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    // exact_dedup keeps exactly q20's canonical ids
+    val kept = CurationStages(docs, StageSpec("exact_dedup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q20 = graft.queries.TextOps.q20DedupExact.fn(spark, sf)
+      .select("canonical_id").collect().map(_.getLong(0)).toSet
+    assert(kept == q20)
+    // near_dedup at 0.5 keeps exactly q63's canonical corpus
+    val nd = CurationStages(docs,
+        StageSpec("near_dedup", Map("threshold" -> 0.5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q63 = graft.queries.DedupOps.q63CanonicalCorpus.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nd == q63)
+    // quality_filter keeps exactly q56's surviving ids
+    val qf = CurationStages(docs,
+        StageSpec("quality_filter", Map("minScore" -> 0.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q56 = graft.queries.CurationOps.q56QualityFilter.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qf == q56)
+    // stratified_sample with q49's rate table keeps exactly q49's rows
+    val ss = CurationStages(docs, StageSpec("stratified_sample",
+        Map("rates" -> Map("en" -> 25.0, "de" -> 60.0), "default" -> 80.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q49 = graft.queries.PipelineOps.q49StratifiedSample.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ss == q49)
+  }
+
+  test("malformed stage declarations fail at parse time") {
+    def bad(stagesJson: String): String =
+      intercept[IllegalArgumentException](JobConfig.fromJson(
+        s"""{"source": {"path": "/d"}, "stages": $stagesJson}""")).getMessage
+    assert(bad("""[{"op": "frobnicate"}]""").contains("unknown op"))
+    assert(bad("""[{"op": "near_dedup", "wat": 1}]""").contains("unknown parameters"))
+    assert(bad("""[{"op": "near_dedup", "threshold": 1.5}]""").contains("threshold"))
+    assert(bad("""[{"op": "decontaminate"}]""").contains("holdoutSource"))
+    assert(bad("""[{"op": "temperature_mix"}]""").contains("budgetDocs"))
+    assert(bad("""[{"op": "stratified_sample", "rates": {"en": 140}}]""")
+      .contains("0..100"))
+    assert(bad("""[{"nop": 1}]""").contains("op"))
+    // a stages job needs no dim; a model job still does
+    assert(JobConfig.fromJson(
+      """{"source": {"path": "/d"}, "stages": [{"op": "pii_scrub"}]}""").dim == 0)
+    assert(intercept[IllegalArgumentException](JobConfig.fromJson(
+      """{"source": {"path": "/d"}}""")).getMessage.contains("dim"))
+    // and -curate without stages is a usage error
+    val p = writeConf("""{"source": {"path": "/d"}, "stages": [{"op": "pii_scrub"}]}""")
+    assert(intercept[IllegalArgumentException](
+      JobRunner.parse(Array("-curate", "-conf", p))).getMessage.contains("output"))
+  }
+
   test("config parse maps every field and applies defaults") {
     val cfg = JobConfig.fromJson(
       """{"source": {"path": "/data", "table": "embeddings", "format": "parquet"},
