@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   * materializes the round's LAZY localCheckpoint (O(1) driver state;
   * measured on a 65-node chain: 64 AQE stage-jobs total vs 72 when the
   * checkpoint was eager and the count a second action per round — the
-  * ConnectedComponentsSpec job-accounting test pins this). Lineage is
+  * ConnectedComponentsSpec job-accounting test pins this). Lazy-vs-eager
+  * wall-clock was A/B'd interleaved in one JVM (tools/CcAb, round 10,
+  * q62+q63 at sf0.1, 5 reps each, arms alternated within each rep so
+  * drift hits both equally): lazy 4.70 s median / 4.09 s min vs eager
+  * 4.56 s / 3.96 s — statistically indistinguishable (~3% apart with
+  * ~40% within-arm spread as JIT warms), and BOTH arms sit at round 8's
+  * ~4.8 s level, so round 9's recorded q62+q63 7.96 s was thermal
+  * drift, not the refactor. Lazy is kept: equal wall-clock, strictly
+  * fewer scheduler jobs (64 vs 72 on the 65-node chain). Lineage is
   * truncated per round with localCheckpoint — the jump's self-join
   * doubles the LOGICAL plan otherwise and the analyzer, not the
   * executors, becomes the bottleneck (measured: minutes per round by
@@ -37,6 +45,13 @@ import org.apache.spark.sql.functions._
   * stable.
   */
 object Components {
+
+  /** Checkpoint-eagerness knob for the round-10 A/B (tools/CcAb): lazy
+    * (false) makes the convergence count the round's single action; eager
+    * (true) adds a materialization job per round. Flipped only by the
+    * measurement tool — production callers use the default.
+    */
+  @volatile private[graft] var eagerCheckpoint = false
 
   /** Components of the undirected graph given by `edges` (cols `a`, `b`).
     * Returns (id, component) where component = min node id reachable.
@@ -59,7 +74,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(eager = false) // materializes inside round 1's job
+      .localCheckpoint(eager = eagerCheckpoint) // lazy: materializes inside round 1's job
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -94,7 +109,7 @@ object Components {
         // action — computing it materializes every partition of the
         // checkpointed RDD (count scans all rows), so the round needs no
         // separate eager-materialization job. Lineage still truncates.
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = eagerCheckpoint)
       changed = next.filter(col("component") =!= col("old")).count()
       roundStats += ((changed, (System.nanoTime() - roundStart) / 1000000L))
       labels = next.select("id", "component")
