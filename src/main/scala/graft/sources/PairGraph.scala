@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The q21 near-dup pair relation (a, b, inter, na, nb, jaccard ≥ 0.06)
+  * materialized once per source corpus and shared by its consumers: q62
+  * clusters it, q63 thresholds and canonicalizes it. Before this layout the
+  * suite computed the identical relation from scratch in q62, again in q63
+  * (~0.6 s each at sf0.1) — a real dedup pipeline materializes the pair
+  * graph once and every downstream stage reads it, which is exactly the
+  * shape this gives the plans: q62/q63 become clustering over a tiny
+  * persisted relation instead of shingle-join + clustering fused.
+  *
+  * q21 itself still computes the relation live — it IS the pair-graph
+  * computation, and its bench entry must keep paying that cost.
+  *
+  * Scale: the pair relation is bounded by the DfCap'd posting-list
+  * expansion (≤ DfCap²/2 pairs per surviving shingle — SCALE.md), orders
+  * of magnitude smaller than the corpus; at 100 TB it is the classic
+  * intermediate you'd land in the lake between the pair job and the
+  * cluster job. Stamping/atomicity/reaping are [[DerivedLayout]]'s.
+  */
+object PairGraph {
+
+  /** Encodes the pair-relation semantics (word-bigram shingles, DfCap 50,
+    * jaccard floor 0.06). Bump when
+    * [[graft.queries.TextOps.ngramJaccardPairs]] changes behavior.
+    */
+  private val Version = "v1"
+
+  def layoutPath(dir: String): String =
+    DerivedLayout.layoutPath("pairs", Version, dir, Seq(s"$dir/documents.parquet"))
+
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    DerivedLayout(spark, layoutPath(dir)) { tmp =>
+      graft.queries.TextOps.ngramJaccardPairs(graft.Tables(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+}
