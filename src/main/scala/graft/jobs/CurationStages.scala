@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * the REGISTERED operator machinery (one implementation, oracle-checked
   * where registered): exact_dedup = q20's canonical-per-content-hash;
   * near_dedup = q21 pairs → q62/q63 pointer-jumped components →
-  * canonicalize; decontaminate = q51's capped bipartite posting lists;
+  * canonicalize; embed_near_dedup = q46's banded sign-LSH candidates +
+  * exact-dot verify → the same components/canonicalize (duplication in
+  * meaning-space); decontaminate = q51's capped bipartite posting lists;
   * pii_scrub = q55's fused native RegexScrub; quality_filter = q56's
   * published linear model; stratified_sample = q49's consistent-hash
   * gates; temperature_mix = q57's share^α weights applied as per-language
@@ -48,6 +50,8 @@ object CurationStages {
   val Ops: Map[String, Set[String]] = Map(
     "exact_dedup" -> Set.empty,
     "near_dedup" -> Set("threshold"),
+    "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
+      "bands", "bitsPerBand", "minDot"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
@@ -55,7 +59,16 @@ object CurationStages {
     "temperature_mix" -> Set("alpha", "budgetDocs"),
     "pack" -> Set("tokenBudget"))
 
-  def apply(docs: DataFrame, stage: StageSpec): DataFrame = stage.op match {
+  /** The n-gram pair relation's jaccard floor
+    * ([[graft.queries.TextOps.ngramJaccardPairs]] filters at 0.06 before
+    * any threshold the stage declares): a near_dedup threshold below it
+    * cannot be honored, so JobConfig refuses one at parse time instead of
+    * silently clamping.
+    */
+  val NearDedupFloor = 0.06
+
+  def apply(docs: DataFrame, stage: StageSpec,
+      embeddingsDefault: Option[String] = None): DataFrame = stage.op match {
 
     // q20 semantics: one canonical (minimum) doc_id per exact text
     case "exact_dedup" =>
@@ -73,6 +86,38 @@ object CurationStages {
       val pairs = graft.queries.TextOps.ngramJaccardPairs(docs)
         .filter(col("jaccard") >= threshold)
         .select("a", "b")
+      graft.operators.Components.canonicalize(docs, pairs)
+
+    // the EMBEDDING near-dup route (q46's banded sign-LSH candidates +
+    // exact-dot verify, q62's components, q63's canonicalize): for corpora
+    // where duplication lives in meaning-space, not shingle-space. The
+    // band geometry is declared because IT is the scale knob
+    // (operators/Banding scaladoc: bitsPerBand ~ log2(N/bucket) keeps
+    // candidates linear); docs without an embedding row are kept.
+    case "embed_near_dedup" =>
+      val embPath = stage.params.get("embeddings").map(_.asInstanceOf[String])
+        .orElse(embeddingsDefault)
+        .getOrElse(throw new IllegalArgumentException(
+          "embed_near_dedup: no 'embeddings' path declared and the job " +
+            "source is not a table directory to default from"))
+      val idCol = stage.strOr("idCol", "vec_id")
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      val dim = stage.int("dim", 64)
+      val bands = stage.int("bands", 4)
+      val bits = stage.int("bitsPerBand", 4)
+      val minDot = stage.dbl("minDot", 0.25)
+      val emb = docs.sparkSession.read.parquet(embPath)
+        .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      val cand = graft.operators.Banding
+        .bandedCandidates(emb, "vec_id", "embedding", dim, bands, bits)
+      // exact verify BEFORE clustering: candidates are hash collisions,
+      // edges are verified similarity (same discipline as q31/q39/q46)
+      val pairs = cand
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+        .filter(org.apache.spark.sql.graft.VectorExpressions
+          .float_dot(col("ea"), col("eb")) > minDot)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.operators.Components.canonicalize(docs, pairs)
 
     // q51 shape: drop the held-out source itself AND every training
@@ -122,13 +167,19 @@ object CurationStages {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val wsum = counts.toSeq.sortBy(_._1).map { case (_, n) =>
         math.pow(n.toDouble, alpha) }.sum
-      val keepPct = counts.map { case (l, n) =>
+      // gate per 65536, not per cent: an integer-percent gate floors any
+      // language whose target rate is under 0.5% to ZERO (dropping it from
+      // the mix entirely) and mis-tracks the declared budget by up to
+      // ±0.5% of each language's size; at 1/65536 grain the smallest
+      // nonzero share is ~0.0015% and the expected kept total tracks the
+      // budget to the same resolution
+      val keepRate = counts.map { case (l, n) =>
         val target = math.pow(n.toDouble, alpha) / wsum * budget
-        l -> math.min(100L, math.round(target / n * 100))
+        l -> math.min(MixGrain, math.round(target / n * MixGrain))
       }
-      docs.filter(hashBucket <
-        keepPct.foldLeft(lit(0L): Column) { case (acc, (l, pct)) =>
-          when(col("lang") === l, lit(pct)).otherwise(acc) })
+      docs.filter(hashGate(MixGrain) <
+        keepRate.foldLeft(lit(0L): Column) { case (acc, (l, rate)) =>
+          when(col("lang") === l, lit(rate)).otherwise(acc) })
 
     // q50's shard-keyed greedy packer
     case "pack" =>
@@ -138,11 +189,21 @@ object CurationStages {
       throw new IllegalArgumentException(s"unknown curation stage op '$other'")
   }
 
-  /** q49's deterministic gate: the engine's rolling hash of the decimal
-    * doc id, mod 100 — identical on re-runs and across engines.
+  /** temperature_mix keep-rate resolution: rates are expressed per 65536,
+    * giving sub-basis-point grain so sub-percent languages survive.
     */
-  private def hashBucket: Column =
-    graft.functions.TextFunctions.fingerprint("CAST(doc_id AS STRING)") % 100
+  private val MixGrain = 65536L
+
+  /** The deterministic sampling gate: the engine's rolling hash of the
+    * decimal doc id, mod `grain` — identical on re-runs and across engines.
+    * stratified_sample keeps the declared-integer-percent contract
+    * (grain 100); temperature_mix computes its own rates and uses
+    * [[MixGrain]].
+    */
+  private def hashGate(grain: Long): Column =
+    graft.functions.TextFunctions.fingerprint("CAST(doc_id AS STRING)") % grain
+
+  private def hashBucket: Column = hashGate(100L)
 
   private def rateFor(rates: Map[String, Long], default: Int): Column =
     rates.foldLeft(lit(default.toLong): Column) { case (acc, (l, pct)) =>
@@ -154,9 +215,10 @@ object CurationStages {
     * pass over that stage's output).
     */
   def run(docs: DataFrame, stages: Seq[StageSpec],
-      audit: Option[(String, Long) => Unit] = None): DataFrame =
+      audit: Option[(String, Long) => Unit] = None,
+      embeddingsDefault: Option[String] = None): DataFrame =
     stages.foldLeft(docs) { (df, st) =>
-      val out = CurationStages(df, st)
+      val out = CurationStages(df, st, embeddingsDefault)
       audit.foreach(f => f(st.op, out.count()))
       out
     }

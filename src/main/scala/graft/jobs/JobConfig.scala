@@ -48,6 +48,8 @@ final case class StageSpec(op: String, params: Map[String, Any] = Map.empty) {
     s"job config: stage '$op' requires parameter '$k'")
   def str(k: String): String =
     params.get(k).map(_.asInstanceOf[String]).getOrElse(missing(k))
+  def strOr(k: String, dflt: String): String =
+    params.get(k).map(_.asInstanceOf[String]).getOrElse(dflt)
   def dbl(k: String, dflt: Double): Double =
     params.get(k).map(_.asInstanceOf[Double]).getOrElse(dflt)
   def int(k: String): Int =
@@ -135,9 +137,29 @@ object JobConfig {
           case Some(other) => fail(s"stages[$idx] ($op): $k must be a string, got $other")
           case None => fail(s"stages[$idx] ($op): $k is required")
         }
+        def optStr(k: String): Unit = params.get(k).foreach {
+          case _: String => ()
+          case other => fail(s"stages[$idx] ($op): $k must be a string, got $other")
+        }
         op match {
           case "near_dedup" =>
-            num("threshold")(t => t > 0d && t <= 1d, "must be in (0, 1]")
+            // the floor is the pair relation's own jaccard cutoff
+            // (CurationStages.NearDedupFloor): a declared threshold below
+            // it would silently behave as the floor — refuse it loudly
+            num("threshold")(t =>
+              t >= graft.jobs.CurationStages.NearDedupFloor && t <= 1d,
+              s"must be in [${graft.jobs.CurationStages.NearDedupFloor}, 1] " +
+                "(the n-gram pair relation's jaccard floor)")
+          case "embed_near_dedup" =>
+            optStr("embeddings"); optStr("idCol"); optStr("embeddingCol")
+            num("dim")(n => n.isWhole && n >= 1, "must be a positive integer")
+            num("bands")(n => n.isWhole && n >= 1, "must be a positive integer")
+            num("bitsPerBand")(n => n.isWhole && n >= 1, "must be a positive integer")
+            num("minDot")(_ => true, "")
+            val geo = params.get("bands").map(_.asInstanceOf[Double].toInt).getOrElse(4) *
+              params.get("bitsPerBand").map(_.asInstanceOf[Double].toInt).getOrElse(4)
+            if (geo > 63)
+              fail(s"stages[$idx] ($op): bands*bitsPerBand must be <= 63, got $geo")
           case "decontaminate" =>
             reqStr("holdoutSource")
             num("minShared")(n => n.isWhole && n >= 1, "must be a positive integer")

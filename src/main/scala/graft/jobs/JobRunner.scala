@@ -101,9 +101,14 @@ object JobRunner {
 
     if (inv.curate) {
       // the declared stage chain over the declared source — the whole
-      // curation dataflow from the document, no Scala wiring
+      // curation dataflow from the document, no Scala wiring. A table-dir
+      // source gives embed_near_dedup its default embeddings location
+      // (sibling table, the Tables layout); a bare-path source must
+      // declare the stage's 'embeddings' param itself.
+      val embDefault =
+        if (src.table.nonEmpty) Some(s"${src.path}/embeddings.parquet") else None
       CurationStages.run(spark.read.format(src.format).load(src.dataPath),
-          cfg.stages)
+          cfg.stages, embeddingsDefault = embDefault)
         .write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/corpus")
     }

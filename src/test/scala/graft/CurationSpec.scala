@@ -94,4 +94,24 @@ class CurationSpec extends SparkSpec {
     assert(flat < raw, s"α=0.5 must flatten: $flat !< $raw")
     assert(math.abs(flat - math.sqrt(raw)) < 1e-9) // p ∝ √share exactly
   }
+
+  test("temperature_mix stage: sub-percent keep rates survive and track the budget") {
+    import graft.jobs.{CurationStages, StageSpec}
+    // α=1 makes every language's target rate budget/total = 5000/1.25M =
+    // 0.4% — under the old integer-percent gate round(0.4%) = 0 and the
+    // stage kept NOTHING; the per-65536 gate keeps ≈ rate·n of each
+    // language, including ~20 docs of the 5000-doc minority
+    val docs = spark.range(1250000L).select(col("id").as("doc_id"),
+      when(col("id") < 5000, "xx").otherwise("en").as("lang"))
+    val out = CurationStages(docs,
+      StageSpec("temperature_mix", Map("alpha" -> 1.0, "budgetDocs" -> 5000.0)))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = byLang.values.sum
+    assert(kept > 0, "integer-percent flooring is back: the whole mix was dropped")
+    assert(math.abs(kept - 5000L) < 1000L,
+      s"kept $kept docs vs declared budget 5000 — gate resolution off")
+    assert(byLang.getOrElse("xx", 0L) > 0L,
+      "the 0.4%-rate minority language was dropped entirely")
+  }
 }

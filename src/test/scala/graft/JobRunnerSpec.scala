@@ -77,6 +77,7 @@ class JobRunnerSpec extends SparkSpec {
          |  "stages": [
          |    {"op": "exact_dedup"},
          |    {"op": "near_dedup", "threshold": 0.5},
+         |    {"op": "embed_near_dedup", "minDot": 0.45},
          |    {"op": "decontaminate", "holdoutSource": "src19", "minShared": 2},
          |    {"op": "pii_scrub"},
          |    {"op": "quality_filter", "minScore": 0.0},
@@ -136,6 +137,26 @@ class JobRunnerSpec extends SparkSpec {
     assert(ss == q49)
   }
 
+  test("embed_near_dedup clusters by embedding similarity and keeps minimum ids") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val work = java.nio.file.Files.createTempDirectory("embdedup").toString
+    // 6 docs in meaning-space: {0,1,2} share vector A, {3,4} share B,
+    // 5 is C — A/B/C mutually orthogonal so no cross-group dot survives
+    // the verify, while identical vectors collide in every band
+    val basis = Array.tabulate(3)(g => Array.tabulate(8)(i =>
+      if (i == g) 2.0f else 0.0f))
+    val rows = Seq(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2)
+    import spark.implicits._
+    rows.map { case (id, g) => (id, basis(g)) }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/emb")
+    val docs = spark.range(6).select(col("id").as("doc_id"))
+    val out = CurationStages(docs, StageSpec("embed_near_dedup",
+        Map("embeddings" -> s"$work/emb", "dim" -> 8.0, "minDot" -> 0.9)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 3L, 5L),
+      s"each duplicate group keeps its minimum id, singletons survive: $out")
+  }
+
   test("malformed stage declarations fail at parse time") {
     def bad(stagesJson: String): String =
       intercept[IllegalArgumentException](JobConfig.fromJson(
@@ -143,6 +164,12 @@ class JobRunnerSpec extends SparkSpec {
     assert(bad("""[{"op": "frobnicate"}]""").contains("unknown op"))
     assert(bad("""[{"op": "near_dedup", "wat": 1}]""").contains("unknown parameters"))
     assert(bad("""[{"op": "near_dedup", "threshold": 1.5}]""").contains("threshold"))
+    // a threshold below the pair relation's jaccard floor cannot be
+    // honored (the relation filters at 0.06 before the stage sees it)
+    assert(bad("""[{"op": "near_dedup", "threshold": 0.03}]""").contains("0.06"))
+    assert(bad("""[{"op": "embed_near_dedup", "bands": 8, "bitsPerBand": 8}]""")
+      .contains("63"))
+    assert(bad("""[{"op": "embed_near_dedup", "dim": 0}]""").contains("dim"))
     assert(bad("""[{"op": "decontaminate"}]""").contains("holdoutSource"))
     assert(bad("""[{"op": "temperature_mix"}]""").contains("budgetDocs"))
     assert(bad("""[{"op": "stratified_sample", "rates": {"en": 140}}]""")
