@@ -57,6 +57,13 @@ object Bench {
     // that later queries are measured under, and the roving 10x victims
     // return). Three samples with a warmup pass is the sweet spot.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // Fail-fast summary-size check BEFORE any measured work: the emit-time
+    // require below protects the tail contract, but firing it after a full
+    // bench run discards every measurement. An over-long sfDir (the only
+    // env-derived summary field) must abort at startup instead. Values are
+    // worst-plausible widths (full-precision doubles, 4-digit query count).
+    compactSummary(99999.999999999999, 99999.999999999999,
+      nQueries = 9999, nErrors = 9999, runs = runs, sfDir = sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -139,6 +146,13 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // per-query MINIMA ride the detail line (file + first stdout line, never
+    // the tail-guarded summary): medians answer "how fast is it usually",
+    // minima answer "how fast is it on a cool box" — emitting both lets a
+    // later reader separate thermal inflation from a real per-query
+    // regression without re-running the suite (the exact ambiguity that
+    // muddied the round-9 q62/q63 record).
+    val qsMin = minResults.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val minTotal = minResults.map(_._2).sum
@@ -149,7 +163,7 @@ object Bench {
     // goes FIRST (audit trail, also written to a file), and a compact summary
     // line small enough to always fit the tail goes LAST.
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
     // min_total: sum of per-query MINIMA across passes — robust to this box's
     // thermal throttling (a hot pass inflates medians uniformly; the min of
     // one-sample-per-thermal-epoch is the coolest observed execution).

@@ -27,4 +27,14 @@ class BenchContractSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("stdout tail"))
   }
+
+  test("the startup guard rejects an over-long sfDir with worst-width fields") {
+    // mirrors Bench.main's fail-fast call: the widest plausible numeric
+    // fields plus a just-under-budget sfDir must still fit, so the guard
+    // only trips on genuinely oversized paths — and a 600-char path trips
+    // it BEFORE any query would have run
+    val wide = Bench.compactSummary(99999.999999999999, 99999.999999999999,
+      nQueries = 9999, nErrors = 9999, runs = 333, sfDir = "/root/testdata/sf0.1")
+    assert(wide.length <= 512)
+  }
 }
