@@ -150,6 +150,94 @@ object DocumentStreams {
       .filter(col("n_band_hits") >= 1)
   }
 
+  /** One near-dup edge arriving on the stream (q21/q31/q46 pair shape). */
+  final case class EdgeRow(a: Long, b: Long)
+
+  /** One emitted label: `doc_id` currently belongs to cluster
+    * `cluster_id` (= the minimum doc_id reachable from it so far).
+    */
+  final case class ClusterAssignment(doc_id: Long, cluster_id: Long)
+
+  /** The union-find forest as keyed state: parent pointers with the
+    * component's MINIMUM id at every root (so the representative is q62's
+    * min-label by construction, at any prefix of the stream).
+    */
+  final case class ForestState(parent: Map[Long, Long])
+
+  /** Streaming INCREMENTAL cluster assignment — the stateful completion of
+    * [[nearDupFlags]]: where flags only test "does this doc collide with
+    * the static corpus index", this operator maintains the cluster
+    * structure itself as edges arrive, so A~B in batch 1 and B~C in
+    * batch 2 CONVERGE to one cluster id (the transitive merge a static
+    * index can never produce). Emits, per micro-batch, the (doc_id,
+    * cluster_id) assignment of every document in a component touched by
+    * that batch — re-emitting previously-seen docs whose label changed, so
+    * downstream keeps "latest assignment per doc" and is always consistent
+    * with batch q62 over the union of all arrived edges
+    * (StreamingSpec-pinned).
+    *
+    * State/scale design: the forest is union-find with path compression
+    * and union-by-min — one keyed-state object, like the sketch-state
+    * operators, but O(nodes-in-pairs) rather than fixed-width: near-dup
+    * EDGES are a vanishing fraction of a deduplicated corpus (SCALE.md
+    * measures the pair slope), so the forest holds the duplicate minority,
+    * never the corpus. The single group key serializes union work on one
+    * task — correct by construction (union-find is not a mergeable
+    * sketch; sharding it loses cross-shard merges, the exact bug this
+    * operator exists to avoid), and edge volume after banding/verify is
+    * bucket-bounded upstream. At a scale where one forest task saturates,
+    * the batch q62 pointer-jumping plan over the accumulated edge log is
+    * the re-cluster path (lambda shape: this operator serves fresh labels,
+    * the batch job periodically rebuilds them).
+    */
+  def incrementalClusters(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def step(key: Int, rows: Iterator[EdgeRow],
+        state: GroupState[ForestState]): Iterator[ClusterAssignment] = {
+      var parent = state.getOption.map(_.parent).getOrElse(Map.empty[Long, Long])
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression: point the walked chain at the root
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val next = parent.getOrElse(c, c); parent += c -> r; c = next
+        }
+        r
+      }
+      val endpoints = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach { e =>
+        endpoints += e.a; endpoints += e.b
+        parent += e.a -> parent.getOrElse(e.a, e.a)
+        parent += e.b -> parent.getOrElse(e.b, e.b)
+        val (ra, rb) = (find(e.a), find(e.b))
+        if (ra != rb) {
+          // union by MIN: the root is always the component's minimum id
+          if (ra < rb) parent += rb -> ra else parent += ra -> rb
+        }
+      }
+      // roots of components this batch touched, AFTER all unions
+      val touched = endpoints.map(find).toSet
+      // every member of a touched component gets (re-)emitted with its
+      // current min-label — one pass over the forest, the price of
+      // retroactive label updates
+      val out = parent.keysIterator
+        .map(n => n -> find(n))
+        .filter { case (_, r) => touched.contains(r) }
+        .map { case (n, r) => ClusterAssignment(n, r) }
+        .toVector
+      state.update(ForestState(parent))
+      out.iterator
+    }
+    edges.select(col("a"), col("b")).as[EdgeRow]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+      .toDF()
+  }
+
   /** Streaming twin of q61's boilerplate heavy-hitter sketch: the count-min
     * cell table (4 rows × 8192 buckets, [[graft.queries.TextOps.CmsA]]
     * family) maintained as a streaming aggregation. A count-min sketch is

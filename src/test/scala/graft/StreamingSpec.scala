@@ -416,4 +416,83 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "no alerts emitted — threshold too high for the data")
     assert(got == expected)
   }
+
+  test("streaming incremental clusters: cross-batch edges converge to one cluster") {
+    import graft.streaming.DocumentStreams
+    // batch 1 establishes components {2,3} and {5,6}; batch 2's edge (1,2)
+    // must MERGE into {1,2,3} and retro-relabel 2 and 3 — the transitive
+    // case a static corpus index (nearDupFlags) can never converge
+    val dir = java.nio.file.Files.createTempDirectory("cc_edges")
+    def writePart(name: String, mod: Long, rows: Seq[(Long, Long)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("cc_part")
+      rows.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("b1.parquet", 10000L, Seq(2L -> 3L, 5L -> 6L))
+    writePart("b2.parquet", 20000L, Seq(1L -> 2L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType)))
+    val emitted = EventStreams.runToMemory(
+      DocumentStreams.incrementalClusters(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString)), "cc_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-by-min makes labels non-increasing per doc, so the final
+    // assignment is the minimum emitted label
+    val finalLabels = emitted.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).min }
+    assert(finalLabels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the retro-relabel actually happened: 3 was emitted under BOTH its
+    // batch-1 label (2) and its post-merge label (1)
+    val labelsOf3 = emitted.filter(_._1 == 3L).map(_._2).toSet
+    assert(labelsOf3 == Set(2L, 1L), s"doc 3 emitted labels $labelsOf3")
+    // and the untouched component {5,6} was NOT re-emitted by batch 2
+    assert(emitted.count(_._1 == 5L) == 1)
+  }
+
+  test("streaming incremental clusters equal batch q62 on the full pair graph") {
+    import graft.streaming.DocumentStreams
+    // the real q21 pair graph, split into two arbitrary halves: whatever
+    // transitive structure spans the split must converge to the labels the
+    // batch pointer-jumping plan (q62) computes over the union
+    val pairs = queries.TextOps.q21NgramJaccard.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val (h1, h2) = pairs.zipWithIndex.partition(_._2 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("cc_real")
+    def writePart(name: String, mod: Long, rows: Seq[(Long, Long)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("cc_rpart")
+      rows.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("h1.parquet", 10000L, h1.map(_._1))
+    writePart("h2.parquet", 20000L, h2.map(_._1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType)))
+    val emitted = EventStreams.runToMemory(
+      DocumentStreams.incrementalClusters(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir.toString)), "cc_real_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val streamed = emitted.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).min }
+    val batch = queries.DedupOps.q62DedupClusters.fn(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed labels diverge from batch q62 on ${
+        (streamed.toSet -- batch.toSet).take(5)} / ${(batch.toSet -- streamed.toSet).take(5)}")
+  }
 }
