@@ -439,8 +439,102 @@ object TextOps {
     }
   }
 
+  /** Q65 — BM25 ranked retrieval (Robertson/Sparck-Jones; the Okapi
+    * formula with the +1 idf smoothing Lucene uses). The keyword-search
+    * complement to the embedding ANN family: a curation pipeline runs
+    * exactly this to pull contamination suspects, build hard-negative
+    * pairs, and audit what a training mix contains for a topic — at
+    * 100 TB it is the cheap first-stage retriever in front of q27/q34's
+    * vector rankers.
+    *
+    * Shape: one token-list scan computes per-doc tf for the fixed query
+    * terms plus doc length (map-only, native tokenize + HOF filter —
+    * no explode, no per-token shuffle); a single 1-row corpus-stats
+    * aggregate (N, Σdl, per-term df — partial-agged longs) broadcasts
+    * back; scoring is a pure per-row expression; TakeOrderedAndProject
+    * keeps the top 10. Two scans, one 1-row shuffle, no joins wider than
+    * the broadcast stats row — linear at any corpus size.
+    *
+    * Determinism: tf/df/dl/N are exact longs from the shared tokenize
+    * twins; every double descends from those longs through literally
+    * identical expression trees (same association order both engines);
+    * the one transcendental (idf's ln) may skew ≤1 ulp cross-engine, so
+    * the score ships NANO-QUANTIZED — floor(score·1e9 + 0.5) as BIGINT —
+    * and QuerySpec pins every doc's score ≥1e-6 from the nearest flip
+    * boundary (the q35 discipline). Ranking orders on the quantized
+    * score with a doc_id tiebreak: a total order over identical integers.
+    */
+  private[graft] val Bm25Terms = Seq("spark", "window", "hash", "vector")
+
+  /** Raw (unquantized) BM25 frame: doc_id, n_tokens, per-term tf, and the
+    * double `score_raw` — exposed so QuerySpec can measure every doc's
+    * distance from the nano-quantization flip boundary. */
+  private[graft] def bm25Raw(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val Terms = Bm25Terms
+    def tfc(t: String) = s"tf_$t"
+    def dfc(t: String) = s"df_$t"
+    val f = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(Seq(col("doc_id"), size(col("t")).cast("long").as("dl")) ++
+        Terms.map(t =>
+          size(filter(col("t"), x => x === lit(t))).cast("long").as(tfc(t))): _*)
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      Terms.map(t => sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t)))
+    val stats = f.agg(statCols.head, statCols.tail: _*)
+    def score(t: String): Column =
+      log((col("n") - col(dfc(t)) + lit(0.5)) / (col(dfc(t)) + lit(0.5)) + lit(1.0)) *
+        (col(tfc(t)).cast("double") * (lit(1.2) + lit(1.0))) /
+        (col(tfc(t)).cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+            (col("sumdl").cast("double") / col("n"))))
+    f.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl").as("n_tokens")) ++
+        Terms.map(t => col(tfc(t))) :+
+        Terms.map(score).reduce(_ + _).as("score_raw"): _*)
+  }
+
+  val q65Bm25: QueryDef = {
+    val Terms = Bm25Terms
+    def tfc(t: String) = s"tf_$t"
+    def dfc(t: String) = s"df_$t"
+    val tfSqls = Terms.map(t =>
+      s"len(list_filter(t, x -> x = '$t')) AS ${tfc(t)}").mkString(",\n       |    ")
+    val dfSqls = Terms.map(t =>
+      s"sum(CASE WHEN ${tfc(t)} > 0 THEN 1 ELSE 0 END) AS ${dfc(t)}").mkString(", ")
+    // per-term score, association order mirrored EXACTLY by the Spark
+    // column expression below (idf * (tf * (k1+1)) / (tf + k1 * (b-mix)))
+    def scoreSql(t: String) =
+      s"""ln((s.n - s.${dfc(t)} + 0.5) / (s.${dfc(t)} + 0.5) + 1.0) *
+         |      (CAST(f.${tfc(t)} AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(f.${tfc(t)} AS DOUBLE) + 1.2 *
+         |        (0.25 + 0.75 * CAST(f.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / s.n)))""".stripMargin
+    QueryDef.sql(
+      "q65_bm25",
+      s"""WITH f AS (
+         |  SELECT doc_id, len(t) AS dl,
+         |    $tfSqls
+         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)),
+         |s AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfSqls FROM f)
+         |SELECT doc_id, dl AS n_tokens,
+         |  ${Terms.map(t => s"f.${tfc(t)}").mkString(", ")},
+         |  CAST(floor((${Terms.map(scoreSql).mkString(" +\n       |    ")}) * 1000000000 + 0.5) AS BIGINT) AS score_n9
+         |FROM f, s
+         |ORDER BY score_n9 DESC, doc_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      bm25Raw(s, dir)
+        .select(Seq(col("doc_id"), col("n_tokens")) ++
+          Terms.map(t => col(tfc(t))) :+
+          floor(col("score_raw") * lit(1000000000L) + lit(0.5))
+            .cast("long").as("score_n9"): _*)
+        .orderBy(col("score_n9").desc, col("doc_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
-    q61HeavyHitters)
+    q61HeavyHitters, q65Bm25)
 }

@@ -213,4 +213,24 @@ class PlanSpec extends SparkSpec {
     val p58 = planOf(queries.VectorOps.q58AnnPq.fn(spark, sf))
     assert(p58.contains("nearest_centroid"), p58.take(600))
   }
+
+  test("q64: coarse probe gates the PQ scan; no cartesian product") {
+    val p = planOf(queries.VectorOps.q64AnnIvfPq.fn(spark, sf))
+    assert(p.contains("nearest_centroid"), p.take(600))
+    // the nprobe-2 cell gate lands as an IN filter ahead of the PQ coding
+    assert(p.contains(" IN ") || p.contains("cell#"), "probe-cell gate missing")
+    assert(p.contains("TakeOrderedAndProject"), "ADC/exact top-k must not full-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q65: bm25 is two scans + a 1-row broadcast, no token explode") {
+    val p = planOf(queries.TextOps.q65Bm25.fn(spark, sf))
+    assert(p.contains("tokenize"), "must tokenize with the native expression")
+    assert(!p.contains("Generate"), "bm25 must not explode tokens")
+    // corpus stats come back as a broadcast 1-row join, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not full-sort")
+  }
 }

@@ -139,4 +139,47 @@ class QuerySpec extends SparkSpec {
     assert(dots.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
     assert(rows.length == 20)
   }
+
+  test("q64 ivf+pq: results come only from probed cells, re-ranked by exact dot") {
+    val emb = Tables(spark, sf, "embeddings")
+    val (_, c1) = sources.IvfCentroids(spark, sf)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val probed = ml.KMeans.probeCellsLocal(qv, c1, nprobe = 2).toSet
+    val rows = queries.VectorOps.q64AnnIvfPq.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    // the coarse gate is real: every survivor sits in a probed cell
+    rows.foreach { r =>
+      assert(probed(r.getLong(r.fieldIndex("cell"))),
+        s"vec ${r.getLong(0)} in unprobed cell ${r.get(r.fieldIndex("cell"))}")
+    }
+    // final order is the exact re-rank, not the ADC order
+    val dots = rows.map(r => r.getDouble(r.fieldIndex("dot")))
+    assert(dots.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // the 4-bit PQ code packs 8 sub-codes: all within [0, 2^32)
+    rows.foreach { r =>
+      val code = r.getLong(r.fieldIndex("pq_code"))
+      assert(code >= 0L && code < (1L << 32), s"pq_code $code out of 8×4-bit range")
+    }
+  }
+
+  test("q65 bm25: every score sits far from the nano-quantization flip boundary") {
+    // same discipline as q35: the idf ln is the one transcendental; an ulp
+    // of cross-engine skew (~1e-14 absolute on the summed score, ~1e-5
+    // after the ×1e9) must not flip floor(score·1e9 + 0.5). Assert every
+    // doc's scaled score keeps 1e-4 from the nearest integer boundary.
+    val raw = queries.TextOps.bm25Raw(spark, sf)
+      .select(col("score_raw")).collect().map(_.getDouble(0))
+    assert(raw.nonEmpty)
+    raw.foreach { s =>
+      val x = s * 1e9 + 0.5
+      val dist = math.abs(x - math.rint(x))
+      assert(dist > 1e-4 || s == 0.0,
+        s"score $s: scaled value within $dist of a floor boundary")
+    }
+    // and the published ranking is total-ordered: quantized desc, doc_id asc
+    val rows = queries.TextOps.q65Bm25.fn(spark, sf).collect()
+    val keys = rows.map(r => (r.getLong(r.fieldIndex("score_n9")), r.getLong(0)))
+    assert(keys.sameElements(keys.sortBy { case (sc, id) => (-sc, id) }))
+  }
 }
