@@ -475,11 +475,15 @@ object TextOps {
     val Terms = Bm25Terms
     def tfc(t: String) = s"tf_$t"
     def dfc(t: String) = s"df_$t"
+    // tf as size(t) − size(array_remove(t, term)): ArrayRemove is a
+    // codegen'd expression where the filter() HOF is CodegenFallback —
+    // same exact long count, but the scan stays in whole-stage codegen
     val f = Tables(s, dir, "documents")
       .select(col("doc_id"), toks.as("t"))
       .select(Seq(col("doc_id"), size(col("t")).cast("long").as("dl")) ++
         Terms.map(t =>
-          size(filter(col("t"), x => x === lit(t))).cast("long").as(tfc(t))): _*)
+          (size(col("t")) - size(array_remove(col("t"), lit(t))))
+            .cast("long").as(tfc(t))): _*)
     val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
       Terms.map(t => sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t)))
     val stats = f.agg(statCols.head, statCols.tail: _*)

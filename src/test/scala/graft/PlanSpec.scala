@@ -227,6 +227,7 @@ class PlanSpec extends SparkSpec {
     val p = planOf(queries.TextOps.q65Bm25.fn(spark, sf))
     assert(p.contains("tokenize"), "must tokenize with the native expression")
     assert(!p.contains("Generate"), "bm25 must not explode tokens")
+    assert(!p.contains("lambdafunction"), "tf must count via codegen'd array_remove, not a HOF")
     // corpus stats come back as a broadcast 1-row join, never a shuffle join
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(800))
