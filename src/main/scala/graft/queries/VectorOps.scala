@@ -28,6 +28,18 @@ object VectorOps {
     */
   @volatile private[graft] var persistExactArm = false
 
+  /** q53 top-10 ranking form: true = bounded topk_by_score aggregate
+    * (map-side partials, ≤10 rows per query per partition reach the
+    * exchange), false = the row_number window twin (full candidate
+    * shuffle + sort). Same rows either way — (dot DESC, vec_id ASC)
+    * selection; the knob exists for tools/TopKAb's interleaved A/B.
+    * Measured (r10, 5 interleaved reps, sf0.1): pairwise deltas sum to
+    * -0.05 s — indistinguishable at this SF. Agg kept as default for
+    * the scale path: the exchange carries O(queries·k·partitions) rows
+    * instead of the corpus×8 candidate stream.
+    */
+  @volatile private[graft] var topKAggTop10 = true
+
   private def fdot(a: String, b: String) =
     org.apache.spark.sql.graft.VectorExpressions.float_dot(col(a), col(b))
   private def fdot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -688,13 +700,27 @@ object VectorOps {
     val corpus = emb.filter(col("vec_id") >= RecallQueries)
     val queries = emb.filter(col("vec_id") < RecallQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    def top10(cands: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy("qid")
-        .orderBy(fdot("embedding", "qv").desc, col("vec_id"))
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id")
-    }
+    // per-query top-10 via the bounded topk_by_score aggregate: map-side
+    // partials reduce each partition to ≤10 rows per query BEFORE the
+    // exchange, where the window form shuffles and sorts every candidate
+    // row (the exact arm's is corpus×8). Selection order (dot DESC,
+    // vec_id ASC) is identical to the window's — same rows out. The
+    // window twin stays behind the knob for the interleaved A/B
+    // (tools/TopKAb); flip only by the measurement tool.
+    def top10(cands: org.apache.spark.sql.DataFrame) =
+      if (topKAggTop10) {
+        cands.groupBy("qid")
+          .agg(org.apache.spark.sql.graft.TopK
+            .topk_by_score(fdot("embedding", "qv"), col("vec_id"), 10).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("h"))
+          .select(col("qid"), col("h.id").as("vec_id"))
+      } else {
+        val w = Window.partitionBy("qid")
+          .orderBy(fdot("embedding", "qv").desc, col("vec_id"))
+        cands.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id")
+      }
     // exact baseline: corpus × 8 broadcast queries, ranked per query;
     // referenced by all four arms' overlap joins. NOT persisted by
     // default: ReuseExchange already dedups the shuffle under the window,

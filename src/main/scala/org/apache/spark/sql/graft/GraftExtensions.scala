@@ -99,6 +99,13 @@ object GraftExtensions {
           // key must be a literal; evaluated once at resolution
           JsonLongField(s, k.eval().asInstanceOf[UTF8String].toString)
         case _ => throw new IllegalArgumentException("json_long_field(json, 'key')")
+      }),
+    ("topk_by_score", classOf[TopKByScore].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(score, id, k) => TopKByScore(score, id,
+          k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "topk_by_score(score, id, k)")
       }))
 }
 
