@@ -537,8 +537,156 @@ object TextOps {
     }
   }
 
+  /** q66's vocabulary size: the unigram LM keeps the top-V corpus tokens
+    * plus ONE out-of-vocabulary bucket. V bounds the per-row work (V
+    * codegen'd array passes per document) and the score expression's term
+    * count; the OOV bucket absorbs the tail so the LM is total over any
+    * token stream.
+    */
+  private[graft] val PplVocab = 16
+
+  /** Unigram-LM perplexity scores (CCNet-style quality signal) over any
+    * documents-shaped frame — the ONE implementation shared by q66 and
+    * the declarative `perplexity_filter` curation stage.
+    *
+    * The LM is trained on the scored corpus itself: top-V tokens by
+    * frequency (ties broken by word — deterministic), every other token
+    * folded into one OOV bucket. Per doc the score is the average
+    * negative log-likelihood −(Σᵥ tfᵥ·ln(cᵥ/total) + oov·ln(c_oov/total))
+    * / dl — low = fluent/common (head), high = rare/garbled (tail).
+    *
+    * Plan shape at 100 TB: the vocab is a DERIVED dimension (q54's
+    * pattern) — two-level word count into TakeOrdered(V), collapsed to a
+    * ONE-ROW frame of parallel (word, count) arrays; corpus totals are a
+    * one-row sum. Both broadcast back, so scoring is a single map-side
+    * pass: V codegen'd `array_remove` count-scans per row, a fixed-order
+    * double fold, no shuffle of the corpus at any point.
+    *
+    * Determinism: tf/dl/cᵥ/total are exact longs; the score descends from
+    * them through a fixed left-associated term sum mirrored exactly in
+    * the oracle (q65's discipline — ln is the one transcendental). The
+    * published score is MICRO-quantized (×1e6), not nano: a measured sweep
+    * found a doc 6.9e-15 (raw units) from a ×1e9 flip boundary — the same
+    * order as the ~1e-14 ulp-scale cross-engine skew — while ×1e6's worst
+    * margin is 6.3e-11, thousands of times the skew. QuerySpec pins every
+    * doc's raw-space distance from both flip boundaries (×1e6 and the
+    * bucketing key's ×1e3) above 1e-12.
+    */
+  private[graft] def perplexityScored(docs: org.apache.spark.sql.DataFrame,
+      vocabSize: Int = PplVocab): org.apache.spark.sql.DataFrame = {
+    val V = vocabSize
+    val f = docs
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .filter(col("dl") > 0)
+    val vocabTop = f.select(explode(col("t")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(V)
+    // ONE row of parallel arrays in (c DESC, word) order — sort_array on
+    // the (-c, word) struct makes the order independent of collect order
+    val vrow = vocabTop
+      .agg(sort_array(collect_list(
+        struct((-col("c")).as("nc"), col("word"), col("c")))).as("v"))
+      .select(expr("transform(v, x -> x.word)").as("vw"),
+        expr("transform(v, x -> x.c)").as("vc"))
+    val stats = f.agg(sum(col("dl")).as("total"))
+    val withTf = f.crossJoin(broadcast(vrow)).crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id"), col("dl"), col("vc"), col("total")) ++
+        (1 to V).map(i =>
+          (size(col("t")) - size(array_remove(col("t"), element_at(col("vw"), i))))
+            .cast("long").as(s"tf_$i")): _*)
+    val tfSum = (1 to V).map(i => col(s"tf_$i")).reduce(_ + _)
+    val vcSum = (1 to V).map(i => element_at(col("vc"), i)).reduce(_ + _)
+    val totalD = col("total").cast("double")
+    val terms = (1 to V).map(i =>
+      col(s"tf_$i").cast("double") *
+        log(element_at(col("vc"), i).cast("double") / totalD))
+    // greatest(.., 1): a vocab that covers the whole corpus would make the
+    // OOV mass 0 and 0·ln(0) NaN; clamping is exact-int and mirrored
+    val oovTerm = (col("dl") - tfSum).cast("double") *
+      log(greatest(col("total") - vcSum, lit(1L)).cast("double") / totalD)
+    val nllRaw = (-(terms.reduce(_ + _) + oovTerm)) / col("dl").cast("double")
+    withTf.select(col("doc_id"), col("dl").as("n_tokens"),
+      (col("dl") - tfSum).as("oov"), nllRaw.as("nll_raw"))
+  }
+
+  /** Q66 — unigram-LM perplexity scoring + head/middle/tail bucketing
+    * (the CCNet move: train a cheap LM on the corpus, score every
+    * document's average negative log-likelihood, split the corpus at the
+    * 25th/75th perplexity percentiles; "keep head+middle" is the classic
+    * quality filter, and the tail is where garbled extractions live).
+    *
+    * Bucketing stays scale-clean: NO global-sort ntile — the thresholds
+    * are exact p25/p75 over the MILLI-quantized score (bounded-cardinality
+    * [[org.apache.spark.sql.graft.PercentileLong]] state: scores span a
+    * few units, so ~10⁴ distinct cells at any corpus size), computed in a
+    * one-row aggregate and broadcast back. Dyadic percentages are exact
+    * cross-engine (q59's rule); the bucket compare runs on exact ints.
+    */
+  val q66Perplexity: QueryDef = {
+    val V = PplVocab
+    val tfSqls = (1 to V).map(i =>
+      s"len(list_filter(t, x -> x = vw[$i])) AS tf_$i").mkString(",\n       |    ")
+    val tfSumSql = (1 to V).map(i => s"tf_$i").mkString(" + ")
+    val vcSumSql = (1 to V).map(i => s"vcn[$i]").mkString(" + ")
+    val termSqls = (1 to V).map(i =>
+      s"CAST(tf_$i AS DOUBLE) * ln(CAST(vcn[$i] AS DOUBLE) / CAST(total AS DOUBLE))")
+    val oovTermSql = s"CAST(dl - ($tfSumSql) AS DOUBLE) * " +
+      s"ln(CAST(greatest(total - ($vcSumSql), 1) AS DOUBLE) / CAST(total AS DOUBLE))"
+    QueryDef.sql(
+      "q66_perplexity",
+      s"""WITH f AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+         |  WHERE len(t) > 0),
+         |vc0 AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(t) AS word FROM f)
+         |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
+         |v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
+         |             list(c ORDER BY c DESC, word) AS vcn FROM vc0),
+         |s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM f),
+         |tf AS (
+         |  SELECT doc_id, dl, vcn, total,
+         |    $tfSqls
+         |  FROM f, v, s),
+         |sc AS (
+         |  SELECT doc_id, dl, dl - ($tfSumSql) AS oov,
+         |    (-(${termSqls.mkString(" +\n       |      ")} +
+         |      $oovTermSql)) / CAST(dl AS DOUBLE) AS nll_raw
+         |  FROM tf),
+         |sc2 AS (
+         |  SELECT doc_id, dl AS n_tokens, oov,
+         |    CAST(floor(nll_raw * 1000000 + 0.5) AS BIGINT) AS nll_n6,
+         |    CAST(floor(nll_raw * 1000 + 0.5) AS BIGINT) AS nll_n3
+         |  FROM sc),
+         |thr AS (SELECT quantile_cont(nll_n3, 0.25) AS p25,
+         |               quantile_cont(nll_n3, 0.75) AS p75 FROM sc2)
+         |SELECT doc_id, n_tokens, oov, nll_n6,
+         |  CASE WHEN nll_n3 <= p25 THEN 'head'
+         |       WHEN nll_n3 <= p75 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc2, thr
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.PercentileLong.percentile_long
+      val scored = perplexityScored(Tables(s, dir, "documents"), V)
+        .select(col("doc_id"), col("n_tokens"), col("oov"),
+          floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
+          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+      val thr = scored.agg(
+        percentile_long(col("nll_n3"), 0.25).as("p25"),
+        percentile_long(col("nll_n3"), 0.75).as("p75"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"), col("oov"), col("nll_n6"),
+          when(col("nll_n3") <= col("p25"), "head")
+            .when(col("nll_n3") <= col("p75"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
-    q61HeavyHitters, q65Bm25)
+    q61HeavyHitters, q65Bm25, q66Perplexity)
 }

@@ -234,4 +234,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not full-sort")
   }
+
+  test("q66: vocab + totals broadcast back; scoring pass never shuffles the corpus") {
+    val p = planOf(queries.TextOps.q66Perplexity.fn(spark, sf))
+    assert(p.contains("tokenize"), "must tokenize with the native expression")
+    // tf per vocab word counts via codegen'd size/array_remove in the big scan
+    assert(p.contains("array_remove"), "tf must count via array_remove")
+    // the vocab is a TakeOrdered(V), never a full sort of the word counts
+    assert(p.contains("TakeOrderedAndProject"), "top-V vocab must not full-sort")
+    // one-row vocab + one-row totals come back as broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -182,4 +182,36 @@ class QuerySpec extends SparkSpec {
     val keys = rows.map(r => (r.getLong(r.fieldIndex("score_n9")), r.getLong(0)))
     assert(keys.sameElements(keys.sortBy { case (sc, id) => (-sc, id) }))
   }
+
+  test("q66 perplexity: scores sit far from BOTH quantization flip boundaries") {
+    // nll_raw's only transcendental is ln (V+1 terms); cross-engine skew is
+    // ulp-scale (~1e-14 raw). The published nll_n6 AND the bucketing key
+    // nll_n3 each floor(x·scale + 0.5) — assert every doc keeps RAW-space
+    // margin > 1e-12 (≈100× worst-case skew) from the nearest boundary at
+    // both scales. (×1e9 was rejected by this very criterion: a measured
+    // doc sat 6.9e-15 from its boundary — see q66's scaladoc.)
+    val raw = queries.TextOps.perplexityScored(Tables(spark, sf, "documents"))
+      .select(col("nll_raw")).collect().map(_.getDouble(0))
+    assert(raw.nonEmpty)
+    for (scale <- Seq(1e6, 1e3); s <- raw) {
+      val x = s * scale + 0.5
+      val dist = math.abs(x - math.rint(x)) / scale
+      assert(dist > 1e-12, s"nll $s: ×$scale within $dist (raw) of a floor boundary")
+    }
+    // bucketing is monotone in the published score: sorted by nll_n6 the
+    // bucket sequence is head… middle… tail… (n3 is monotone in n6, and the
+    // margin above rules out an n6-tie straddling an n3 flip)
+    val rows = queries.TextOps.q66Perplexity.fn(spark, sf).collect()
+    val byScore = rows.sortBy(r => (r.getLong(r.fieldIndex("nll_n6")), r.getLong(0)))
+    val seq = byScore.map(_.getString(byScore.head.fieldIndex("bucket")))
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(seq.forall(rank.contains))
+    assert(seq.sliding(2).forall {
+      case Array(a, b) => rank(a) <= rank(b); case _ => true },
+      "bucket must be monotone in the published score")
+    // p25/p75 split: head and tail each ≲ a quarter, all three populated
+    val counts = seq.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("head", "middle", "tail"), counts.toString)
+    assert(counts("head") <= rows.length / 2 && counts("tail") <= rows.length / 2)
+  }
 }
