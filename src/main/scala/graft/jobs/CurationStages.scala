@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * exact-dot verify → the same components/canonicalize (duplication in
   * meaning-space); decontaminate = q51's capped bipartite posting lists;
   * pii_scrub = q55's fused native RegexScrub; quality_filter = q56's
-  * published linear model; stratified_sample = q49's consistent-hash
+  * published linear model; perplexity_filter = q66's corpus-trained
+  * unigram-LM scorer, keeping docs at or below a declared perplexity
+  * percentile; stratified_sample = q49's consistent-hash
   * gates; temperature_mix = q57's share^α weights applied as per-language
   * consistent-hash keep rates; pack = q50's shard-keyed window packer.
   *
@@ -55,6 +57,7 @@ object CurationStages {
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
+    "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
     "stratified_sample" -> Set("rates", "default"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
     "pack" -> Set("tokenBudget"))
@@ -147,6 +150,29 @@ object CurationStages {
         .withColumn("t", graft.functions.TextFunctions.tokens("text"))
         .filter(size(col("t")) > 0 && score > minScore)
         .drop("t")
+
+    // q66's unigram-LM perplexity scorer, as a filter: drop the
+    // high-perplexity tail above the declared percentile (the CCNet
+    // "keep head+middle" move — the tail is where garbled extractions
+    // live). The LM is trained on the FLOWING frame itself, so the stage
+    // composes: run it after dedup and the model isn't biased by
+    // duplicated text. Plan shape = q66's (vocab + totals broadcast back,
+    // map-side scoring, one-row percentile threshold broadcast) plus a
+    // semi join on doc_id. Token-less docs have no likelihood and drop
+    // (same contract as quality_filter). Percentile exactness is
+    // engine-stable at dyadic values (q59's rule) — others still work,
+    // they just aren't oracle-grade reproducible cross-engine.
+    case "perplexity_filter" =>
+      import org.apache.spark.sql.graft.PercentileLong.percentile_long
+      val p = stage.dbl("maxPercentile", 0.75)
+      val vocab = stage.int("vocabSize", graft.queries.TextOps.PplVocab)
+      val scored = graft.queries.TextOps.perplexityScored(docs, vocab)
+        .select(col("doc_id"),
+          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+      val thr = scored.agg(percentile_long(col("nll_n3"), p).as("thr"))
+      val keep = scored.crossJoin(broadcast(thr))
+        .filter(col("nll_n3") <= col("thr")).select("doc_id")
+      docs.join(keep, Seq("doc_id"), "left_semi")
 
     // q49's consistent-hash gate with a declared per-language rate table
     case "stratified_sample" =>

@@ -165,6 +165,12 @@ object JobConfig {
             num("minShared")(n => n.isWhole && n >= 1, "must be a positive integer")
           case "quality_filter" =>
             num("minScore")(_ => true, "")
+          case "perplexity_filter" =>
+            num("maxPercentile")(p => p > 0d && p < 1d, "must be in (0,1)")
+            // each vocab word is one codegen'd array pass per doc AND one
+            // score term — an unbounded V would blow up the generated code
+            num("vocabSize")(n => n.isWhole && n >= 1 && n <= 128,
+              "must be an integer 1..128")
           case "stratified_sample" =>
             num("default")(n => n.isWhole && n >= 0 && n <= 100, "must be an integer 0..100")
             params.get("rates").foreach {

@@ -81,6 +81,7 @@ class JobRunnerSpec extends SparkSpec {
          |    {"op": "decontaminate", "holdoutSource": "src19", "minShared": 2},
          |    {"op": "pii_scrub"},
          |    {"op": "quality_filter", "minScore": 0.0},
+         |    {"op": "perplexity_filter", "maxPercentile": 0.75},
          |    {"op": "temperature_mix", "alpha": 0.5, "budgetDocs": 200},
          |    {"op": "pack", "tokenBudget": 256}
          |  ]
@@ -135,6 +136,14 @@ class JobRunnerSpec extends SparkSpec {
     val q49 = graft.queries.PipelineOps.q49StratifiedSample.fn(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ss == q49)
+    // perplexity_filter at p75 keeps exactly q66's head+middle buckets
+    val pf = CurationStages(docs,
+        StageSpec("perplexity_filter", Map("maxPercentile" -> 0.75)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q66keep = graft.queries.TextOps.q66Perplexity.fn(spark, sf)
+      .filter(col("bucket") =!= "tail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pf == q66keep)
   }
 
   test("embed_near_dedup clusters by embedding similarity and keeps minimum ids") {
@@ -171,6 +180,10 @@ class JobRunnerSpec extends SparkSpec {
       .contains("63"))
     assert(bad("""[{"op": "embed_near_dedup", "dim": 0}]""").contains("dim"))
     assert(bad("""[{"op": "decontaminate"}]""").contains("holdoutSource"))
+    assert(bad("""[{"op": "perplexity_filter", "maxPercentile": 1.5}]""")
+      .contains("(0,1)"))
+    assert(bad("""[{"op": "perplexity_filter", "vocabSize": 4096}]""")
+      .contains("128"))
     assert(bad("""[{"op": "temperature_mix"}]""").contains("budgetDocs"))
     assert(bad("""[{"op": "stratified_sample", "rates": {"en": 140}}]""")
       .contains("0..100"))
