@@ -27,16 +27,27 @@ object Tables {
     cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright —
-    // read it as a long and rebuild a microsecond timestamp (the generator
-    // emits exact-µs values, verified ns % 1000 == 0, so this is lossless).
+    // events.ts arrives in whatever physical type the generator last used:
+    // TIMESTAMP(NANOS) (which Spark 4 rejects unless read as long) or
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark reads as
+    // TIMESTAMP_NTZ, rejected by instant functions like unix_micros).
+    // Normalize both to session-tz TIMESTAMP; the session tz is pinned to
+    // UTC by every entrypoint, so the NTZ cast is instant-preserving and
+    // matches DuckDB's naive-timestamp reading of the same file.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
-        .getOrElse(df)
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        // ns-as-long: rebuild µs timestamps (generator emits exact µs;
+        // ns % 1000 == 0 verified, so lossless)
+        case Some(LongType) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

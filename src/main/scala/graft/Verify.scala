@@ -20,12 +20,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         // remove any STALE output from a previous dump — a leftover result
         // would make downstream compares silently pass on old code
         val dir = new java.io.File(s"$outDir/$name")
@@ -51,6 +53,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must never silently vanish from the round record
+    // (round-10 lesson: q41 errored and the correctness artifact just omitted
+    // it). Always write errors.json — empty {} on a clean run — and summarize
+    // on stdout so both the artifact and the log show the failure count.
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      println(s"[verify] FAILED ${failures.size} queries: ${failures.keys.mkString(", ")}")
+    else println(s"[verify] all queries dumped cleanly")
     spark.stop()
   }
 }

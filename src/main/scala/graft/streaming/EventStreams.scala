@@ -38,10 +38,23 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    // A streaming reader needs a declared schema, but the events generator
+    // has shipped two physical ts encodings over time: TIMESTAMP(NANOS)
+    // (surfaces as long via nanosAsLong) and TIMESTAMP(MICROS) ntz. Probe
+    // the actual footer with a one-off batch read — driver-side, metadata
+    // only — and declare + normalize accordingly, mirroring graft.Tables.
+    val physicalTs = spark.read.parquet(path).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physicalTs) else f))
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = reader.parquet(path)
+    physicalTs match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Stream-stream enrichment join — the streaming form of q24's as-of
