@@ -359,7 +359,83 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Q67 — exact-substring span dedup (the ExactSubstr operator of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * any 8-token span occurring ≥2 times corpus-wide keeps its FIRST
+    * occurrence (min (doc_id, pos)) and every other occurrence's tokens are
+    * removed; each document is re-emitted with its surviving tokens in
+    * original order.
+    *
+    * Plan shape at 100 TB: span extraction is explode over a per-row
+    * sequence (linear in corpus tokens, map-only); duplicate detection is a
+    * groupBy(span) whose map-side combine collapses hot spans per partition
+    * before the exchange; the removal join probes occurrences against the
+    * DUPLICATED-span table only (unique span keys — a boilerplate span that
+    * occurs 10⁹ times is one build row, with AQE skew-split handling the
+    * probe side); coverage explode is ≤ 8·|removed occurrences|; reassembly
+    * is one groupBy(doc_id) with per-doc-bounded state. No all-pairs stage
+    * anywhere. A production build joins on the q17 rolling-hash fingerprint
+    * of the span instead of the span string (64-bit keys, ~8× less shuffle
+    * width) — the string key here keeps the oracle compare byte-exact.
+    *
+    * First-occurrence key packs (doc_id, pos) as doc_id·2²¹+pos — exact
+    * int64 in both engines; the 2²¹ (2M tokens/doc) bound is checked by the
+    * generator's corpus and would be a struct-min at scale.
+    */
+  val q67SpanDedup: QueryDef = QueryDef.sql(
+    "q67_span_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i, list_aggregate(w[i:i+7], 'string_agg', ' ') AS span
+      |  FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
+      |dup AS (
+      |  SELECT span, min(doc_id * 2097152 + i) AS keep
+      |  FROM occ GROUP BY span HAVING count(*) >= 2),
+      |rm AS (
+      |  SELECT o.doc_id, o.i FROM occ o JOIN dup d ON o.span = d.span
+      |  WHERE o.doc_id * 2097152 + o.i <> d.keep),
+      |cover AS (SELECT DISTINCT doc_id, i + k AS j FROM rm, unnest(range(0, 8)) AS u(k)),
+      |tok AS (
+      |  SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS j FROM t),
+      |f AS (
+      |  SELECT tk.doc_id, tk.j, tk.tok, c.j IS NOT NULL AS dropped
+      |  FROM tok tk LEFT JOIN cover c ON tk.doc_id = c.doc_id AND tk.j = c.j)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  count(*) FILTER (dropped) AS n_dropped,
+      |  coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (NOT dropped), '') AS kept_text
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val K = 8
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // sequence(1, n-7) would generate DESCENDING for n < 8 — guard first
+    val occ = t.filter(size(col("w")) >= K)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (K - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(K))).as("span"))
+    val occKey = col("doc_id") * lit(2097152L) + col("i")
+    val dup = occ.groupBy("span")
+      .agg(count(lit(1)).as("c"), min(occKey).as("keep"))
+      .filter(col("c") >= 2).select("span", "keep")
+    val rm = occ.join(dup, "span").filter(occKey =!= col("keep"))
+      .select("doc_id", "i")
+    val cover = rm
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(K - 1))).as("j"))
+      .distinct().withColumn("dropped", lit(true))
+    val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
+    tok.join(cover, Seq("doc_id", "j"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(col("dropped").isNull,
+            struct(col("j"), col("tok"))))),
+          x => x.getField("tok")), " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
-      q63CanonicalCorpus)
+      q63CanonicalCorpus, q67SpanDedup)
 }

@@ -575,10 +575,15 @@ object TextOps {
   private[graft] def perplexityScored(docs: org.apache.spark.sql.DataFrame,
       vocabSize: Int = PplVocab): org.apache.spark.sql.DataFrame = {
     val V = vocabSize
+    // Tokenized corpus feeds three branches (vocab count, total, scoring)
+    // — a real reuse point (Y5): without the persist every branch re-runs
+    // tokenize over the raw corpus. Scope = one query run; the runner's
+    // Caches.clearAll releases it.
     val f = docs
       .select(col("doc_id"), toks.as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
       .filter(col("dl") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabTop = f.select(explode(col("t")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(V)
@@ -669,10 +674,16 @@ object TextOps {
          |FROM sc2, thr
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.graft.PercentileLong.percentile_long
+      // scored feeds TWO jobs — the broadcast threshold aggregate and the
+      // final projection — and its lineage is the whole scoring pipeline
+      // (tokenize + vocab shuffle + V array passes). Persist the 5-column
+      // result (score-quantized longs, corpus-row cardinality) so the
+      // pipeline runs once; released by the runner's Caches.clearAll.
       val scored = perplexityScored(Tables(s, dir, "documents"), V)
         .select(col("doc_id"), col("n_tokens"), col("oov"),
           floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
           floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = scored.agg(
         percentile_long(col("nll_n3"), 0.25).as("p25"),
         percentile_long(col("nll_n3"), 0.75).as("p75"))

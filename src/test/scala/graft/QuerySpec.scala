@@ -214,4 +214,29 @@ class QuerySpec extends SparkSpec {
     assert(counts.keySet == Set("head", "middle", "tail"), counts.toString)
     assert(counts("head") <= rows.length / 2 && counts("tail") <= rows.length / 2)
   }
+
+  test("q67 span dedup: keep-first semantics, coverage removal, short docs untouched") {
+    import spark.implicits._
+    // doc 1 holds the FIRST occurrence of the 8-token span (kept whole);
+    // doc 2 repeats it at pos 3 (those 8 tokens drop, rest survive);
+    // doc 3 is shorter than a span (untouched);
+    // doc 4 repeats a span WITHIN itself (second occurrence drops).
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "p q a b c d e f g h r"),
+      (3L, "u v w"),
+      (4L, "m n o p q r s t m n o p q r s t"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q67").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.DedupOps.q67SpanDedup.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, 0L, "a b c d e f g h x y z")))
+    assert(out(2L) == ((11L, 8L, "p q r")))
+    assert(out(3L) == ((3L, 0L, "u v w")))
+    assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
+  }
 }
