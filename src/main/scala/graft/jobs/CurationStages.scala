@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   * Each stage is a transform over the flowing documents frame and reuses
   * the REGISTERED operator machinery (one implementation, oracle-checked
   * where registered): exact_dedup = q20's canonical-per-content-hash;
+  * span_dedup = q67's ExactSubstr duplicated-span removal (text rewrite);
   * near_dedup = q21 pairs → q62/q63 pointer-jumped components →
   * canonicalize; embed_near_dedup = q46's banded sign-LSH candidates +
   * exact-dot verify → the same components/canonicalize (duplication in
@@ -51,6 +52,7 @@ object CurationStages {
     */
   val Ops: Map[String, Set[String]] = Map(
     "exact_dedup" -> Set.empty,
+    "span_dedup" -> Set("spanTokens"),
     "near_dedup" -> Set("threshold"),
     "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
       "bands", "bitsPerBand", "minDot"),
@@ -80,6 +82,21 @@ object CurationStages {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       docs.join(keep, Seq("doc_id"), "left_semi")
+
+    // q67's ExactSubstr: duplicated k-token spans keep their first
+    // occurrence, every other occurrence's tokens are REMOVED and the
+    // text is rewritten (not a row filter — the sub-document dedup the
+    // Lee et al. 2021 pipeline runs before doc-level near-dedup). Docs
+    // whose text is entirely duplicated spans drop; n_chars follows the
+    // rewritten text.
+    case "span_dedup" =>
+      val k = stage.int("spanTokens", 8)
+      val cleaned = graft.queries.DedupOps.spanDeduped(docs, k)
+        .select(col("doc_id"), col("kept_text"))
+      docs.drop("text").join(cleaned, Seq("doc_id"))
+        .filter(length(col("kept_text")) > 0)
+        .withColumn("text", col("kept_text")).drop("kept_text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
 
     // q21 pairs thresholded, q62's components, q63's canonicalize — the
     // corpus never shuffles on cluster keys (anti-join against the drop

@@ -382,6 +382,40 @@ object DedupOps {
     * int64 in both engines; the 2²¹ (2M tokens/doc) bound is checked by the
     * generator's corpus and would be a struct-min at scale.
     */
+  /** q67's core, shared with the declarative `span_dedup` curation stage
+    * (one implementation, no forks): duplicated k-token spans keep their
+    * first occurrence; returns (doc_id, n_tokens, n_dropped, kept_text).
+    */
+  private[graft] def spanDeduped(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // sequence(1, n-(k-1)) would generate DESCENDING for n < k — guard first
+    val occ = t.filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(k))).as("span"))
+    val occKey = col("doc_id") * lit(2097152L) + col("i")
+    val dup = occ.groupBy("span")
+      .agg(count(lit(1)).as("c"), min(occKey).as("keep"))
+      .filter(col("c") >= 2).select("span", "keep")
+    val rm = occ.join(dup, "span").filter(occKey =!= col("keep"))
+      .select("doc_id", "i")
+    val cover = rm
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("j"))
+      .distinct().withColumn("dropped", lit(true))
+    val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
+    tok.join(cover, Seq("doc_id", "j"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(col("dropped").isNull,
+            struct(col("j"), col("tok"))))),
+          x => x.getField("tok")), " ").as("kept_text"))
+  }
+
   val q67SpanDedup: QueryDef = QueryDef.sql(
     "q67_span_dedup",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -404,35 +438,7 @@ object DedupOps {
       |  count(*) FILTER (dropped) AS n_dropped,
       |  coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (NOT dropped), '') AS kept_text
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val K = 8
-    val t = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // sequence(1, n-7) would generate DESCENDING for n < 8 — guard first
-    val occ = t.filter(size(col("w")) >= K)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (K - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("w"), col("i"), lit(K))).as("span"))
-    val occKey = col("doc_id") * lit(2097152L) + col("i")
-    val dup = occ.groupBy("span")
-      .agg(count(lit(1)).as("c"), min(occKey).as("keep"))
-      .filter(col("c") >= 2).select("span", "keep")
-    val rm = occ.join(dup, "span").filter(occKey =!= col("keep"))
-      .select("doc_id", "i")
-    val cover = rm
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(K - 1))).as("j"))
-      .distinct().withColumn("dropped", lit(true))
-    val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
-      .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
-    tok.join(cover, Seq("doc_id", "j"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(
-          sort_array(collect_list(when(col("dropped").isNull,
-            struct(col("j"), col("tok"))))),
-          x => x.getField("tok")), " ").as("kept_text"))
-      .orderBy("doc_id")
+    spanDeduped(Tables(s, dir, "documents"), k = 8).orderBy("doc_id")
   }
 
   val all: Seq[QueryDef] =

@@ -114,4 +114,22 @@ class CurationSpec extends SparkSpec {
     assert(byLang.getOrElse("xx", 0L) > 0L,
       "the 0.4%-rate minority language was dropped entirely")
   }
+
+  test("span_dedup stage: rewrites duplicated spans, drops emptied docs, recomputes n_chars") {
+    import graft.jobs.{CurationStages, StageSpec}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),   // first occurrence: kept whole
+      (2L, "p q a b c d e f g h r"),   // repeat at pos 3: 8 tokens removed
+      (3L, "a b c d e f g h"))         // NOTHING left after removal: row drops
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CurationStages(docs, StageSpec("span_dedup", Map.empty))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_chars")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (("a b c d e f g h x y z", 21L)))
+    assert(out(2L) == (("p q r", 5L)))
+  }
 }
