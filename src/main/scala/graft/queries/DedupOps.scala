@@ -441,7 +441,61 @@ object DedupOps {
     spanDeduped(Tables(s, dir, "documents"), k = 8).orderBy("doc_id")
   }
 
+  /** Q68 — leakage-safe train/val/test split: the split is assigned per
+    * NEAR-DUP CLUSTER, not per document, so two near-duplicates can never
+    * straddle train and test (decontamination by construction — the split
+    * discipline of the FineWeb/Dolma pipelines). Cluster ids come from the
+    * same strong-edge (jaccard ≥ 0.5) components as q63; unpaired docs are
+    * their own singleton cluster. The 80/10/10 gate is the engine's
+    * deterministic rolling-hash fingerprint of the salted cluster id —
+    * identical on re-runs, identical cross-engine, and independent of the
+    * q49/q57 sampling gates (different salt).
+    *
+    * Scale shape: the pair graph and components are the q62/q63 machinery
+    * (capped posting lists, pointer-jumped CC); the split itself is one
+    * broadcast/hash LEFT join of docs against the clustered-doc relation
+    * (|docs-in-strong-pairs| rows, tiny vs corpus) plus a map-only hash
+    * gate — the corpus never shuffles on cluster keys.
+    */
+  val q68LeakageSafeSplit: QueryDef = QueryDef.sql(
+    "q68_leakage_safe_split",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |cl AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |  ${FingerprintSql("'s' || CAST(cluster_id AS VARCHAR)")} % 100 AS h
+       |  FROM cl)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = graft.sources.PairGraph(s, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val cc = graft.operators.Components.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val h = graft.functions.TextFunctions
+      .fingerprint("concat('s', CAST(cluster_id AS STRING))") % 100
+    docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
-      q63CanonicalCorpus, q67SpanDedup)
+      q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit)
 }

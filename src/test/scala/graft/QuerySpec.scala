@@ -239,4 +239,16 @@ class QuerySpec extends SparkSpec {
     assert(out(3L) == ((3L, 0L, "u v w")))
     assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
   }
+
+  test("q68 leakage-safe split: one split per cluster, all docs covered, all splits hit") {
+    val rows = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    // the invariant the operator exists for: a cluster never straddles splits
+    val byCluster = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getString(2)).distinct)
+    assert(byCluster.values.forall(_.length == 1),
+      "near-dup cluster assigned to more than one split — leakage")
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
 }
