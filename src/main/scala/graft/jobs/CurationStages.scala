@@ -37,7 +37,9 @@ import org.apache.spark.sql.functions._
   * unigram-LM scorer, keeping docs at or below a declared perplexity
   * percentile; stratified_sample = q49's consistent-hash
   * gates; temperature_mix = q57's share^α weights applied as per-language
-  * consistent-hash keep rates; pack = q50's shard-keyed window packer.
+  * consistent-hash keep rates; assign_split = q68's cluster-keyed
+  * leakage-safe train/val/test gate; pack = q50's shard-keyed window
+  * packer.
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
@@ -62,6 +64,7 @@ object CurationStages {
     "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
     "stratified_sample" -> Set("rates", "default"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
+    "assign_split" -> Set("trainPct", "valPct", "threshold"),
     "pack" -> Set("tokenBudget"))
 
   /** The n-gram pair relation's jaccard floor
@@ -223,6 +226,31 @@ object CurationStages {
       docs.filter(hashGate(MixGrain) <
         keepRate.foldLeft(lit(0L): Column) { case (acc, (l, rate)) =>
           when(col("lang") === l, lit(rate)).otherwise(acc) })
+
+    // q68's leakage-safe split over the FLOWING frame: near-dup clusters
+    // are computed on what survived the upstream stages (pairs from the
+    // same q21 machinery near_dedup uses), and the 80/10/10 gate hashes
+    // the salted CLUSTER id, so near-duplicates that both survived can
+    // never straddle train and test. Schema-additive (adds `split`);
+    // row-preserving.
+    case "assign_split" =>
+      val trainPct = stage.int("trainPct", 80)
+      val valPct = stage.int("valPct", 10)
+      require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+        s"assign_split: trainPct=$trainPct valPct=$valPct must fit in 100")
+      val pairs = graft.queries.TextOps.ngramJaccardPairs(docs)
+        .filter(col("jaccard") >= stage.dbl("threshold", 0.5))
+        .select("a", "b")
+      val cc = graft.operators.Components.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val h = graft.functions.TextFunctions
+        .fingerprint("concat('s', CAST(__cluster AS STRING))") % 100
+      docs.join(cc, Seq("doc_id"), "left")
+        .withColumn("__cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          when(h < trainPct, "train")
+            .when(h < trainPct + valPct, "val").otherwise("test"))
+        .drop("component", "__cluster")
 
     // q50's shard-keyed greedy packer
     case "pack" =>

@@ -132,4 +132,25 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == (("a b c d e f g h x y z", 21L)))
     assert(out(2L) == (("p q r", 5L)))
   }
+
+  test("assign_split stage: near-dup docs share a split, rows preserved, schema additive") {
+    import graft.jobs.{CurationStages, StageSpec}
+    import spark.implicits._
+    // docs 1 and 2 are near-identical (jaccard >> 0.5) — they MUST land in
+    // the same split whatever the hash says; 3 is distinct and unconstrained
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$base one"), (2L, s"$base two"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CurationStages(docs, StageSpec("assign_split", Map.empty))
+    assert(out.count() == 3)
+    val splits = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splits.values.forall(Set("train", "val", "test")))
+    assert(splits(1L) == splits(2L),
+      s"near-dup docs split apart: ${splits(1L)} vs ${splits(2L)} — leakage")
+    assert(!out.columns.contains("__cluster") && !out.columns.contains("component"))
+  }
 }

@@ -76,6 +76,7 @@ class JobRunnerSpec extends SparkSpec {
          |  "output": "$work/out", "outputFormat": "parquet",
          |  "stages": [
          |    {"op": "exact_dedup"},
+         |    {"op": "span_dedup", "spanTokens": 8},
          |    {"op": "near_dedup", "threshold": 0.5},
          |    {"op": "embed_near_dedup", "minDot": 0.45},
          |    {"op": "decontaminate", "holdoutSource": "src19", "minShared": 2},
@@ -83,6 +84,7 @@ class JobRunnerSpec extends SparkSpec {
          |    {"op": "quality_filter", "minScore": 0.0},
          |    {"op": "perplexity_filter", "maxPercentile": 0.75},
          |    {"op": "temperature_mix", "alpha": 0.5, "budgetDocs": 200},
+         |    {"op": "assign_split", "trainPct": 80, "valPct": 10},
          |    {"op": "pack", "tokenBudget": 256}
          |  ]
          |}""".stripMargin)
@@ -92,9 +94,12 @@ class JobRunnerSpec extends SparkSpec {
     // the funnel dropped rows at dedup/decontaminate/quality/mix stages
     val n = corpus.count()
     assert(n > 0 && n < input.count(), s"corpus kept $n rows")
-    // pack appended its packing columns on top of the document schema
-    assert(Seq("doc_id", "lang", "source", "n_tok", "cum_tok", "bin")
+    // pack appended its packing columns on top of the document schema;
+    // assign_split added the split column upstream of it
+    assert(Seq("doc_id", "lang", "source", "n_tok", "cum_tok", "bin", "split")
       .forall(corpus.columns.contains))
+    assert(corpus.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
     // pii_scrub rewrote text: every digit run became a placeholder token
     assert(corpus.filter(col("text").rlike("[0-9]")).count() == 0)
     // decontaminate removed the held-out source entirely
