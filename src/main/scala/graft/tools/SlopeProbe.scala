@@ -18,7 +18,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
 object SlopeProbe {
 
   private val Targets = Seq("q21_ngram_jaccard", "q28_embedding_neardup",
-    "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh")
+    "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh",
+    "q67_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
