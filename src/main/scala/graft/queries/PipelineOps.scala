@@ -304,7 +304,54 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Q69 — sliding-window chunking (64-token windows, stride 48): the
+    * make-training-sequences / RAG-indexing step that turns documents into
+    * fixed-size overlapping windows. The start set is `1, 1+48, …` while a
+    * full window fits, plus one tail window pinned at `n−63` when the last
+    * stride leaves uncovered tokens — so EVERY token lands in ≥1 chunk and
+    * no emitted window is contained in another (QuerySpec pins coverage).
+    * Documents shorter than a window emit themselves as one chunk.
+    *
+    * Plan shape: pure map + explode — per-row integer window arithmetic,
+    * no shuffle except the output sort. Linear in corpus tokens at any
+    * scale; chunk ids are the start positions (deterministic, no ordinal
+    * machinery).
+    */
+  val q69ChunkWindows: QueryDef = {
+    val C = 64; val S = 48
+    QueryDef.sql(
+      "q69_chunk_windows",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  len(string_split(text, ' ')) AS n FROM documents),
+         |s AS (
+         |  SELECT doc_id, w, n,
+         |    CASE WHEN n < $C THEN [1]
+         |         WHEN ((n - $C) % $S) = 0 THEN range(1, n - ${C - 2}, $S)
+         |         ELSE list_append(range(1, n - ${C - 2}, $S), n - ${C - 1}) END AS ss
+         |  FROM t),
+         |c AS (SELECT doc_id, w, unnest(ss) AS i FROM s)
+         |SELECT doc_id, i AS chunk_start,
+         |  CAST(len(w[i:i+${C - 1}]) AS BIGINT) AS n_tokens,
+         |  list_aggregate(w[i:i+${C - 1}], 'string_agg', ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+      // full-window starts 1, 1+S, … (Spark sequence INCLUDES the stop where
+      // DuckDB range excludes it: sequence stop n−(C−1) ≡ range stop n−(C−2))
+      val fullStarts = sequence(lit(1L), col("n") - lit(C - 1L), lit(S.toLong))
+      val starts = when(col("n") < C, array(lit(1L)))
+        .otherwise(when((col("n") - C) % S === 0, fullStarts)
+          .otherwise(concat(fullStarts, array(col("n") - lit(C - 1L)))))
+      t.select(col("doc_id"), col("w"), explode(starts).as("i"))
+        .select(col("doc_id"), col("i").as("chunk_start"),
+          size(slice(col("w"), col("i").cast("int"), lit(C))).cast("long").as("n_tokens"),
+          concat_ws(" ", slice(col("w"), col("i").cast("int"), lit(C))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_start")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
-    q54VocabCoverage, q59LengthPercentiles)
+    q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows)
 }

