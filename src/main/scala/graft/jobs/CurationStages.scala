@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   * percentile; stratified_sample = q49's consistent-hash
   * gates; temperature_mix = q57's share^α weights applied as per-language
   * consistent-hash keep rates; assign_split = q68's cluster-keyed
-  * leakage-safe train/val/test gate; pack = q50's shard-keyed window
-  * packer.
+  * leakage-safe train/val/test gate; chunk = q69's tail-covering sliding
+  * windows (terminal: documents → training sequences); pack = q50's
+  * shard-keyed window packer.
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
@@ -65,6 +66,7 @@ object CurationStages {
     "stratified_sample" -> Set("rates", "default"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
     "assign_split" -> Set("trainPct", "valPct", "threshold"),
+    "chunk" -> Set("chunkTokens", "stride"),
     "pack" -> Set("tokenBudget"))
 
   /** The n-gram pair relation's jaccard floor
@@ -251,6 +253,18 @@ object CurationStages {
           when(h < trainPct, "train")
             .when(h < trainPct + valPct, "val").otherwise("test"))
         .drop("component", "__cluster")
+
+    // q69's tail-covering sliding windows — a TERMINAL stage like pack:
+    // the flow changes granularity from documents to training sequences
+    // (chunk rows carry provenance via doc_id + chunk_start and inherit
+    // the doc's non-text columns, e.g. a split assigned upstream)
+    case "chunk" =>
+      val chunkTokens = stage.int("chunkTokens", 64)
+      val stride = stage.int("stride", chunkTokens * 3 / 4)
+      val chunks = graft.queries.PipelineOps.chunked(docs, chunkTokens, stride)
+        .withColumnRenamed("chunk_text", "text")
+        .withColumnRenamed("n_tokens", "n_tok")
+      chunks.join(docs.drop("text", "n_chars"), Seq("doc_id"))
 
     // q50's shard-keyed greedy packer
     case "pack" =>

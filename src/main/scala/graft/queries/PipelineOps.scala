@@ -317,6 +317,28 @@ object PipelineOps {
     * scale; chunk ids are the start positions (deterministic, no ordinal
     * machinery).
     */
+  /** q69's core, shared with the declarative `chunk` curation stage: every
+    * document becomes tail-covering sliding windows of `chunkTokens` tokens
+    * at `stride`; returns (doc_id, chunk_start, n_tokens, chunk_text).
+    */
+  private[graft] def chunked(docs: org.apache.spark.sql.DataFrame,
+      chunkTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val C = chunkTokens; val S = stride
+    require(C > 0 && S > 0 && S <= C, s"chunk: need 0 < stride $S <= size $C")
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    // full-window starts 1, 1+S, … (Spark sequence INCLUDES the stop where
+    // DuckDB range excludes it: sequence stop n−(C−1) ≡ range stop n−(C−2))
+    val fullStarts = sequence(lit(1L), col("n") - lit(C - 1L), lit(S.toLong))
+    val starts = when(col("n") < C, array(lit(1L)))
+      .otherwise(when((col("n") - C) % S === 0, fullStarts)
+        .otherwise(concat(fullStarts, array(col("n") - lit(C - 1L)))))
+    t.select(col("doc_id"), col("w"), explode(starts).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_start"),
+        size(slice(col("w"), col("i").cast("int"), lit(C))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("i").cast("int"), lit(C))).as("chunk_text"))
+  }
+
   val q69ChunkWindows: QueryDef = {
     val C = 64; val S = 48
     QueryDef.sql(
@@ -334,20 +356,7 @@ object PipelineOps {
          |  CAST(len(w[i:i+${C - 1}]) AS BIGINT) AS n_tokens,
          |  list_aggregate(w[i:i+${C - 1}], 'string_agg', ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .withColumn("n", size(col("w")).cast("long"))
-      // full-window starts 1, 1+S, … (Spark sequence INCLUDES the stop where
-      // DuckDB range excludes it: sequence stop n−(C−1) ≡ range stop n−(C−2))
-      val fullStarts = sequence(lit(1L), col("n") - lit(C - 1L), lit(S.toLong))
-      val starts = when(col("n") < C, array(lit(1L)))
-        .otherwise(when((col("n") - C) % S === 0, fullStarts)
-          .otherwise(concat(fullStarts, array(col("n") - lit(C - 1L)))))
-      t.select(col("doc_id"), col("w"), explode(starts).as("i"))
-        .select(col("doc_id"), col("i").as("chunk_start"),
-          size(slice(col("w"), col("i").cast("int"), lit(C))).cast("long").as("n_tokens"),
-          concat_ws(" ", slice(col("w"), col("i").cast("int"), lit(C))).as("chunk_text"))
-        .orderBy("doc_id", "chunk_start")
+      chunked(Tables(s, dir, "documents"), C, S).orderBy("doc_id", "chunk_start")
     }
   }
 

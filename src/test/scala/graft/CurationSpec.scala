@@ -153,4 +153,24 @@ class CurationSpec extends SparkSpec {
       s"near-dup docs split apart: ${splits(1L)} vs ${splits(2L)} — leakage")
     assert(!out.columns.contains("__cluster") && !out.columns.contains("component"))
   }
+
+  test("chunk stage: docs become tail-covering windows carrying provenance columns") {
+    import graft.jobs.{CurationStages, StageSpec}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens → 3 windows @ (4,3)
+      (2L, "a b"))                                      // shorter than a window → itself
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = CurationStages(docs,
+      StageSpec("chunk", Map("chunkTokens" -> 4.0, "stride" -> 3.0)))
+    val rows = out.select("doc_id", "chunk_start", "n_tok", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 1,4,7 (stride 3, (10-4)%3==0 → no extra tail window)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 4L, 7L))
+    assert(rows.contains((1L, 7L, 4L, "w7 w8 w9 w10")))
+    assert(rows.contains((2L, 1L, 2L, "a b")))
+    assert(out.columns.contains("lang") && out.columns.contains("source"))
+  }
 }
