@@ -111,6 +111,32 @@ class JobRunnerSpec extends SparkSpec {
     assert(corpus.exceptAll(again).isEmpty && again.exceptAll(corpus).isEmpty)
   }
 
+  test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
+    val work = java.nio.file.Files.createTempDirectory("jobchunk").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [
+         |    {"op": "span_dedup"},
+         |    {"op": "assign_split", "trainPct": 80, "valPct": 10},
+         |    {"op": "chunk", "chunkTokens": 32, "stride": 24}
+         |  ]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val seqs = spark.read.parquet(s"$work/out/corpus")
+    assert(seqs.count() > Tables(spark, sf, "documents").count(),
+      "chunking should multiply rows on this corpus")
+    assert(Seq("doc_id", "chunk_start", "n_tok", "text", "split", "lang", "source")
+      .forall(seqs.columns.contains), seqs.columns.mkString(","))
+    // every chunk fits the declared window and the split rode through
+    assert(seqs.filter(col("n_tok") > 32).count() == 0)
+    assert(seqs.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // provenance: all chunks of one doc share the doc's split
+    assert(seqs.groupBy("doc_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() == 0)
+  }
+
   test("pipeline stages match their registered-operator semantics") {
     import graft.jobs.{CurationStages, StageSpec}
     val docs = Tables(spark, sf, "documents")
