@@ -107,10 +107,15 @@ object JobRunner {
       // declare the stage's 'embeddings' param itself.
       val embDefault =
         if (src.table.nonEmpty) Some(s"${src.path}/embeddings.parquet") else None
-      CurationStages.run(spark.read.format(src.format).load(src.dataPath),
+      try CurationStages.run(spark.read.format(src.format).load(src.dataPath),
           cfg.stages, embeddingsDefault = embDefault)
         .write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/corpus")
+      // stage-internal persists (e.g. perplexity_filter's scoring frames)
+      // are scoped to THIS job — release them so a long-lived session
+      // running many jobs doesn't accumulate cached RDDs (Y5 discipline,
+      // same contract as the Verify/Bench runners)
+      finally graft.Caches.clearAll(spark)
     }
 
     if (inv.train) {

@@ -135,6 +135,9 @@ class JobRunnerSpec extends SparkSpec {
     // provenance: all chunks of one doc share the doc's split
     assert(seqs.groupBy("doc_id").agg(countDistinct("split").as("ns"))
       .filter(col("ns") > 1).count() == 0)
+    // a curate job releases its stage-internal persists on exit (Y5)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "curate job leaked persisted RDDs into the session")
   }
 
   test("pipeline stages match their registered-operator semantics") {
