@@ -142,11 +142,22 @@ object PipelineOps {
     * pipeline's decontaminate stage.
     */
   private[graft] def contaminationOverlap(docs: org.apache.spark.sql.DataFrame,
-      holdout: String): org.apache.spark.sql.DataFrame = {
+      holdout: String): org.apache.spark.sql.DataFrame =
+    bipartiteOverlap(docs,
+      col("source") === holdout, col("source") =!= holdout)
+
+  /** The capped bipartite 4-gram overlap relation over ANY two-sided doc
+    * partition (test side, train side — rows matching neither predicate do
+    * not enter the posting lists or the df cap). Shared by q51 (holdout
+    * source vs rest) and q70 (test split vs train split).
+    */
+  private[graft] def bipartiteOverlap(docs: org.apache.spark.sql.DataFrame,
+      isTest: org.apache.spark.sql.Column,
+      isTrain: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     // array_distinct before the explode = the (doc, fp) DISTINCT done
     // map-side inside each row — no dedup exchange
-    val grams = docs
-      .select(col("doc_id"), col("source"), explode(array_distinct(
+    val grams = docs.filter(isTest || isTrain)
+      .select(col("doc_id"), isTest.as("__t"), explode(array_distinct(
         org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4))).as("fp"))
     // bounded buffers (see q21): each list caps at DfCap+1, and any group
     // whose true total exceeds the cap still surfaces > DfCap elements
@@ -155,9 +166,9 @@ object PipelineOps {
     val postings = grams
       .groupBy("fp")
       .agg(
-        sort_array(clc(when(col("source") === holdout, col("doc_id")), DfCap + 1))
+        sort_array(clc(when(col("__t"), col("doc_id")), DfCap + 1))
           .as("tests"),
-        sort_array(clc(when(col("source") =!= holdout, col("doc_id")), DfCap + 1))
+        sort_array(clc(when(!col("__t"), col("doc_id")), DfCap + 1))
           .as("trains"))
       .filter(size(col("tests")) + size(col("trains")) <= DfCap)
       .filter(size(col("tests")) > 0)
@@ -360,7 +371,79 @@ object PipelineOps {
     }
   }
 
+  /** Q70 — split-contamination audit: AFTER q68 assigns leakage-safe
+    * splits, measure the residual 4-gram overlap between the test and
+    * train splits (val is out of scope on both sides). The cluster-keyed
+    * split guarantees no strong near-dup (jaccard ≥ 0.5) straddles the
+    * boundary; this audit is the CHECK that quantifies what weaker overlap
+    * remains — the report a pipeline publishes next to its split. Same
+    * capped posting-list discipline as q51 (df computed over the two
+    * audited splits), same shared ≥ 2 bar.
+    *
+    * Scale shape: q68's split machinery (capped pair graph + pointer-jumped
+    * CC + map-only hash gate) feeding q51's bipartite overlap (bounded
+    * lists, no self-join). Nothing all-pairs; the audit costs one extra
+    * pass over the corpus beyond the split itself.
+    */
+  val q70SplitContamination: QueryDef = QueryDef.sql(
+    "q70_split_contamination",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT d.doc_id,
+       |          ${FingerprintSql("'s' || CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS h
+       |        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)),
+       |g0 AS (
+       |  SELECT DISTINCT d.doc_id, sp.split, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, ${WordNgramsOverT(4)} AS gs
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) d
+       |  JOIN sp ON d.doc_id = sp.doc_id, unnest(d.gs) AS u(s)
+       |  WHERE sp.split <> 'val'),
+       |g AS (
+       |  SELECT doc_id, split, fp FROM (
+       |    SELECT g0.*, count(*) OVER (PARTITION BY fp) AS df FROM g0)
+       |  WHERE df <= $DfCap),
+       |tst AS (SELECT doc_id, fp FROM g WHERE split = 'test'),
+       |trn AS (SELECT doc_id, fp FROM g WHERE split = 'train'),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM tst GROUP BY doc_id)
+       |SELECT test_id, train_id, shared, s.n AS n_test, shared / s.n AS overlap
+       |FROM (SELECT tst.doc_id AS test_id, trn.doc_id AS train_id,
+       |        count(*) AS shared
+       |      FROM tst JOIN trn USING (fp)
+       |      GROUP BY 1, 2) p
+       |JOIN sizes s ON s.doc_id = test_id
+       |WHERE shared >= 2
+       |ORDER BY test_id, train_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = graft.sources.PairGraph(s, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val cc = graft.operators.Components.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val h = graft.functions.TextFunctions
+      .fingerprint("concat('s', CAST(__cl AS STRING))") % 100
+    val withSplit = docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("__cl", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .drop("component", "__cl")
+    bipartiteOverlap(withSplit,
+        col("split") === "test", col("split") === "train")
+      .filter(col("shared") >= 2)
+      .orderBy("test_id", "train_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
-    q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows)
+    q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination)
 }

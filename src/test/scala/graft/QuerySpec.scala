@@ -258,6 +258,19 @@ class QuerySpec extends SparkSpec {
     }
   }
 
+  test("q70 split contamination: no reported pair is a strong near-dup (q68 guarantee)") {
+    val audited = queries.PipelineOps.q70SplitContamination.fn(spark, sf)
+      .select("test_id", "train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cluster-keyed split puts every jaccard>=0.5 pair in ONE split, so
+    // the audit can only ever surface weaker overlaps
+    val strong = sources.PairGraph(spark, sf)
+      .filter(col("jaccard") >= 0.5).select("a", "b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(audited.intersect(strong).isEmpty,
+      "a strong near-dup pair straddled the split — q68's invariant broken")
+  }
+
   test("q68 leakage-safe split: one split per cluster, all docs covered, all splits hit") {
     val rows = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
