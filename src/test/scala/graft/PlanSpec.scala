@@ -248,4 +248,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q67: span dedup — keyed joins only, map-side combine on the span aggregate") {
+    val p = planOf(queries.DedupOps.q67SpanDedup.fn(spark, sf))
+    // duplicate discovery must partially aggregate before the exchange
+    // (a boilerplate span repeated billions of times collapses per partition)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    // removal/coverage/token joins are all keyed — never a cross product
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q69: chunking is pure map + explode — no join, no mid-plan shuffle") {
+    val p = planOf(queries.PipelineOps.q69ChunkWindows.fn(spark, sf))
+    assert(!p.contains("Join"), "chunking must not join anything")
+    // only the output sort may exchange; nothing aggregates
+    assert(!p.contains("HashAggregate"), "chunking must not aggregate")
+    assert(p.contains("Generate"), "window starts must explode per row")
+  }
+
+  test("q70: split audit — capped posting lists, no cartesian, no shingle self-join") {
+    val p = planOf(queries.PipelineOps.q70SplitContamination.fn(spark, sf))
+    assert(p.contains("collect_long_list_capped"), "posting lists must be capped")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
