@@ -57,11 +57,27 @@ object Verify {
     // (round-10 lesson: q41 errored and the correctness artifact just omitted
     // it). Always write errors.json — empty {} on a clean run — and summarize
     // on stdout so both the artifact and the log show the failure count.
-    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    // A partial dump (non-empty `only`) must not clobber failures recorded
+    // by a prior full run for queries it didn't re-run: merge — prior
+    // entries for queries OUTSIDE `only` survive, re-run queries get their
+    // fresh status (cleared if they now pass, replaced if they still fail).
+    val prior: Map[String, String] =
+      if (only.nonEmpty && Files.exists(Paths.get(s"$outDir/errors.json"))) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(Files.readString(Paths.get(s"$outDir/errors.json")))
+          import scala.jdk.CollectionConverters._
+          node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        } catch { case _: Throwable => Map.empty[String, String] }
+      } else Map.empty
+    val merged = (prior -- only) ++ failures
+    val errJson = merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (failures.nonEmpty)
       println(s"[verify] FAILED ${failures.size} queries: ${failures.keys.mkString(", ")}")
+    else if (merged.nonEmpty)
+      println(s"[verify] this run clean; ${merged.size} prior failures carried: ${merged.keys.mkString(", ")}")
     else println(s"[verify] all queries dumped cleanly")
     spark.stop()
   }

@@ -97,10 +97,13 @@ object CurationStages {
     case "span_dedup" =>
       val k = stage.int("spanTokens", 8)
       val cleaned = graft.queries.DedupOps.spanDeduped(docs, k)
-        .select(col("doc_id"), col("kept_text"))
+        .select(col("doc_id"), col("kept_text"), col("n_dropped"))
+      // drop only docs the dedup actually emptied (tokens removed down to
+      // nothing) — a doc whose text was empty to begin with (n_dropped=0)
+      // is not ExactSubstr's to cull and passes through unchanged
       docs.drop("text").join(cleaned, Seq("doc_id"))
-        .filter(length(col("kept_text")) > 0)
-        .withColumn("text", col("kept_text")).drop("kept_text")
+        .filter(length(col("kept_text")) > 0 || col("n_dropped") === 0L)
+        .withColumn("text", col("kept_text")).drop("kept_text", "n_dropped")
         .withColumn("n_chars", length(col("text")).cast("long"))
 
     // q21 pairs thresholded, q62's components, q63's canonicalize — the

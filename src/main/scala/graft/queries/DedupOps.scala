@@ -374,13 +374,18 @@ object DedupOps {
     * occurs 10⁹ times is one build row, with AQE skew-split handling the
     * probe side); coverage explode is ≤ 8·|removed occurrences|; reassembly
     * is one groupBy(doc_id) with per-doc-bounded state. No all-pairs stage
-    * anywhere. A production build joins on the q17 rolling-hash fingerprint
-    * of the span instead of the span string (64-bit keys, ~8× less shuffle
-    * width) — the string key here keeps the oracle compare byte-exact.
+    * anywhere. Duplicate discovery and the removal join are keyed on the
+    * q17 ROLLING-HASH FINGERPRINT of the span, not the span string — the
+    * exchange carries 64-bit keys (~8× less shuffle width than an 8-token
+    * string); the span text itself never leaves the map side. Both engines
+    * share the identical fold (`FingerprintSql`), so the oracle compare
+    * stays bit-exact including on the (rare, mod-1e9+7) hash collisions —
+    * a production build would widen to a 128-bit hash to make collisions
+    * negligible, which changes no plan shape here.
     *
-    * First-occurrence key packs (doc_id, pos) as doc_id·2²¹+pos — exact
-    * int64 in both engines; the 2²¹ (2M tokens/doc) bound is checked by the
-    * generator's corpus and would be a struct-min at scale.
+    * First-occurrence keep key is a struct-min of (doc_id, pos) — exact at
+    * any document length; the oracle packs doc_id·2²¹+pos, identical
+    * ordering for docs under 2M tokens (the generator's bound).
     */
   /** q67's core, shared with the declarative `span_dedup` curation stage
     * (one implementation, no forks): duplicated k-token spans keep their
@@ -400,12 +405,15 @@ object DedupOps {
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - (k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("w"), col("i"), lit(k))).as("span"))
-    val occKey = col("doc_id") * lit(2097152L) + col("i")
-    val dup = occ.groupBy("span")
-      .agg(count(lit(1)).as("c"), min(occKey).as("keep"))
-      .filter(col("c") >= 2).select("span", "keep")
-    val rm = occ.join(dup, "span").filter(occKey =!= col("keep"))
+        org.apache.spark.sql.graft.SketchExpressions
+          .rolling_hash(concat_ws(" ", slice(col("w"), col("i"), lit(k))))
+          .as("fp"))
+    val dup = occ.groupBy("fp")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("i"))).as("keep"))
+      .filter(col("c") >= 2).select("fp", "keep")
+    val rm = occ.join(dup, "fp")
+      .filter(col("doc_id") =!= col("keep.doc_id") || col("i") =!= col("keep.i"))
       .select("doc_id", "i")
     val cover = rm
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("j"))
@@ -424,15 +432,16 @@ object DedupOps {
 
   val q67SpanDedup: QueryDef = QueryDef.sql(
     "q67_span_dedup",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |occ AS (
-      |  SELECT doc_id, i, list_aggregate(w[i:i+7], 'string_agg', ' ') AS span
+      |  SELECT doc_id, i,
+      |    ${FingerprintSql("list_aggregate(w[i:i+7], 'string_agg', ' ')")} AS fp
       |  FROM t, unnest(range(1, len(w) - 6)) AS u(i)),
       |dup AS (
-      |  SELECT span, min(doc_id * 2097152 + i) AS keep
-      |  FROM occ GROUP BY span HAVING count(*) >= 2),
+      |  SELECT fp, min(doc_id * 2097152 + i) AS keep
+      |  FROM occ GROUP BY fp HAVING count(*) >= 2),
       |rm AS (
-      |  SELECT o.doc_id, o.i FROM occ o JOIN dup d ON o.span = d.span
+      |  SELECT o.doc_id, o.i FROM occ o JOIN dup d ON o.fp = d.fp
       |  WHERE o.doc_id * 2097152 + o.i <> d.keep),
       |cover AS (SELECT DISTINCT doc_id, i + k AS j FROM rm, unnest(range(0, 8)) AS u(k)),
       |tok AS (

@@ -121,16 +121,19 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d e f g h x y z"),   // first occurrence: kept whole
       (2L, "p q a b c d e f g h r"),   // repeat at pos 3: 8 tokens removed
-      (3L, "a b c d e f g h"))         // NOTHING left after removal: row drops
+      (3L, "a b c d e f g h"),         // NOTHING left after removal: row drops
+      (4L, ""))                        // empty BEFORE dedup: not ours to cull
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val out = CurationStages(docs, StageSpec("span_dedup", Map.empty))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("text"), r.getAs[Long]("n_chars")))).toMap
-    assert(out.keySet == Set(1L, 2L))
+    assert(out.keySet == Set(1L, 2L, 4L),
+      "doc emptied BY dedup drops; doc empty BEFORE dedup passes through")
     assert(out(1L) == (("a b c d e f g h x y z", 21L)))
     assert(out(2L) == (("p q r", 5L)))
+    assert(out(4L) == (("", 0L)))
   }
 
   test("assign_split stage: near-dup docs share a split, rows preserved, schema additive") {

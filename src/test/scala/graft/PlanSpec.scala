@@ -254,6 +254,11 @@ class PlanSpec extends SparkSpec {
     // duplicate discovery must partially aggregate before the exchange
     // (a boilerplate span repeated billions of times collapses per partition)
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    // the exchange must carry the 64-bit span fingerprint, never the span
+    // string (~8× the shuffle width) — the string stays map-side only
+    assert(p.contains("rolling_hash"), "span keys must be fingerprinted")
+    assert(!p.contains("hashpartitioning(span"),
+      "span STRING must not be a shuffle key")
     // removal/coverage/token joins are all keyed — never a cross product
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
