@@ -595,7 +595,12 @@ object TextOps {
       .select(expr("transform(v, x -> x.word)").as("vw"),
         expr("transform(v, x -> x.c)").as("vc"))
     val stats = f.agg(sum(col("dl")).as("total"))
-    val withTf = f.crossJoin(broadcast(vrow)).crossJoin(broadcast(stats))
+    // ONE one-row dimension frame (vw, vc, total): fusing the vocab and
+    // corpus-total aggregates into a single broadcast halves the broadcast
+    // job count — both subtrees read the persisted `f`, so the fused plan
+    // costs the same two partial aggregates, one fewer job/exchange.
+    val dims = vrow.crossJoin(stats)
+    val withTf = f.crossJoin(broadcast(dims))
       .select(Seq(col("doc_id"), col("dl"), col("vc"), col("total")) ++
         (1 to V).map(i =>
           (size(col("t")) - size(array_remove(col("t"), element_at(col("vw"), i))))
