@@ -160,6 +160,60 @@ object Multimodal {
     s.copy(height = outH, width = outW, data = out)
   }
 
+  /** BGR HWC buffer → single-channel grayscale, the same OpenCV weights
+    * (0.299 R + 0.587 G + 0.114 B, rounded half-up) as [[decode]]'s
+    * grayscale path — one formula, two entry points.
+    */
+  def toGray(s: MediaSample): MediaSample = {
+    require(!s.encoded)
+    if (s.channels == 1) s
+    else {
+      require(s.channels == 3, "toGray expects 1- or 3-channel HWC")
+      val n = s.height * s.width
+      val out = new Array[Byte](n)
+      var p = 0
+      while (p < n) {
+        val b = s.data(p * 3) & 0xff
+        val g = s.data(p * 3 + 1) & 0xff
+        val r = s.data(p * 3 + 2) & 0xff
+        out(p) = math.round(0.299f * r + 0.587f * g + 0.114f * b).toByte
+        p += 1
+      }
+      s.copy(channels = 1, data = out)
+    }
+  }
+
+  /** dHash-64 perceptual image hash (difference hash; the standard
+    * near-dup fingerprint of image pipelines): grayscale → nearest-resize
+    * to 9×8 → one bit per horizontal neighbour pair, set when the left
+    * pixel is darker (g[r][c] < g[r][c+1]), packed MSB-first in row-major
+    * (r,c) order. Built ON the real kernels — [[toGray]] and
+    * [[resizeNearest]] — so the hash of a decoded JPEG and the hash the
+    * oracle recomputes from raw pixel bytes go through the same code.
+    * Robust to re-encoding/resize/brightness shifts (gradient signs
+    * survive); 64 bits → Hamming-banded candidate generation downstream.
+    */
+  def dhash64(data: Array[Byte], channels: Int, height: Int, width: Int): Long = {
+    require(data.length >= channels * height * width && height > 0 && width > 0)
+    val g = toGray(MediaSample("", "", channels, height, width, encoded = false,
+      if (data.length == channels * height * width) data
+      else java.util.Arrays.copyOf(data, channels * height * width)))
+    val r = resizeNearest(g, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = r.data(y * 9 + x) & 0xff
+        val b = r.data(y * 9 + x + 1) & 0xff
+        hash = (hash << 1) | (if (a < b) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** P8 (LmdbRDD.scala:270-281): channel-planar CHW bytes → interleaved HWC.
     * Real kernel — the reference runs this on every LMDB-decoded sample.
     */

@@ -41,5 +41,132 @@ object MultimodalOps {
       .orderBy("label")
   }
 
-  val all: Seq[QueryDef] = Seq(q33MultimodalMeta)
+  /** Q71 — perceptual-hash image near-dup (dHash-64 + banded Hamming):
+    * the multimodal counterpart of q39's SimHash text dedup. Every image
+    * gets a 64-bit difference hash (grayscale → 9×8 nearest resize → 64
+    * horizontal-gradient sign bits — [[graft.multimodal.Multimodal.dhash64]],
+    * running the SAME toGray/resizeNearest kernels as the decode pipeline,
+    * reference ImageDataSource.scala:124-151); near-dup pairs are doc pairs
+    * within Hamming distance 3, found via 4×16-bit band blocking — a pair
+    * with ≤3 flipped bits has ≥1 clean 16-bit quarter (pigeonhole), so
+    * recall at radius 3 is EXACT while the candidate join keys on ~65536
+    * buckets per band.
+    *
+    * The corpus "images" are deterministic fakes (testdata has no real
+    * media): the fake decode emits a FIXED 12×8 grayscale thumbnail — the
+    * first 96 bytes of the document's normalized (lowercased alnum) text —
+    * mirroring the decode→fixed-thumbnail→phash shape of a real image
+    * dedup pipeline. The REAL decode path runs on actual PNG fixtures in
+    * MultimodalSpec; here the oracle recomputes the hash from the same
+    * stored bytes, so the whole kernel chain (resize index math, gradient
+    * bit order, band split) is bit-checked cross-engine, and near-dup
+    * documents (shared openings) yield honest hamming-0 pairs.
+    *
+    * The 64-bit hash rides as two unsigned 32-bit halves (hi, lo): DuckDB
+    * BIGINT has no 1<<63, and the split also gives the band arithmetic
+    * exact / engine-neutral forms (shiftright vs //).
+    *
+    * Scale shape (q39's layout): identical hashes collapse to ONE cluster
+    * row before banding — the exact-dup storm (site logos, banner images
+    * repeated 10⁹ times) never enters the pair join; member pairs expand
+    * only after the Hamming verify.
+    */
+  val q71ImageNeardup: QueryDef = QueryDef.sql(
+    "q71_image_neardup",
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    [unicode(ch) % 256 for ch in
+      |     regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '.')] AS px
+      |  FROM documents
+      |  WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 96),
+      |g AS (
+      |  SELECT doc_id,
+      |    [px[(i // 9) * 12 + ((i % 9) * 12) // 9 + 1]
+      |     for i in range(0, 72)] AS gv
+      |  FROM img),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] < gv[(i // 8) * 9 + (i % 8) + 2]
+      |            THEN 1::BIGINT ELSE 0::BIGINT END for i in range(0, 32)]),
+      |      (a, b) -> a * 2 + b) AS hi,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] < gv[(i // 8) * 9 + (i % 8) + 2]
+      |            THEN 1::BIGINT ELSE 0::BIGINT END for i in range(32, 64)]),
+      |      (a, b) -> a * 2 + b) AS lo
+      |  FROM g),
+      |bands AS (
+      |  SELECT doc_id, hi, lo, j AS band,
+      |    [hi // 65536, hi % 65536, lo // 65536, lo % 65536][j + 1] AS bh
+      |  FROM sig, unnest(range(0, 4)) AS t(j)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |    bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS hamming
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3)
+      |SELECT a, b, hamming
+      |FROM cand
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.ImageExpressions.dhash64
+    // fake "decode": fixed 12×8 grayscale thumbnail from the normalized
+    // byte stream (all-ASCII by construction — [a-z0-9] only, so UTF-8
+    // bytes equal the oracle's codepoints)
+    val sig = Tables(s, dir, "documents")
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("norm")) >= 96)
+      .select(col("doc_id"),
+        encode(substring(col("norm"), 1, 96), "UTF-8").as("data"))
+      .select(col("doc_id"),
+        dhash64(col("data"), lit(1), lit(8), lit(12)).as("hash"))
+      .select(col("doc_id"),
+        expr("shiftrightunsigned(hash, 32)").as("hi"),
+        expr("hash & 4294967295").as("lo"))
+    dhashNearDupPairs(sig)
+  }
+
+  /** Hamming-banded near-dup pair finder over dHash signatures
+    * (doc_id, hi, lo — the two unsigned 32-bit halves): q39's
+    * exact-dup-storm layout — identical signatures collapse to one cluster
+    * row before banding; pairs expand after the Hamming verify. Factored
+    * from q71 so MultimodalSpec can drive it with constructed signatures
+    * (one implementation, no forks).
+    */
+  private[graft] def dhashNearDupPairs(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val clusters = sig.groupBy("hi", "lo")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = clusters
+      .select(col("hi"), col("lo"), col("ds"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bh", expr("element_at(array(shiftright(hi, 16), " +
+        "hi & 65535, shiftright(lo, 16), lo & 65535), band + 1)"))
+    val sigPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          (col("x.hi") < col("y.hi") ||
+            (col("x.hi") === col("y.hi") && col("x.lo") < col("y.lo"))))
+      .withColumn("hamming",
+        expr("bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo)"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("x.hi").as("ha"), col("x.lo").as("la"),
+        col("y.hi").as("hb"), col("y.lo").as("lb"))
+      .agg(first(col("x.ds")).as("dsa"), first(col("y.ds")).as("dsb"),
+        first(col("hamming")).as("hamming"))
+    val cross = sigPairs
+      .select(explode(col("dsa")).as("a0"), col("dsb"), col("hamming"))
+      .select(col("a0"), explode(col("dsb")).as("b0"), col("hamming"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"), col("hamming"))
+    val intra = clusters
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(intra).orderBy("a", "b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q33MultimodalMeta, q71ImageNeardup)
 }

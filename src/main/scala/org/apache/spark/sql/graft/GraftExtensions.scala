@@ -106,6 +106,12 @@ object GraftExtensions {
           k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k)")
+      }),
+    ("dhash64", classOf[DHash64].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(data, ch, h, w) => DHash64(data, ch, h, w)
+        case _ => throw new IllegalArgumentException(
+          "dhash64(data, channels, height, width)")
       }))
 }
 

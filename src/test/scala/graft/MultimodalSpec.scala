@@ -118,6 +118,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAndResize(ds, 8, 8).count() == 0)
   }
 
+  test("dhash64: hand-computed hashes on 9x8 buffers (no resize)") {
+    // ascending row: every left pixel darker → all 64 bits set
+    val asc = Array.tabulate(72)(i => (i % 9).toByte)
+    assert(Multimodal.dhash64(asc, 1, 8, 9) == -1L)
+    // descending row: no bit set
+    val desc = Array.tabulate(72)(i => (8 - i % 9).toByte)
+    assert(Multimodal.dhash64(desc, 1, 8, 9) == 0L)
+    // single gradient at (row 0, col 0): only the MSB set
+    val one = new Array[Byte](72)
+    one(1) = 1
+    assert(Multimodal.dhash64(one, 1, 8, 9) == Long.MinValue)
+    // unsigned compare: 0x80 (128) must be greater than 0x7f (127)
+    val u = new Array[Byte](72)
+    u(0) = 127; u(1) = -128 // 127 < 128 unsigned → MSB set
+    assert((Multimodal.dhash64(u, 1, 8, 9) >>> 63) == 1L)
+  }
+
+  test("dhash64: nearest-resize path — 18x16 ascending survives downscale") {
+    // pixel = x: resize samples (2y, 2x) → still ascending → all bits set
+    val img = Array.tabulate(16 * 18)(i => (i % 18).toByte)
+    assert(Multimodal.dhash64(img, 1, 16, 18) == -1L)
+  }
+
+  test("dhash64: real PNG decode → gray → hash, hand-computed") {
+    // 2x2 red/green/blue/white → gray (76,150 / 29,255); 9x8 resize maps
+    // cols 0-4→left, 5-8→right, rows 0-3→top, 4-7→bottom. Each row has one
+    // rising edge at c=4 → every row byte is 0x08.
+    val d = Multimodal.decode(
+      MediaSample("1", "en", 0, 0, 0, encoded = true, fixture("png")),
+      numChannels = 1).get
+    assert(Multimodal.dhash64(d.data, 1, d.height, d.width) == 0x0808080808080808L)
+    // 3-channel path: decode BGR, toGray inside dhash64 — same hash
+    val c = Multimodal.decode(
+      MediaSample("1", "en", 0, 0, 0, encoded = true, fixture("png")),
+      numChannels = 3).get
+    assert(Multimodal.dhash64(c.data, 3, c.height, c.width) == 0x0808080808080808L)
+  }
+
+  test("dhash64 native expression matches the kernel and stays codegen'd") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Array.tabulate(72)(i => (i % 9).toByte), 8, 9),
+      (2L, Array.tabulate(16 * 18)(i => (i % 18).toByte), 16, 18))
+    val df = rows.toDF("id", "data", "h", "w")
+    val out = df.select(col("id"), org.apache.spark.sql.graft.ImageExpressions
+        .dhash64(col("data"), lit(1), col("h"), col("w")).as("hash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == -1L && out(2L) == -1L)
+    // SQL registry surface
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("imgs")
+    val sq = spark.sql("SELECT dhash64(data, 1, h, w) AS hash FROM imgs WHERE id = 1")
+      .collect().head.getLong(0)
+    assert(sq == -1L)
+  }
+
+  test("dhashNearDupPairs: cross-cluster banding finds hamming<=3, misses beyond") {
+    import spark.implicits._
+    // hashes as (hi, lo) halves: A and B differ in 2 bits of lo (hamming 2,
+    // three clean bands); C differs from A in 5 spread bits (hamming 5 →
+    // dropped by verify even though one band may collide); D == A (exact
+    // dup → intra-cluster pair at hamming 0)
+    val a = (0xDEADBEEFL, 0x12345678L)
+    val b = (0xDEADBEEFL, 0x12345678L ^ 0x3L)           // 2 low bits flipped
+    val cHi = 0xDEADBEEFL ^ ((1L << 20) | (1L << 4))    // 2 bits in hi
+    val cLo = 0x12345678L ^ ((1L << 30) | (1L << 17) | 1L) // 3 bits in lo
+    val sig = Seq(
+      (10L, a._1, a._2), (11L, b._1, b._2),
+      (12L, cHi, cLo), (13L, a._1, a._2))
+      .toDF("doc_id", "hi", "lo")
+    val out = graft.queries.MultimodalOps.dhashNearDupPairs(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((10L, 11L, 2), (10L, 13L, 0), (11L, 13L, 2)))
+  }
+
   test("pcmFeatures: exact RMS and zero-crossing rate on synthetic PCM") {
     // square wave ±1000 alternating every sample: rms = 1000, zcr = 1
     def le16(samples: Seq[Int]): Array[Byte] =

@@ -277,4 +277,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_long_list_capped"), "posting lists must be capped")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q71: image near-dup — native dhash in the scan, banded keyed join only") {
+    val p = planOf(queries.MultimodalOps.q71ImageNeardup.fn(spark, sf))
+    assert(p.contains("dhash64"), "hash must run as the native expression")
+    // candidate generation joins on (band, band-key) — never a cross product
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // exact-dup storms collapse before banding: partial agg on the signature
+    assert(p.contains("partial_"), "signature clustering must map-side combine")
+  }
+
+  test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
+    // Six sites intentionally cross-join 1-to-8-row broadcast frames:
+    // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out
+    // query vectors), q57 (1-row mix denominator), q65/q66 (1-row stats
+    // frames). This guard keeps that list CLOSED: a refactor that
+    // introduces a BNLJ/cartesian anywhere else — or grows a
+    // scalar-broadcast site into a real cross join — must show up here
+    // and justify itself.
+    val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
+      "q57_temperature_mix", "q65_bm25", "q66_perplexity")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = planOf(df)
+      graft.Caches.clearAll(spark)
+      if ((p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")) &&
+        !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected BNLJ/cartesian in: ${offenders.mkString(", ")}")
+  }
 }
