@@ -16,4 +16,23 @@ object Caches {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
+
+  /** Snapshot of the currently-persisted RDD ids — take one before a job,
+    * pass it to [[clearCreatedSince]] after.
+    */
+  def snapshot(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Job-scoped release for SHARED long-lived sessions: unpersist only the
+    * RDDs persisted after `before`, leaving caches owned by concurrent or
+    * surrounding work untouched ([[clearAll]] would evict those too —
+    * recompute cost, not correctness). Storage for the job's DataFrame
+    * persists is freed here; their CacheManager plan entries are metadata
+    * only after the unpersist, and a dedicated CLI process should still
+    * finish with [[clearAll]].
+    */
+  def clearCreatedSince(spark: SparkSession, before: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = true)
+    }
 }

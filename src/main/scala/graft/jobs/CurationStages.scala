@@ -40,7 +40,9 @@ import org.apache.spark.sql.functions._
   * consistent-hash keep rates; assign_split = q68's cluster-keyed
   * leakage-safe train/val/test gate; chunk = q69's tail-covering sliding
   * windows (terminal: documents → training sequences); pack = q50's
-  * shard-keyed window packer.
+  * shard-keyed window packer; multimodal_join = reference J1's
+  * image×caption equi-join (media side joined onto the flowing corpus by
+  * id, provenance columns riding through).
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
@@ -59,6 +61,8 @@ object CurationStages {
     "near_dedup" -> Set("threshold"),
     "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
       "bands", "bitsPerBand", "minDot"),
+    "multimodal_join" -> Set("embeddings", "idCol", "embeddingCol", "how",
+      "broadcast"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
@@ -147,6 +151,31 @@ object CurationStages {
           .float_dot(col("ea"), col("eb")) > minDot)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.operators.Components.canonicalize(docs, pairs)
+
+    // Reference J1 (tools/Conversions.scala:78-83): the image×caption
+    // equi-join on image_id that assembles one multimodal training row.
+    // The media side here is the embeddings table (vec_id-keyed — the
+    // caption-embedding frame of Conversions.scala:197-203); every doc
+    // provenance column already flowing (split, cluster_id, ...) rides
+    // through the join, so a chain can dedup → split → multimodal_join →
+    // chunk and emit an image+text table with full lineage.
+    // Scale: `broadcast: true` declares the media side dimension-sized
+    // (a curated caption set) and pins a broadcast join; the default
+    // keeps the corpus-scale doc_id-keyed hash join — both sides shuffle
+    // once on the id, no wide columns before the join.
+    case "multimodal_join" =>
+      val embPath = stage.params.get("embeddings").map(_.asInstanceOf[String])
+        .orElse(embeddingsDefault)
+        .getOrElse(throw new IllegalArgumentException(
+          "multimodal_join: no 'embeddings' path declared and the job " +
+            "source is not a table directory to default from"))
+      val idCol = stage.strOr("idCol", "vec_id")
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      val how = stage.strOr("how", "inner")
+      val media = docs.sparkSession.read.parquet(embPath)
+        .select(col(idCol).as("doc_id"), col(embCol).as("embedding"))
+      docs.join(if (stage.bool("broadcast", false)) broadcast(media) else media,
+        Seq("doc_id"), how)
 
     // q51 shape: drop the held-out source itself AND every training
     // document sharing >= minShared distinct 4-grams with it

@@ -56,6 +56,8 @@ final case class StageSpec(op: String, params: Map[String, Any] = Map.empty) {
     params.get(k).map(_.asInstanceOf[Double].toInt).getOrElse(missing(k))
   def int(k: String, dflt: Int): Int =
     params.get(k).map(_.asInstanceOf[Double].toInt).getOrElse(dflt)
+  def bool(k: String, dflt: Boolean): Boolean =
+    params.get(k).map(_.asInstanceOf[Boolean]).getOrElse(dflt)
   def ratesMap: Map[String, Long] =
     params.get("rates").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Double].toLong })
@@ -160,6 +162,18 @@ object JobConfig {
               params.get("bitsPerBand").map(_.asInstanceOf[Double].toInt).getOrElse(4)
             if (geo > 63)
               fail(s"stages[$idx] ($op): bands*bitsPerBand must be <= 63, got $geo")
+          case "multimodal_join" =>
+            optStr("embeddings"); optStr("idCol"); optStr("embeddingCol")
+            params.get("how").foreach {
+              case "inner" | "left" => ()
+              case other => fail(
+                s"stages[$idx] ($op): how must be 'inner' or 'left', got $other")
+            }
+            params.get("broadcast").foreach {
+              case _: Boolean => ()
+              case other => fail(
+                s"stages[$idx] ($op): broadcast must be true/false, got $other")
+            }
           case "decontaminate" =>
             reqStr("holdoutSource")
             num("minShared")(n => n.isWhole && n >= 1, "must be a positive integer")

@@ -107,15 +107,17 @@ object JobRunner {
       // declare the stage's 'embeddings' param itself.
       val embDefault =
         if (src.table.nonEmpty) Some(s"${src.path}/embeddings.parquet") else None
+      // stage-internal persists (e.g. perplexity_filter's scoring frames)
+      // are scoped to THIS job — release exactly those on exit, by diffing
+      // the persisted-RDD set, so a SHARED long-lived session running
+      // concurrent work keeps its own caches (Y5 discipline; the dedicated
+      // CLI entrypoint still clearAll's at process end in main()).
+      val before = graft.Caches.snapshot(spark)
       try CurationStages.run(spark.read.format(src.format).load(src.dataPath),
           cfg.stages, embeddingsDefault = embDefault)
         .write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/corpus")
-      // stage-internal persists (e.g. perplexity_filter's scoring frames)
-      // are scoped to THIS job — release them so a long-lived session
-      // running many jobs doesn't accumulate cached RDDs (Y5 discipline,
-      // same contract as the Verify/Bench runners)
-      finally graft.Caches.clearAll(spark)
+      finally graft.Caches.clearCreatedSince(spark, before)
     }
 
     if (inv.train) {
@@ -169,7 +171,12 @@ object JobRunner {
       .appName("graft-job")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // dedicated CLI process: a full clear on exit is correct here (the
+    // in-run release is job-scoped for shared-session callers of run())
     try run(spark, inv)
-    finally spark.stop()
+    finally {
+      graft.Caches.clearAll(spark)
+      spark.stop()
+    }
   }
 }

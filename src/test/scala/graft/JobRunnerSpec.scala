@@ -111,6 +111,52 @@ class JobRunnerSpec extends SparkSpec {
     assert(corpus.exceptAll(again).isEmpty && again.exceptAll(corpus).isEmpty)
   }
 
+  test("multimodal curation join: image+text training table from JSON alone") {
+    val work = java.nio.file.Files.createTempDirectory("jobmm").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [
+         |    {"op": "exact_dedup"},
+         |    {"op": "assign_split", "trainPct": 80, "valPct": 10},
+         |    {"op": "multimodal_join", "broadcast": true},
+         |    {"op": "chunk", "chunkTokens": 32, "stride": 24}
+         |  ]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    // the joined table carries text chunks AND the media-side embedding,
+    // with split provenance intact on every row
+    assert(Seq("doc_id", "text", "embedding", "split", "chunk_start")
+      .forall(out.columns.contains), out.columns.mkString(","))
+    assert(out.count() > 0)
+    assert(out.filter(col("embedding").isNull).count() == 0,
+      "inner join must not leave null media")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // join key semantics: each surviving doc matched its vec_id row
+    val sample = out.select("doc_id", "embedding").distinct().limit(5).collect()
+    sample.foreach { r =>
+      val expect = emb.filter(col("vec_id") === r.getLong(0))
+        .select("embedding").collect().head.getSeq[Float](0)
+      assert(r.getSeq[Float](1) == expect)
+    }
+    // plan guard: broadcast:true pins a broadcast join (the media side is
+    // declared dimension-sized); no shuffle of the corpus on the dim side
+    val plan = graft.jobs.CurationStages(
+      Tables(spark, sf, "documents"),
+      graft.jobs.StageSpec("multimodal_join", Map(
+        "embeddings" -> s"$sf/embeddings.parquet", "broadcast" -> true)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // how:left keeps docs without a media row
+    val left = graft.jobs.CurationStages(
+      Tables(spark, sf, "documents").limit(50),
+      graft.jobs.StageSpec("multimodal_join", Map(
+        "embeddings" -> s"$sf/embeddings.parquet", "how" -> "left")))
+    assert(left.count() == 50)
+  }
+
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
     val work = java.nio.file.Files.createTempDirectory("jobchunk").toString
     val conf = writeConf(
@@ -138,6 +184,17 @@ class JobRunnerSpec extends SparkSpec {
     // a curate job releases its stage-internal persists on exit (Y5)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "curate job leaked persisted RDDs into the session")
+    // ...and ONLY its own: a cache owned by surrounding work in a shared
+    // session must survive the job (scoped release, not clearAll)
+    val mine = spark.sparkContext.parallelize(1 to 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    mine.count()
+    try {
+      JobRunner.run(spark, JobRunner.parse(
+        Array("-curate", "-conf", conf, "-output", s"$work/out3")))
+      assert(spark.sparkContext.getPersistentRDDs.contains(mine.id),
+        "curate job evicted a cache it does not own")
+    } finally mine.unpersist(blocking = true)
   }
 
   test("pipeline stages match their registered-operator semantics") {
