@@ -254,6 +254,39 @@ object DocumentStreams {
     * the (broadcastable) cell table, `min` across the 4 rows = the classic
     * count-min overestimate of document frequency.
     */
+  /** Streaming twin of q68's leakage-safe split: the gate itself is a
+    * MAP-ONLY salted hash of the cluster id (same fingerprint, same salt,
+    * same 80/10/10 cuts), so it streams trivially; the cluster map —
+    * doc_id → cluster_id for docs in strong near-dup pairs, from the
+    * batch q62 components — is a static dimension side broadcast-joined
+    * to the stream (it is |docs-in-strong-pairs|-sized, tiny vs the
+    * corpus). Docs without a map row are their own singleton cluster,
+    * exactly q68's contract; a doc whose near-dup partner only arrives in
+    * a LATER ingest batch gets its singleton gate now — the periodic
+    * batch re-assignment is the authority, this is the ingest-time label.
+    */
+  def assignSplit(stream: DataFrame, clusterMap: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val cc = clusterMap.select(col("doc_id"), col("cluster_id").as("__cl"))
+    val h = graft.functions.TextFunctions
+      .fingerprint("concat('s', CAST(cluster_id AS STRING))") % 100
+    stream.join(broadcast(cc), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col("doc_id")))
+      .drop("__cl")
+      .withColumn("split", when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Streaming twin of q69's sliding-window chunker — stateless per-row
+    * map+explode (the q69 plan-guard shape), delegating to the SAME
+    * [[graft.queries.PipelineOps.chunked]] core, so the micro-batch
+    * boundary is invisible by construction.
+    */
+  def chunkWindows(docs: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame =
+    graft.queries.PipelineOps.chunked(docs, chunkTokens, stride)
+
   def heavyHitterCells(docs: DataFrame): DataFrame = {
     import graft.queries.TextOps.{CmsA, CmsB, CmsP, CmsW}
     val sh = docs.select(col("doc_id"), explode(array_distinct(

@@ -495,4 +495,64 @@ class StreamingSpec extends SparkSpec {
       s"streamed labels diverge from batch q62 on ${
         (streamed.toSet -- batch.toSet).take(5)} / ${(batch.toSet -- streamed.toSet).take(5)}")
   }
+
+  /** Write the documents table into `dir` as two doc_id-split parquet files
+    * so maxFilesPerTrigger=1 yields two micro-batches.
+    */
+  private def twoBatchDocs(prefix: String): String = {
+    val docs = Tables(spark, sf, "documents")
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory(s"${prefix}_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, docs.filter(col("doc_id") <= mid))
+    writePart("b.parquet", 20000L, docs.filter(col("doc_id") > mid))
+    dir.toString
+  }
+
+  test("streaming leakage-safe split equals batch q68 across micro-batches") {
+    import graft.streaming.DocumentStreams
+    // the static cluster map is the batch q62 component relation — the
+    // dimension side a production ingest would refresh periodically
+    val clusterMap = graft.operators.Components.connectedComponents(
+        graft.sources.PairGraph(spark, sf)
+          .filter(col("jaccard") >= 0.5).select("a", "b"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .option("maxFilesPerTrigger", 1).parquet(twoBatchDocs("docs_split"))
+    val got = EventStreams.runToMemory(
+      DocumentStreams.assignSplit(stream, clusterMap), "split_t")
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == batch,
+      s"streamed split diverges: ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+    // the leakage contract holds on the streamed labels too: one split per
+    // cluster, even when a cluster's docs arrived in different batches
+    assert(got.groupBy(_._2).forall { case (_, rows) => rows.map(_._3).size == 1 },
+      "a near-dup cluster straddled splits in the streamed assignment")
+  }
+
+  test("streaming chunk windows equal batch q69 across micro-batches") {
+    import graft.streaming.DocumentStreams
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .option("maxFilesPerTrigger", 1).parquet(twoBatchDocs("docs_chunk"))
+    val got = EventStreams.runToMemory(
+      DocumentStreams.chunkWindows(stream, 64, 48), "chunk_t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = queries.PipelineOps.q69ChunkWindows.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == batch)
+  }
 }
