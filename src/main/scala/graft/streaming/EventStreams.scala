@@ -43,8 +43,12 @@ object EventStreams {
     // (surfaces as long via nanosAsLong) and TIMESTAMP(MICROS) ntz. Probe
     // the actual footer with a one-off batch read — driver-side, metadata
     // only — and declare + normalize accordingly, mirroring graft.Tables.
-    val physicalTs = spark.read.parquet(path).schema
-      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    // The probe throws on a directory with no files yet (a streaming
+    // source may legitimately start EMPTY and fill later): fall back to
+    // the raw LongType declaration the pre-probe reader used.
+    val physicalTs = scala.util.Try(spark.read.parquet(path).schema)
+      .toOption.flatMap(_.find(_.name == "ts").map(_.dataType))
+      .getOrElse(LongType)
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physicalTs) else f))
     val reader = spark.readStream.schema(schema)

@@ -518,6 +518,16 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("readEvents starts on an empty source directory (footer probe falls back)") {
+    // a streaming source dir may exist but hold no files yet at startup;
+    // the schema probe must fall back to the declared raw schema, not throw
+    val dir = java.nio.file.Files.createTempDirectory("events_empty").toString
+    val df = EventStreams.readEvents(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming leakage-safe split equals batch q68 across micro-batches") {
     import graft.streaming.DocumentStreams
     // the static cluster map is the batch q62 component relation — the
