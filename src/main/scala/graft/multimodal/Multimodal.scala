@@ -286,27 +286,64 @@ object Multimodal {
     */
   final case class AudioWindow(idx: Int, rms: Double, zeroCrossRate: Double)
 
-  def pcmFeatures(payload: Array[Byte], windowSamples: Int): Seq[AudioWindow] = {
+  /** EXACT per-window PCM statistics — the integer core both feature
+    * surfaces share: sum of squared samples (exact int64: 16-bit samples,
+    * any sane window size stays far under 2⁶³) and the zero-crossing
+    * count. [[pcmFeatures]] derives its rms/zcr doubles from this; the
+    * oracle-checked q72 emits these exact integers directly, so the
+    * cross-engine compare never touches a transcendental.
+    */
+  final case class AudioWindowExact(idx: Int, sumSq: Long, crossings: Int,
+    nSamples: Int)
+
+  def pcmWindowStats(payload: Array[Byte], windowSamples: Int): Seq[AudioWindowExact] = {
     require(windowSamples > 0)
     val nSamples = payload.length / 2
     val nWin = nSamples / windowSamples
     (0 until nWin).map { w =>
-      var sumSq = 0.0
+      var sumSq = 0L
       var crossings = 0
       var prevNeg = false
       var i = 0
       while (i < windowSamples) {
         val off = (w * windowSamples + i) * 2
         val s = ((payload(off) & 0xff) | (payload(off + 1) << 8)).toShort.toInt
-        sumSq += s.toDouble * s
+        sumSq += s.toLong * s
         val neg = s < 0
         if (i > 0 && neg != prevNeg) crossings += 1
         prevNeg = neg
         i += 1
       }
-      AudioWindow(w, math.sqrt(sumSq / windowSamples),
-        crossings.toDouble / (windowSamples - 1).max(1))
+      AudioWindowExact(w, sumSq, crossings, windowSamples)
     }
+  }
+
+  def pcmFeatures(payload: Array[Byte], windowSamples: Int): Seq[AudioWindow] =
+    pcmWindowStats(payload, windowSamples).map(w =>
+      AudioWindow(w.idx, math.sqrt(w.sumSq.toDouble / w.nSamples),
+        w.crossings.toDouble / (w.nSamples - 1).max(1)))
+
+  /** Deterministic PCM test-signal synthesis: each codepoint becomes one
+    * centered/scaled 16-bit LE sample `(cp − center)·gain` (clamped to the
+    * int16 range). The sandbox's stand-in for real audio payloads — one
+    * tight byte loop, so building the fake waveform costs what a memcpy
+    * costs, not a hex round-trip.
+    */
+  def pcmFromCodepoints(text: String, center: Int, gain: Int): Array[Byte] = {
+    val n = text.codePointCount(0, text.length)
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    var j = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val v0 = (cp - center) * gain
+      val v = if (v0 > 32767) 32767 else if (v0 < -32768) -32768 else v0
+      out(j) = (v & 0xff).toByte
+      out(j + 1) = ((v >> 8) & 0xff).toByte
+      i += Character.charCount(cp)
+      j += 2
+    }
+    out
   }
 
   /** Distributed audio feature stage: binary PCM column → exploded

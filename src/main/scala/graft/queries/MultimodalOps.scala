@@ -168,5 +168,62 @@ object MultimodalOps {
     cross.unionAll(intra).orderBy("a", "b")
   }
 
-  val all: Seq[QueryDef] = Seq(q33MultimodalMeta, q71ImageNeardup)
+  /** Q72 — audio-modality window features: per-window energy and
+    * zero-crossing statistics over a 16-bit LE PCM payload, the first-stage
+    * features of an audio quality/VAD curation pipeline, computed directly
+    * on the opaque binary column through the native `pcm_window_stats`
+    * expression (which runs the SAME
+    * [[graft.multimodal.Multimodal.pcmWindowStats]] integer core the
+    * rms/zcr surface derives from — one implementation).
+    *
+    * Determinism: the published columns are the EXACT integers (sum of
+    * squared samples, crossing count) rather than rms/zcr doubles, so the
+    * cross-engine compare never touches sqrt (q65/q66's transcendental
+    * discipline, solved here by construction). Ragged tails drop, exactly
+    * the kernel contract.
+    *
+    * The corpus "audio" is a deterministic fake (testdata ships no media):
+    * each document's codepoints become centered 16-bit samples
+    * ((c − 80)·500, spanning ±24k so the fake waveform crosses zero like
+    * real audio), little-endian-packed into the binary payload on the
+    * Spark side — the expression sees a REAL PCM buffer; the oracle
+    * computes from the sample values directly. MultimodalSpec drives the
+    * same kernel over hand-built PCM with exact expectations.
+    *
+    * Scale shape: map-only — payload build, window stats, and explode all
+    * fuse into the scan stage; no shuffle until the output sort.
+    */
+  val q72AudioFeatures: QueryDef = QueryDef.sql(
+    "q72_audio_features",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    [(unicode(ch) - 80) * 500 for ch in regexp_extract_all(text, '.')] AS v
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) = length(text) AND length(text) >= 32),
+      |w AS (
+      |  SELECT doc_id, CAST(wi AS INT) AS win, v[wi*16+1 : wi*16+16] AS ww
+      |  FROM s, unnest(range(0, len(v) // 16)) AS t(wi))
+      |SELECT doc_id, win,
+      |  CAST(list_sum([CAST(x AS BIGINT) * x for x in ww]) AS BIGINT) AS sumsq,
+      |  CAST(len([i for i in range(2, 17)
+      |            if (ww[i] < 0) <> (ww[i-1] < 0)]) AS INT) AS zc
+      |FROM w
+      |ORDER BY doc_id, win""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.ImageExpressions.{pcm_synth, pcm_window_stats}
+    // fake "decode": codepoints → centered 16-bit LE samples → binary
+    // payload, one native byte loop (all-ASCII guard keeps bytes ==
+    // codepoints cross-engine)
+    val payload = pcm_synth(col("text"), lit(80), lit(500))
+    Tables(s, dir, "documents")
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= 32)
+      .select(col("doc_id"),
+        explode(pcm_window_stats(payload, lit(16))).as("w"))
+      .select(col("doc_id"), col("w.win").as("win"),
+        col("w.sumsq").as("sumsq"), col("w.zc").as("zc"))
+      .orderBy("doc_id", "win")
+  }
+
+  val all: Seq[QueryDef] = Seq(q33MultimodalMeta, q71ImageNeardup,
+    q72AudioFeatures)
 }

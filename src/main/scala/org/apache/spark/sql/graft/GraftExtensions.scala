@@ -112,6 +112,18 @@ object GraftExtensions {
         case Seq(data, ch, h, w) => DHash64(data, ch, h, w)
         case _ => throw new IllegalArgumentException(
           "dhash64(data, channels, height, width)")
+      }),
+    ("pcm_window_stats", classOf[PcmWindowStats].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(data, w) => PcmWindowStats(data, w)
+        case _ => throw new IllegalArgumentException(
+          "pcm_window_stats(data, windowSamples)")
+      }),
+    ("pcm_synth", classOf[PcmSynth].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(t, ctr, g) => PcmSynth(t, ctr, g)
+        case _ => throw new IllegalArgumentException(
+          "pcm_synth(text, center, gain)")
       }))
 }
 

@@ -51,4 +51,85 @@ object ImageExpressions {
     ExpressionUtils.column(DHash64(
       ExpressionUtils.expression(data), ExpressionUtils.expression(channels),
       ExpressionUtils.expression(height), ExpressionUtils.expression(width)))
+
+  def pcm_window_stats(data: Column, windowSamples: Column): Column =
+    ExpressionUtils.column(PcmWindowStats(
+      ExpressionUtils.expression(data),
+      ExpressionUtils.expression(windowSamples)))
+
+  def pcm_synth(text: Column, center: Column, gain: Column): Column =
+    ExpressionUtils.column(PcmSynth(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(center),
+      ExpressionUtils.expression(gain)))
+}
+
+/** Exact per-window PCM statistics over a 16-bit LE payload:
+  * `pcm_window_stats(data, windowSamples)` →
+  * array<struct<win:int, sumsq:bigint, zc:int, n:int>> — one struct per
+  * full window (ragged tail dropped), running the SAME
+  * [[graft.multimodal.Multimodal.pcmWindowStats]] core the rms/zcr audio
+  * features derive from. Exact integers, so the oracle compare is
+  * transcendental-free.
+  */
+case class PcmWindowStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = PcmWindowStats.outType
+  override def prettyName: String = "pcm_window_stats"
+
+  override def nullSafeEval(data: Any, win: Any): Any =
+    PcmWindowStats.eval(data.asInstanceOf[Array[Byte]], win.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, w) =>
+      s"org.apache.spark.sql.graft.PcmWindowStats.eval($d, $w)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `pcm_synth(text, center, gain)` → 16-bit LE PCM binary: each codepoint
+  * becomes one `(cp − center)·gain` sample (int16-clamped). The
+  * deterministic audio-payload fake for environments without real media —
+  * kernel [[graft.multimodal.Multimodal.pcmFromCodepoints]].
+  */
+case class PcmSynth(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_synth"
+
+  override def nullSafeEval(text: Any, center: Any, gain: Any): Any =
+    graft.multimodal.Multimodal.pcmFromCodepoints(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      center.asInstanceOf[Int], gain.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c, g) =>
+      s"graft.multimodal.Multimodal.pcmFromCodepoints($t.toString(), $c, $g)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PcmWindowStats {
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("sumsq", LongType, nullable = false),
+    StructField("zc", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false))), containsNull = false)
+
+  def eval(data: Array[Byte], windowSamples: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val stats = graft.multimodal.Multimodal.pcmWindowStats(data, windowSamples)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(stats.map(s =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        s.idx, s.sumSq, s.crossings, s.nSamples)).toArray[Any])
+  }
 }

@@ -194,6 +194,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((10L, 11L, 2), (10L, 13L, 0), (11L, 13L, 2)))
   }
 
+  test("pcmWindowStats: exact integers, and pcmFeatures derives from them") {
+    def le16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    // window 1: [3, -4, 5, 0] → sumsq 9+16+25+0 = 50, crossings + - + +: 2
+    // window 2: [-1, -1, 2, 2] → sumsq 10, crossings 1; ragged [7] drops
+    val stats = Multimodal.pcmWindowStats(
+      le16(Seq(3, -4, 5, 0, -1, -1, 2, 2, 7)), 4)
+    assert(stats == Seq(
+      Multimodal.AudioWindowExact(0, 50L, 2, 4),
+      Multimodal.AudioWindowExact(1, 10L, 1, 4)))
+    val f = Multimodal.pcmFeatures(le16(Seq(3, -4, 5, 0)), 4)
+    assert(math.abs(f.head.rms - math.sqrt(50.0 / 4)) < 1e-12)
+    assert(math.abs(f.head.zeroCrossRate - 2.0 / 3) < 1e-12)
+  }
+
+  test("pcm_window_stats expression matches the kernel through SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def le16(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val df = Seq((1L, le16(Seq(3, -4, 5, 0, -1, -1, 2, 2)))).toDF("id", "data")
+    val rows = df.select(col("id"), explode(
+        org.apache.spark.sql.graft.ImageExpressions
+          .pcm_window_stats(col("data"), lit(4))).as("w"))
+      .select("w.win", "w.sumsq", "w.zc", "w.n")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq((0, 50L, 2, 4), (1, 10L, 1, 4)))
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("pcm")
+    val sq = spark.sql(
+      "SELECT size(pcm_window_stats(data, 4)) FROM pcm").collect().head.getInt(0)
+    assert(sq == 2)
+  }
+
   test("pcmFeatures: exact RMS and zero-crossing rate on synthetic PCM") {
     // square wave ±1000 alternating every sample: rms = 1000, zcr = 1
     def le16(samples: Seq[Int]): Array[Byte] =

@@ -288,6 +288,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "signature clustering must map-side combine")
   }
 
+  test("q72: audio features are map-only — no join, no aggregate, fused scan") {
+    val p = planOf(queries.MultimodalOps.q72AudioFeatures.fn(spark, sf))
+    assert(!p.contains("Join"), "audio window stats must not join")
+    assert(!p.contains("HashAggregate"), "audio window stats must not aggregate")
+    assert(p.contains("pcm_window_stats"), "must run the native expression")
+    assert(p.contains("Generate"), "windows must explode per row")
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
     // Six sites intentionally cross-join 1-to-8-row broadcast frames:
     // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out
