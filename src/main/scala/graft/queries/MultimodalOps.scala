@@ -108,22 +108,42 @@ object MultimodalOps {
       |SELECT a, b, hamming
       |FROM cand
       |ORDER BY a, b""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.graft.ImageExpressions.dhash64
-    // fake "decode": fixed 12×8 grayscale thumbnail from the normalized
-    // byte stream (all-ASCII by construction — [a-z0-9] only, so UTF-8
-    // bytes equal the oracle's codepoints)
-    val sig = Tables(s, dir, "documents")
+    dhashNearDupPairs(dhashSignatures(Tables(s, dir, "documents")))
+  }
+
+  /** q71's signature derivation, factored for reuse by the streaming
+    * flagger: fake "decode" to a fixed 12×8 grayscale thumbnail from the
+    * normalized byte stream (all-ASCII by construction — [a-z0-9] only, so
+    * UTF-8 bytes equal the oracle's codepoints), native dhash64, 64-bit
+    * hash carried as two unsigned 32-bit halves.
+    */
+  private[graft] def dhashSignatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
       .filter(length(col("norm")) >= 96)
       .select(col("doc_id"),
         encode(substring(col("norm"), 1, 96), "UTF-8").as("data"))
       .select(col("doc_id"),
-        dhash64(col("data"), lit(1), lit(8), lit(12)).as("hash"))
+        org.apache.spark.sql.graft.ImageExpressions
+          .dhash64(col("data"), lit(1), lit(8), lit(12)).as("hash"))
       .select(col("doc_id"),
         expr("shiftrightunsigned(hash, 32)").as("hi"),
         expr("hash & 4294967295").as("lo"))
-    dhashNearDupPairs(sig)
-  }
+
+  /** One row per image: the 4 packed 16-bit band keys of its dHash as a
+    * single array column (disjoint per-band ranges: key = band·2¹⁶ +
+    * value) — a band-key collision here IS q71's candidate criterion, so
+    * flagging against an index of these keys inherits its
+    * no-false-negative contract at Hamming radius ≤ 3.
+    */
+  private[graft] def dhashBandKeys(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dhashSignatures(docs).select(col("doc_id"), array(
+      expr("shiftright(hi, 16)"),
+      expr("(hi & 65535) + 65536"),
+      expr("shiftright(lo, 16) + 131072"),
+      expr("(lo & 65535) + 196608")).as("band_keys"))
 
   /** Hamming-banded near-dup pair finder over dHash signatures
     * (doc_id, hi, lo — the two unsigned 32-bit halves): q39's

@@ -150,6 +150,27 @@ object DocumentStreams {
       .filter(col("n_band_hits") >= 1)
   }
 
+  /** Streaming IMAGE near-dup flagging — q71's multimodal counterpart of
+    * [[nearDupFlags]]: arriving documents' dHash band keys
+    * ([[graft.queries.MultimodalOps.dhashBandKeys]] — the same derivation
+    * q71 bands on) test against a Bloom filter of the corpus's keys. A
+    * band collision IS q71's candidate criterion, and Bloom membership has
+    * no false negatives, so every arriving image within Hamming radius 3
+    * of a corpus image is flagged; `fpp` only inflates the hit count.
+    * Stream side is MAP-ONLY (dhash + 4 probes per doc, no state, no
+    * shuffle); the index is bits, not signatures.
+    */
+  def imageNearDupFlags(stream: DataFrame, corpus: DataFrame,
+      expectedBandKeys: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bf = graft.queries.MultimodalOps.dhashBandKeys(corpus)
+      .select(explode(col("band_keys")).as("k"))
+      .stat.bloomFilter("k", expectedBandKeys, fpp)
+    val hits = udf((ks: Seq[Long]) => ks.count(bf.mightContain(_)).toLong)
+    graft.queries.MultimodalOps.dhashBandKeys(stream)
+      .select(col("doc_id"), hits(col("band_keys")).as("n_band_hits"))
+      .filter(col("n_band_hits") >= 1)
+  }
+
   /** One near-dup edge arriving on the stream (q21/q31/q46 pair shape). */
   final case class EdgeRow(a: Long, b: Long)
 

@@ -266,6 +266,38 @@ class StreamingSpec extends SparkSpec {
       s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
   }
 
+  test("streaming image near-dup flags: no false negatives vs the dhash band join") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    // stream the b-side of known q71 image pairs + unrelated docs
+    val pairs = queries.MultimodalOps.q71ImageNeardup.fn(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val streamIds = (pairs.map(_._2).distinct.take(10) ++
+      docs.select("doc_id").collect().map(_.getLong(0))
+        .filterNot(id => pairs.exists(p => p._1 == id || p._2 == id)).take(10)).toSet
+    val stream = docs.filter(col("doc_id").isin(streamIds.toSeq: _*))
+    val corpus = docs.filter(!col("doc_id").isin(streamIds.toSeq: _*))
+    // exact expectation: stream images sharing any dhash band key with the
+    // corpus (q71's candidate criterion)
+    val exact = queries.MultimodalOps.dhashBandKeys(stream)
+      .select(col("doc_id"), explode(col("band_keys")).as("k")).as("s")
+      .join(queries.MultimodalOps.dhashBandKeys(corpus)
+        .select(explode(col("band_keys")).as("k")).distinct().as("c"), Seq("k"))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("docs_imgdup")
+    stream.write.mode("overwrite").parquet(dir.toString + "/s")
+    val flagged = EventStreams.runToMemory(
+      DocumentStreams.imageNearDupFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus), "imgdup_t")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom dhash band index missed candidates: ${exact -- flagged}")
+    assert(flagged.size <= exact.size + math.max(3, streamIds.size / 5),
+      s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
+  }
+
   test("streaming heavy-hitter sketch merges cells across micro-batches") {
     import graft.streaming.DocumentStreams
     // two doc_id-split files => two micro-batches: the count-min cells must
