@@ -61,6 +61,7 @@ object CurationStages {
     "near_dedup" -> Set("threshold"),
     "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
       "bands", "bitsPerBand", "minDot"),
+    "image_near_dedup" -> Set("maxHamming"),
     "multimodal_join" -> Set("embeddings", "idCol", "embeddingCol", "how",
       "broadcast"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
@@ -150,6 +151,20 @@ object CurationStages {
         .filter(org.apache.spark.sql.graft.VectorExpressions
           .float_dot(col("ea"), col("eb")) > minDot)
         .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.operators.Components.canonicalize(docs, pairs)
+
+    // The IMAGE near-dup route (q71's dHash banding + Hamming verify,
+    // q62's components, q63's canonicalize): for corpora whose duplication
+    // lives in pixel-space — re-encoded/re-scaled copies of the same
+    // image, the logo/banner storms of web data. Radius is declared
+    // because the 4×16-bit banding is EXACT only to Hamming 3 (pigeonhole);
+    // beyond that recall decays and the config should say so.
+    case "image_near_dedup" =>
+      val maxHamming = stage.int("maxHamming", 3)
+      val pairs = graft.queries.MultimodalOps
+        .dhashNearDupPairs(graft.queries.MultimodalOps.dhashSignatures(docs))
+        .filter(col("hamming") <= maxHamming)
+        .select("a", "b")
       graft.operators.Components.canonicalize(docs, pairs)
 
     // Reference J1 (tools/Conversions.scala:78-83): the image×caption

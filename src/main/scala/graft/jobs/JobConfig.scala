@@ -162,6 +162,9 @@ object JobConfig {
               params.get("bitsPerBand").map(_.asInstanceOf[Double].toInt).getOrElse(4)
             if (geo > 63)
               fail(s"stages[$idx] ($op): bands*bitsPerBand must be <= 63, got $geo")
+          case "image_near_dedup" =>
+            num("maxHamming")(n => n.isWhole && n >= 0 && n <= 3,
+              "must be an integer 0..3 (4x16-bit banding is exact only to 3)")
           case "multimodal_join" =>
             optStr("embeddings"); optStr("idCol"); optStr("embeddingCol")
             params.get("how").foreach {

@@ -136,6 +136,23 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == (("", 0L)))
   }
 
+  test("image_near_dedup stage canonicalizes exactly q71's image pair clusters") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    val pairs = queries.MultimodalOps.q71ImageNeardup.fn(spark, sf)
+      .select("a", "b")
+    assert(pairs.count() > 0, "corpus lost its implanted image near-dups")
+    val drop = graft.operators.Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(drop.nonEmpty)
+    val kept = CurationStages(docs, StageSpec("image_near_dedup", Map.empty))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- drop,
+      "stage must keep exactly the canonical (min-id) member per image cluster")
+  }
+
   test("assign_split stage: near-dup docs share a split, rows preserved, schema additive") {
     import graft.jobs.{CurationStages, StageSpec}
     import spark.implicits._
