@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions._
   * windows (terminal: documents → training sequences); pack = q50's
   * shard-keyed window packer; multimodal_join = reference J1's
   * image×caption equi-join (media side joined onto the flowing corpus by
-  * id, provenance columns riding through).
+  * id, provenance columns riding through); image_near_dedup = q71's
+  * dHash-banded pairs → the same components/canonicalize (duplication in
+  * pixel-space).
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
