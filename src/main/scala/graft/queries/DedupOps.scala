@@ -510,7 +510,81 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q74's near-duplicate dot threshold. The embeddings are unit-normalized
+    * (‖x‖² = 1 ± 2e-7 — see VectorOps q60), so the dot IS the cosine; 0.25
+    * is the same operating point q46's banded LSH verifies at on this
+    * corpus. Production SemDeDup runs τ ≈ 0.95+ on real encoder output —
+    * one constant, same plan.
+    */
+  private val SemTau = 0.25
+
+  /** Q74 — semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    * the embedding space with the ANN coarse quantizer (the persisted
+    * IvfCentroids codebook — trained once per corpus, shared with
+    * q42/q53/q58/q64), then look for near-duplicate pairs ONLY inside each
+    * cluster and drop the pair member more similar to its centroid,
+    * keeping the lower-centroid-similarity example per the paper's rule.
+    * The embedding-space complement to q63's token-space canonicalization:
+    * it removes paraphrase/template redundancy n-grams cannot see.
+    *
+    * Scale shape: the pair search is confined to cells — with k ∝ N/cell
+    * (the IVF sizing rule this corpus's codebook follows), per-cell work
+    * is bounded and the self-join shuffles on the cell key instead of
+    * exploding quadratically; the assignment itself is the map-only argmin
+    * over the broadcast codebook every IVF query already pays. Exact-dup
+    * storms inside one cell surface as AQE-splittable skew, and the
+    * verify dot runs only on same-cell pairs (the q21/q46 candidate
+    * discipline).
+    *
+    * Determinism: centroids are the decimal-exact persisted tables (q42's
+    * proof), every dot is the same sequential double fold in both engines,
+    * and the drop rule's (cdot, id) comparisons are over identical doubles
+    * — so the kept set is bit-stable with no quantization needed.
+    */
+  val q74Semdedup: QueryDef = QueryDef.sql(
+    "q74_semdedup",
+    s"""WITH ${VectorOps.IvfAssignCtes},
+       |w AS (
+       |  SELECT e.vec_id, e.label, e.cell, e.embedding,
+       |    ${graft.functions.VectorFunctions.DotSeqSql("e.embedding", "c.centroid")} AS cdot
+       |  FROM a1 e JOIN c1 c ON e.cell = c.c_label),
+       |p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cdot AS ca, y.cdot AS cb,
+       |    ${graft.functions.VectorFunctions.DotSeqSql("x.embedding", "y.embedding")} AS dot
+       |  FROM w x JOIN w y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
+       |  FROM p WHERE dot > $SemTau)
+       |SELECT w.vec_id, w.label, CAST(w.cell AS BIGINT) AS cell, w.cdot,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM w LEFT JOIN drops d ON w.vec_id = d.vec_id
+       |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
+    import graft.ml.KMeans
+    val emb = Tables(s, dir, "embeddings")
+    val (_, c1) = graft.sources.IvfCentroids(s, dir)
+    val cents = s.createDataFrame(c1).toDF("c_label", "centroid")
+    val w = KMeans.assignWith(emb, c1)
+      .join(broadcast(cents), col("cell") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+        col("embedding"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("centroid")).as("cdot"))
+    val x = w.select(col("vec_id").as("id_a"), col("cell"),
+      col("embedding").as("ea"), col("cdot").as("ca"))
+    val y = w.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+      col("embedding").as("eb"), col("cdot").as("cb"))
+    val drops = x.join(y, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(org.apache.spark.sql.graft.VectorExpressions
+        .float_dot(col("ea"), col("eb")) > SemTau)
+      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    w.select("vec_id", "label", "cell", "cdot")
+      .join(drops.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell"), col("cdot"),
+        col("__dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
-      q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit)
+      q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup)
 }

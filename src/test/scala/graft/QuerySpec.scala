@@ -271,6 +271,110 @@ class QuerySpec extends SparkSpec {
       "a strong near-dup pair straddled the split — q68's invariant broken")
   }
 
+  test("q73 hybrid RRF: scores recompute from ranks, dense arm consistent with q27") {
+    val rows = queries.VectorOps.q73HybridRrf.fn(spark, sf).collect()
+    assert(rows.length == 20)
+    // rrf non-increasing with doc_id tiebreak, and every score recomputes
+    // EXACTLY from its two ranks (same association order as the plan)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (l, d) = (r.getLong(1), r.getLong(2))
+      assert((l == -1L || (l >= 1L && l <= 50L)) && (d == -1L || (d >= 1L && d <= 50L)))
+      assert(l != -1L || d != -1L, "a fused row must come from at least one list")
+      val want = (if (l == -1L) 0.0 else 1.0 / (60 + l)) +
+        (if (d == -1L) 0.0 else 1.0 / (60 + d))
+      assert(r.getDouble(3) == want, s"doc ${r.getLong(0)} rrf drifted from its ranks")
+    }
+    // the dense arm must agree with q27's exact top-k ordering: q27's i-th
+    // result (same corpus, same query vector) carries dense_rank i+1
+    val q27Top = queries.VectorOps.q27DotTopk.fn(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val denseRank = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    q27Top.zipWithIndex.foreach { case (id, i) =>
+      denseRank.get(id).foreach { dr =>
+        assert(dr == i + 1L, s"vec $id: q73 dense_rank $dr vs q27 position ${i + 1}")
+      }
+    }
+  }
+
+  test("q74 semdedup: no two kept same-cell vectors over the threshold, drops witnessed") {
+    val tau = 0.25
+    val out = queries.DedupOps.q74Semdedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSeq
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val byCell = out.groupBy(_._2)
+    assert(out.exists(!_._3) && out.exists(_._3), "both kept and dropped expected")
+    byCell.values.foreach { cell =>
+      val kept = cell.filter(_._3).map(_._1)
+      // the operator's guarantee: the kept set is threshold-separated
+      for (a <- kept; b <- kept if a < b)
+        assert(dot(emb(a), emb(b)) <= tau, s"kept pair ($a,$b) over threshold")
+      // soundness: every dropped vector had a real same-cell near-dup
+      cell.filter(!_._3).map(_._1).foreach { d =>
+        assert(cell.exists(o => o._1 != d && dot(emb(d), emb(o._1)) > tau),
+          s"vec $d dropped without a same-cell witness")
+      }
+    }
+  }
+
+  test("q75 funnel: strict step order and 24h windows on a constructed timeline") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // epoch micros
+    def ts(us: Long) = new java.sql.Timestamp((t0 + us) / 1000)
+    val H = 3600L * 1000000
+    val ev = Seq(
+      // user 1: full conversion inside both windows
+      (1L, "signup", 0L), (1L, "click", 1 * H), (1L, "purchase", 2 * H),
+      // user 2: click misses the 24h window
+      (2L, "signup", 0L), (2L, "click", 25 * H),
+      // user 3: click only BEFORE signup — strict ordering rejects it
+      (3L, "click", -1 * H), (3L, "signup", 0L),
+      // user 4: clicks in-window, purchase outside the click's window
+      (4L, "signup", 0L), (4L, "click", 2 * H), (4L, "purchase", 2 * H + 25 * H),
+      // user 5: no signup at all — outside the funnel entirely
+      (5L, "click", 0L), (5L, "purchase", 1 * H),
+      // user 6: both steps exactly ON the 24h boundary (<= includes them)
+      (6L, "signup", 0L), (6L, "click", 24 * H), (6L, "purchase", 48 * H))
+      .zipWithIndex.map { case ((u, et, off), i) =>
+        (i.toLong, ts(off), u, et, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q75").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = queries.EventOps.q75Funnel.fn(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    assert(r.getDouble(3) == 3.0 / 5 && r.getDouble(4) == 2.0 / 3)
+  }
+
+  test("q76 retention: cohort by first-seen day, offsets clipped to 0..7, distinct users") {
+    import spark.implicits._
+    val day = 86400L * 1000000
+    def ts(d: Long, us: Long) = new java.sql.Timestamp((d * day + us) / 1000)
+    val ev = Seq(
+      // user 1: cohort day 10; two same-day events on day 11 dedup to one;
+      // day 20 is offset 10 — clipped
+      (1L, ts(10, 0)), (1L, ts(11, 5)), (1L, ts(11, 99)), (1L, ts(13, 0)), (1L, ts(20, 0)),
+      // user 2: cohort day 10, day-0 only
+      (2L, ts(10, 7)),
+      // user 3: cohort day 12; day 19 is offset 7 (boundary, kept), 20 clipped
+      (3L, ts(12, 0)), (3L, ts(19, 0)), (3L, ts(20, 0)))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q76").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.EventOps.q76Retention.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 0L, 2L), (10L, 1L, 1L), (10L, 3L, 1L),
+      (12L, 0L, 1L), (12L, 7L, 1L)))
+  }
+
   test("q68 leakage-safe split: one split per cluster, all docs covered, all splits hit") {
     val rows = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "documents").count())
