@@ -44,7 +44,10 @@ import org.apache.spark.sql.functions._
   * image×caption equi-join (media side joined onto the flowing corpus by
   * id, provenance columns riding through); image_near_dedup = q71's
   * dHash-banded pairs → the same components/canonicalize (duplication in
-  * pixel-space).
+  * pixel-space); semantic_dedup = q74's SemDeDup (k-means cells →
+  * within-cell pair dots → drop the higher-centroid-similarity member —
+  * duplication in embedding-space, the paraphrase complement to
+  * near_dedup's token-space pass).
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
@@ -64,6 +67,8 @@ object CurationStages {
     "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
       "bands", "bitsPerBand", "minDot"),
     "image_near_dedup" -> Set("maxHamming"),
+    "semantic_dedup" -> Set("embeddings", "idCol", "embeddingCol",
+      "clusters", "minDot"),
     "multimodal_join" -> Set("embeddings", "idCol", "embeddingCol", "how",
       "broadcast"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
@@ -168,6 +173,38 @@ object CurationStages {
         .filter(col("hamming") <= maxHamming)
         .select("a", "b")
       graft.operators.Components.canonicalize(docs, pairs)
+
+    // q74's SemDeDup (Abbas et al. 2023) as a declared stage: cluster the
+    // doc-embedding space with k-means (deterministic vec_id%k warm start,
+    // one Lloyd refinement — the KMeans discipline), find near-dup pairs
+    // ONLY within cells, drop the higher-centroid-similarity member, and
+    // cull the corresponding documents (doc_id ≡ vec_id, the doc-embedding
+    // convention). The meaning-space dedup pass that catches paraphrase
+    // redundancy after exact_dedup/near_dedup have taken the token-space
+    // copies. `clusters` is the IVF sizing knob — production sets
+    // k ∝ corpus/cell_target so per-cell pair work stays bounded.
+    case "semantic_dedup" =>
+      val embPath = stage.params.get("embeddings").map(_.asInstanceOf[String])
+        .orElse(embeddingsDefault)
+        .getOrElse(throw new IllegalArgumentException(
+          "semantic_dedup: no 'embeddings' path declared and the job " +
+            "source is not a table directory to default from"))
+      val idCol = stage.strOr("idCol", "vec_id")
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      val k = stage.int("clusters", 16)
+      val tau = stage.dbl("minDot", 0.25)
+      import graft.ml.KMeans
+      val emb = docs.sparkSession.read.parquet(embPath)
+        .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
+          lit(0).as("label"))
+      val c0 = KMeans.collectCentroids(KMeans.centroids(
+        emb.withColumn("__k", pmod(col("vec_id"), lit(k))), "__k"))
+      val c1 = KMeans.collectCentroids(KMeans.centroids(
+        KMeans.assignWith(emb, c0), "cell"))
+      val drops = graft.queries.DedupOps
+        .semdedupDrops(graft.queries.DedupOps.semdedupFrame(emb, c1), tau)
+        .select(col("vec_id").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
 
     // Reference J1 (tools/Conversions.scala:78-83): the image×caption
     // equi-join on image_id that assembles one multimodal training row.

@@ -541,6 +541,38 @@ object DedupOps {
     * and the drop rule's (cdot, id) comparisons are over identical doubles
     * — so the kept set is bit-stable with no quantization needed.
     */
+  /** q74's assignment frame: each embedding with its coarse cell and its
+    * dot to the cell centroid. Shared with the declarative `semantic_dedup`
+    * curation stage (one implementation, no forks). `emb` must carry
+    * (vec_id, label, embedding); `c1` is a trained centroid table.
+    */
+  private[graft] def semdedupFrame(emb: org.apache.spark.sql.DataFrame,
+      c1: Seq[(Long, Seq[Double])]): org.apache.spark.sql.DataFrame = {
+    val cents = emb.sparkSession.createDataFrame(c1).toDF("c_label", "centroid")
+    graft.ml.KMeans.assignWith(emb, c1)
+      .join(broadcast(cents), col("cell") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
+        col("embedding"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("centroid")).as("cdot"))
+  }
+
+  /** The SemDeDup drop set over a [[semdedupFrame]]: for every same-cell
+    * pair over `tau`, the member MORE similar to its centroid drops (ties
+    * drop the larger id). Returns one `vec_id` column.
+    */
+  private[graft] def semdedupDrops(w: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val x = w.select(col("vec_id").as("id_a"), col("cell"),
+      col("embedding").as("ea"), col("cdot").as("ca"))
+    val y = w.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+      col("embedding").as("eb"), col("cdot").as("cb"))
+    x.join(y, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(org.apache.spark.sql.graft.VectorExpressions
+        .float_dot(col("ea"), col("eb")) > tau)
+      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+  }
+
   val q74Semdedup: QueryDef = QueryDef.sql(
     "q74_semdedup",
     s"""WITH ${VectorOps.IvfAssignCtes},
@@ -559,24 +591,10 @@ object DedupOps {
        |  (d.vec_id IS NULL) AS kept
        |FROM w LEFT JOIN drops d ON w.vec_id = d.vec_id
        |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
-    import graft.ml.KMeans
     val emb = Tables(s, dir, "embeddings")
     val (_, c1) = graft.sources.IvfCentroids(s, dir)
-    val cents = s.createDataFrame(c1).toDF("c_label", "centroid")
-    val w = KMeans.assignWith(emb, c1)
-      .join(broadcast(cents), col("cell") === col("c_label"))
-      .select(col("vec_id"), col("label"), col("cell").cast("long").as("cell"),
-        col("embedding"),
-        graft.functions.VectorFunctions.dot(col("embedding"), col("centroid")).as("cdot"))
-    val x = w.select(col("vec_id").as("id_a"), col("cell"),
-      col("embedding").as("ea"), col("cdot").as("ca"))
-    val y = w.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
-      col("embedding").as("eb"), col("cdot").as("cb"))
-    val drops = x.join(y, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
-      .filter(org.apache.spark.sql.graft.VectorExpressions
-        .float_dot(col("ea"), col("eb")) > SemTau)
-      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("vec_id"))
-      .distinct()
+    val w = semdedupFrame(emb, c1)
+    val drops = semdedupDrops(w, SemTau)
     w.select("vec_id", "label", "cell", "cdot")
       .join(drops.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("cell"), col("cdot"),

@@ -178,6 +178,28 @@ object EventOps {
     * longs; the conversion ratios are one long-derived double division in
     * identical association order (guarded against 0 denominators).
     */
+  /** q75's per-user stage frame (user_id, t1, t2, t3): the funnel chain
+    * before the 1-row report collapse. Shared with the streaming twin's
+    * equality spec ([[graft.streaming.EventStreams.funnelStages]] must
+    * converge to exactly this frame).
+    */
+  private[graft] def funnelStages(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+  }
+
   val q75Funnel: QueryDef = QueryDef.sql(
     "q75_funnel",
     """WITH s1 AS (
@@ -210,20 +232,7 @@ object EventOps {
       |  CASE WHEN users_click > 0
       |       THEN CAST(users_purchase AS DOUBLE) / users_click END AS conv_purchase
       |FROM c""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("user_id"))
-    val perUser = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts"))
-      .withColumn("t1",
-        min(when(col("event_type") === "signup", col("ts"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("ts") > col("t1") &&
-          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
-          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"), col("ts"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
-    perUser
+    funnelStages(Tables(s, dir, "events"))
       .agg(
         sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("users_signup"),
         sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("users_click"),

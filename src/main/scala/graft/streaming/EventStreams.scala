@@ -247,6 +247,109 @@ object EventStreams {
       .toDF()
   }
 
+  final case class FunnelEvent(ts: java.sql.Timestamp, tsUs: Long, user_id: Long,
+      event_type: String)
+  /** Per-user funnel state: the earliest signup (µs, -1 = none), the click
+    * and purchase candidates still RELEVANT to any possible final chain
+    * (see [[funnelStages]] pruning proof), the user's max event time (idle
+    * eviction anchor) and a monotone revision counter.
+    */
+  final case class FunnelState(signupUs: Long, clicks: List[Long],
+      purchases: List[Long], maxEventUs: Long, rev: Long)
+  final case class FunnelUpdate(user_id: Long, rev: Long, t1_us: Long,
+      t2_us: Long, t3_us: Long)
+
+  /** Streaming twin of q75's funnel chain (signup → click → purchase, each
+    * step within `stepWindow`): per-user keyed state re-emits the user's
+    * current (t1, t2, t3) — µs since epoch, -1 = step not reached — with a
+    * monotone `rev`; the max-rev row per user converges to exactly batch
+    * [[graft.queries.EventOps.funnelStages]] (StreamingSpec pins the
+    * equality on the real corpus).
+    *
+    * Out-of-order correctness is the point: a late-arriving earlier signup
+    * LOWERS t1, which can validate clicks the previous chain rejected — so
+    * the state must keep candidate clicks/purchases, not just the current
+    * chain. State stays bounded by the same argument that evicts it:
+    * the watermark. A kept click `c` is relevant iff some final t1 < c can
+    * still appear; since t1 only decreases via signups newer than the
+    * watermark, `c ≤ signup` candidates die once `c ≤ watermark`, and
+    * `c > signup + stepWindow` can never validate (t1 only decreases).
+    * Purchases prune on the doubled horizon (t3 ≤ t1 + 2·stepWindow).
+    * State per user is O(events inside the funnel horizon) — the
+    * enrichAsOf class — and the whole entry evicts once the watermark
+    * passes signup + 2·stepWindow (chain provably final; for signup-less
+    * users, after `watermark` of idleness).
+    */
+  def funnelStages(events: DataFrame, stepWindow: String = "24 hours",
+      watermark: String = "48 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dUs = durationMs(stepWindow) * 1000L
+    val delayMs = durationMs(watermark)
+    def chain(st: FunnelState): (Long, Long, Long) = {
+      val t1 = st.signupUs
+      if (t1 < 0) (-1L, -1L, -1L)
+      else {
+        val t2 = st.clicks.filter(c => c > t1 && c <= t1 + dUs)
+          .minOption.getOrElse(-1L)
+        val t3 = if (t2 < 0) -1L
+        else st.purchases.filter(p => p > t2 && p <= t2 + dUs)
+          .minOption.getOrElse(-1L)
+        (t1, t2, t3)
+      }
+    }
+    def update(uid: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption
+          .getOrElse(FunnelState(-1L, Nil, Nil, Long.MinValue, 0L))
+        rows.foreach { e =>
+          st = e.event_type match {
+            case "signup" =>
+              val m = if (st.signupUs < 0) e.tsUs else math.min(st.signupUs, e.tsUs)
+              st.copy(signupUs = m, maxEventUs = math.max(st.maxEventUs, e.tsUs))
+            case "click" =>
+              st.copy(clicks = e.tsUs :: st.clicks,
+                maxEventUs = math.max(st.maxEventUs, e.tsUs))
+            case "purchase" =>
+              st.copy(purchases = e.tsUs :: st.purchases,
+                maxEventUs = math.max(st.maxEventUs, e.tsUs))
+            case _ => st.copy(maxEventUs = math.max(st.maxEventUs, e.tsUs))
+          }
+        }
+        // prune to the relevance windows (scaladoc proof): kept candidates
+        // are deduped and sorted so state is canonical per content
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val m = st.signupUs
+        def keep(horizon: Long)(c: Long): Boolean =
+          if (m >= 0) (c > m && c <= m + horizon) || (c <= m && c > wmUs)
+          else c > wmUs
+        st = st.copy(
+          clicks = st.clicks.filter(keep(dUs)).distinct.sorted,
+          purchases = st.purchases.filter(keep(2 * dUs)).distinct.sorted,
+          rev = st.rev + 1)
+        state.update(st)
+        val horizonMs =
+          if (m >= 0) (m + 2 * dUs) / 1000L + delayMs
+          else st.maxEventUs / 1000L + delayMs
+        state.setTimeoutTimestamp(
+          math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+        val (t1, t2, t3) = chain(st)
+        Iterator.single(FunnelUpdate(uid, st.rev, t1, t2, t3))
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("unix_micros(ts)").as("tsUs"),
+        col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
   /** Run a bounded stream to completion into an in-memory table and return
     * the result (test/bench harness; `availableNow` processes the whole
     * directory then stops).

@@ -153,6 +153,31 @@ class CurationSpec extends SparkSpec {
       "stage must keep exactly the canonical (min-id) member per image cluster")
   }
 
+  test("semantic_dedup stage culls exactly the SemDeDup drop set for its declared knobs") {
+    import graft.jobs.{CurationStages, StageSpec}
+    import graft.ml.KMeans
+    val docs = Tables(spark, sf, "documents")
+    val kept = CurationStages(docs,
+      StageSpec("semantic_dedup", Map("clusters" -> 8.0, "minDot" -> 0.25)),
+      embeddingsDefault = Some(s"$sf/embeddings.parquet"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-derive the expected drop set through the shared q74 core with the
+    // stage's own deterministic warm start (vec_id % clusters)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+    val c0 = KMeans.collectCentroids(KMeans.centroids(
+      emb.withColumn("__k", pmod(col("vec_id"), lit(8))), "__k"))
+    val c1 = KMeans.collectCentroids(KMeans.centroids(
+      KMeans.assignWith(emb, c0), "cell"))
+    val drops = queries.DedupOps
+      .semdedupDrops(queries.DedupOps.semdedupFrame(emb, c1), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops.nonEmpty && kept.nonEmpty)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- drops,
+      "stage must drop exactly the higher-centroid-similarity near-dup members")
+  }
+
   test("assign_split stage: near-dup docs share a split, rows preserved, schema additive") {
     import graft.jobs.{CurationStages, StageSpec}
     import spark.implicits._

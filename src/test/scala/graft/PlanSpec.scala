@@ -296,16 +296,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "windows must explode per row")
   }
 
+  test("q73: both retrieval arms end in TakeOrderedAndProject; ranking windows see 50 rows") {
+    val p = planOf(queries.VectorOps.q73HybridRrf.fn(spark, sf))
+    // two top-50 arms + the final top-20 — three TakeOrderedAndProject;
+    // each row_number window sits ABOVE its arm's TakeOrdered, so the
+    // single-partition sort only ever ranks the 50 collected rows
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 3, p.take(600))
+    assert("row_number".r.findAllIn(p).size == 2)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global corpus sort crept in — ranks must come from top-k arms")
+  }
+
+  test("q74: pair search joins on the cell key — codebook broadcast, no cartesian") {
+    val p = planOf(queries.DedupOps.q74Semdedup.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "centroid codebook must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the within-cell pair search must stay a keyed join")
+    assert(p.contains("nearest_centroid"), "assignment must be the native argmin")
+  }
+
+  test("q75: one user-keyed exchange feeds windows, collapse, and the 1-row report") {
+    val p = planOf(queries.EventOps.q75Funnel.fn(spark, sf))
+    // the chained min(when) windows and the per-user collapse all reuse ONE
+    // hashpartitioning(user_id) exchange; the only other exchange is the
+    // SinglePartition gather of the 1-row report
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(600))
+    assert(p.contains("Exchange SinglePartition"))
+    assert("partial_sum".r.findFirstIn(p).isDefined, "report must partial-agg")
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
-    // Six sites intentionally cross-join 1-to-8-row broadcast frames:
+    // Seven sites intentionally cross-join 1-to-8-row broadcast frames:
     // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out
     // query vectors), q57 (1-row mix denominator), q65/q66 (1-row stats
-    // frames). This guard keeps that list CLOSED: a refactor that
-    // introduces a BNLJ/cartesian anywhere else — or grows a
-    // scalar-broadcast site into a real cross join — must show up here
-    // and justify itself.
+    // frames), q73 (both arms' 1-row stats/query broadcasts). This guard
+    // keeps that list CLOSED: a refactor that introduces a BNLJ/cartesian
+    // anywhere else — or grows a scalar-broadcast site into a real cross
+    // join — must show up here and justify itself.
     val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
-      "q57_temperature_mix", "q65_bm25", "q66_perplexity")
+      "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = planOf(df)

@@ -375,6 +375,86 @@ class StreamingSpec extends SparkSpec {
       s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
   }
 
+  test("streaming funnel converges to batch q75 stages over a time-split two-batch run") {
+    import graft.streaming.EventStreams
+    import scala.jdk.CollectionConverters._
+    val events = Tables(spark, sf, "events")
+    val cut = events.selectExpr("unix_micros(min(ts)) + 15*86400000000").head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("funnel_stream")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, events.filter(expr(s"unix_micros(ts) < $cut")))
+    writePart("b.parquet", 20000L, events.filter(expr(s"unix_micros(ts) >= $cut")))
+    val emitted = EventStreams.runToMemory(
+      EventStreams.funnelStages(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "funnel_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val streamed = emitted.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.maxBy(_._2)._3
+    }
+    val batch = queries.EventOps.funnelStages(events)
+      .select(col("user_id"),
+        coalesce(expr("unix_micros(t1)"), lit(-1L)),
+        coalesce(expr("unix_micros(t2)"), lit(-1L)),
+        coalesce(expr("unix_micros(t3)"), lit(-1L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(streamed == batch,
+      s"streamed funnel stages diverge from batch: ${
+        (streamed.toSet -- batch.toSet).take(3)} / ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
+  test("streaming funnel: a late earlier signup revises the whole downstream chain") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val t0 = java.time.Instant.parse("2026-02-01T00:00:00Z").toEpochMilli
+    def nanos(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000000L
+    def us(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000L
+    def writeFile(dir: java.nio.file.Path, name: String, mod: Long,
+        rows: Seq[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel_rev")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), EventStreams.rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("funnel_rev_src")
+    // batch 1: chain anchored at the 120-min signup — the 60-min click and
+    // 70-min purchase are BEFORE it and rejected; click@130 makes t2
+    writeFile(dir, "a.parquet", 10000L, Seq(
+      Row(1L, nanos(120), 1L, "signup", 0.0, "{}"),
+      Row(2L, nanos(60), 1L, "click", 0.0, "{}"),
+      Row(3L, nanos(70), 1L, "purchase", 0.0, "{}"),
+      Row(4L, nanos(130), 1L, "click", 0.0, "{}")))
+    // batch 2: a LATE signup at 50 min lowers t1 — the rejected candidates
+    // become the new chain (the retained-candidate state is the point)
+    writeFile(dir, "b.parquet", 20000L, Seq(
+      Row(5L, nanos(50), 1L, "signup", 0.0, "{}")))
+    val rows = EventStreams.runToMemory(
+      EventStreams.funnelStages(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "funnel_rev_t").collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(
+      (us(120), us(130), -1L),
+      (us(50), us(60), us(70))),
+      s"revision chain wrong: ${rows.toSeq}")
+  }
+
   test("spend alert state survives micro-batches without the user's events") {
     // Regression: the timeout used to be currentWatermark+1, so a
     // sub-threshold accumulator was evicted at the first watermark advance
