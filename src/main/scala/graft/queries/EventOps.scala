@@ -200,9 +200,12 @@ object EventOps {
       .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
   }
 
-  val q75Funnel: QueryDef = QueryDef.sql(
-    "q75_funnel",
-    """WITH s1 AS (
+  /** The q75 oracle's per-user funnel CTE chain (s1/s2/s3 chained windows
+    * → u per-user stage timestamps), shared verbatim with q78's latency
+    * percentiles so the two oracles can never drift apart.
+    */
+  private[graft] val FunnelUserCtesSql: String =
+    """s1 AS (
       |  SELECT user_id, event_type, ts,
       |    min(CASE WHEN event_type = 'signup' THEN ts END)
       |      OVER (PARTITION BY user_id) AS t1
@@ -219,7 +222,11 @@ object EventOps {
       |  FROM s2),
       |u AS (
       |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
-      |  FROM s3 GROUP BY user_id),
+      |  FROM s3 GROUP BY user_id)""".stripMargin
+
+  val q75Funnel: QueryDef = QueryDef.sql(
+    "q75_funnel",
+    s"""WITH $FunnelUserCtesSql,
       |c AS (
       |  SELECT
       |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_signup,
@@ -281,7 +288,53 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Q78 — funnel step-latency percentiles: p25/p50/p75 of
+    * signup→click and click→purchase conversion time over q75's per-user
+    * stage frame (shared CTEs/core — the two operators cannot drift).
+    * The "how fast do converters convert" dashboard next to q75's "how
+    * many convert".
+    *
+    * Determinism: latencies are exact µs longs (timestamp subtraction);
+    * percentiles run on the native PercentileLong aggregate at dyadic
+    * percentages only (q59's rule — the R-7 interpolation is then exact
+    * in both engines). Plan shape: q75's single user-keyed exchange, then
+    * two O(users) aggregates to 1-row frames.
+    */
+  val q78FunnelLatency: QueryDef = QueryDef.sql(
+    "q78_funnel_latency",
+    s"""WITH $FunnelUserCtesSql,
+      |l1 AS (
+      |  SELECT 'signup_to_click' AS step, count(*) AS n_users,
+      |    quantile_cont(epoch_us(t2) - epoch_us(t1), 0.25) AS p25_us,
+      |    quantile_cont(epoch_us(t2) - epoch_us(t1), 0.5) AS p50_us,
+      |    quantile_cont(epoch_us(t2) - epoch_us(t1), 0.75) AS p75_us
+      |  FROM u WHERE t2 IS NOT NULL),
+      |l2 AS (
+      |  SELECT 'click_to_purchase' AS step, count(*) AS n_users,
+      |    quantile_cont(epoch_us(t3) - epoch_us(t2), 0.25) AS p25_us,
+      |    quantile_cont(epoch_us(t3) - epoch_us(t2), 0.5) AS p50_us,
+      |    quantile_cont(epoch_us(t3) - epoch_us(t2), 0.75) AS p75_us
+      |  FROM u WHERE t3 IS NOT NULL)
+      |SELECT step, CAST(n_users AS BIGINT) AS n_users, p25_us, p50_us, p75_us
+      |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.PercentileLong.percentile_long
+    val st = funnelStages(Tables(s, dir, "events"))
+    def step(name: String, from: String, to: String) =
+      st.filter(col(to).isNotNull)
+        .select((expr(s"unix_micros($to)") - expr(s"unix_micros($from)")).as("d_us"))
+        .agg(count(lit(1)).as("n_users"),
+          percentile_long(col("d_us"), 0.25).as("p25_us"),
+          percentile_long(col("d_us"), 0.5).as("p50_us"),
+          percentile_long(col("d_us"), 0.75).as("p75_us"))
+        .select(lit(name).as("step"), col("n_users"), col("p25_us"),
+          col("p50_us"), col("p75_us"))
+    step("signup_to_click", "t1", "t2")
+      .unionByName(step("click_to_purchase", "t2", "t3"))
+      .orderBy("step")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract, q41SlidingWindow,
-    q75Funnel, q76Retention)
+    q75Funnel, q76Retention, q78FunnelLatency)
 }

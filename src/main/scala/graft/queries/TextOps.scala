@@ -553,6 +553,87 @@ object TextOps {
     }
   }
 
+  /** Q77 — sparse lexical cosine kNN over an inverted index ("related
+    * documents"): the query is document 0's own term vector, candidates
+    * come from POSTING-LIST joins (only docs sharing an indexed term are
+    * ever touched), and ranking is exact tf-cosine over the indexed
+    * vocabulary. The retrieval complement to q65 (whose query terms are
+    * fixed) and q27 (dense): here the query vocabulary is data-derived
+    * and the index is the classic IR inverted file.
+    *
+    * Terms are word-BIGRAM fingerprints (q21's fused `shingle_hashes` —
+    * 8-byte keys, no bigram strings allocated), because this corpus's
+    * unigram vocabulary is ~31 words each present in ~78% of documents:
+    * unigrams carry no discrimination here, bigrams do. The index drops
+    * terms in more than 10% of the corpus (the classic max_df stopword
+    * rule) — the idf role AND the posting-list skew bound in one
+    * mechanism, and FRACTIONAL so it holds at any scale factor.
+    *
+    * Scale shape: tf build is one (doc, term) aggregation; the max_df
+    * rule bounds every posting list to N/10 (production tightens the
+    * fraction — same plan), so the candidate join fans out at most
+    * |q terms| × cap rows; query terms broadcast (one document's
+    * vocabulary); norms co-key with the tf build; the corpus count joins
+    * the VOCABULARY dimension as a 1-row broadcast. No dense scan, no
+    * pair stage — the read is proportional to the query's posting mass,
+    * exactly like a Lucene query.
+    *
+    * Determinism: tf/df/N/norms are exact longs (the max_df rule plays
+    * idf's down-weighting role, so NO transcendental enters the score);
+    * cosine = num / (√n2_d · √n2_q) over identical longs — IEEE sqrt is
+    * correctly rounded, so the doubles are bit-identical cross-engine
+    * with no quantization needed.
+    */
+  val q77LexicalKnn: QueryDef = QueryDef.sql(
+    "q77_lexical_knn",
+    s"""WITH tf AS (
+       |  SELECT doc_id, fp AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, ${FingerprintSql("s")} AS fp
+       |        FROM (SELECT doc_id, ${graft.functions.TextFunctions.WordBigramsOverT} AS bg
+       |              FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s))
+       |  GROUP BY doc_id, fp),
+       |df AS (SELECT term FROM tf GROUP BY term
+       |       HAVING count(*) * 10 <= (SELECT count(*) FROM documents)),
+       |kept AS (SELECT tf.* FROM tf JOIN df USING (term)),
+       |nrm AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id),
+       |q AS (SELECT term, tf AS qtf FROM kept WHERE doc_id = 0),
+       |num AS (
+       |  SELECT k.doc_id, CAST(sum(k.tf * q.qtf) AS BIGINT) AS num
+       |  FROM kept k JOIN q USING (term) WHERE k.doc_id <> 0 GROUP BY k.doc_id),
+       |qn AS (SELECT n2 AS qn2 FROM nrm WHERE doc_id = 0)
+       |SELECT n.doc_id, n.num,
+       |  CAST(n.num AS DOUBLE) / (sqrt(CAST(m.n2 AS DOUBLE)) * sqrt(CAST(q2.qn2 AS DOUBLE))) AS cosine
+       |FROM num n JOIN nrm m USING (doc_id), qn q2
+       |ORDER BY cosine DESC, doc_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfKept = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select("term")
+    val kept = tf.join(dfKept, "term")
+    val nrm = kept.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val q = kept.filter(col("doc_id") === 0).select(col("term"), col("tf").as("qtf"))
+    val num = kept.filter(col("doc_id") =!= 0)
+      .join(broadcast(q), "term")
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("qtf")).as("num"))
+    val qn = nrm.filter(col("doc_id") === 0).select(col("n2").as("qn2"))
+    num.join(nrm, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), col("num"),
+        (col("num").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** q66's vocabulary size: the unigram LM keeps the top-V corpus tokens
     * plus ONE out-of-vocabulary bucket. V bounds the per-row work (V
     * codegen'd array passes per document) and the score expression's term
@@ -720,5 +801,5 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
-    q61HeavyHitters, q65Bm25, q66Perplexity)
+    q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn)
 }

@@ -325,6 +325,13 @@ class PlanSpec extends SparkSpec {
     assert("partial_sum".r.findFirstIn(p).isDefined, "report must partial-agg")
   }
 
+  test("q77: fused shingle hashing in the scan, query terms broadcast, top-k bounded") {
+    val p = planOf(queries.TextOps.q77LexicalKnn.fn(spark, sf))
+    assert(p.contains("shingle_hashes"), "bigram terms must hash natively in the scan")
+    assert(p.contains("BroadcastExchange"), "query-term posting probe must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
     // Seven sites intentionally cross-join 1-to-8-row broadcast frames:
     // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out
@@ -334,7 +341,8 @@ class PlanSpec extends SparkSpec {
     // anywhere else — or grows a scalar-broadcast site into a real cross
     // join — must show up here and justify itself.
     val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
-      "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf")
+      "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
+      "q77_lexical_knn") // q77: 1-row corpus count onto the vocab dimension + 1-row query norm
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = planOf(df)

@@ -353,6 +353,60 @@ class QuerySpec extends SparkSpec {
     assert(r.getDouble(3) == 3.0 / 5 && r.getDouble(4) == 2.0 / 3)
   }
 
+  test("q77 lexical kNN: an exact duplicate ranks first at cosine ~1 on a constructed corpus") {
+    import spark.implicits._
+    // 36 filler docs with unique vocabularies keep every real term under
+    // the max_df 10% rule (df·10 ≤ N needs N ≥ 10·df); doc 90 duplicates
+    // the query doc 0, doc 91 half-overlaps, doc 92 is disjoint
+    val filler = (1 to 36).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}a w${i}b"))
+    val docs = (filler ++ Seq(
+      (0L, "alpha beta gamma delta alpha beta"),
+      (90L, "alpha beta gamma delta alpha beta"),
+      (91L, "alpha beta zzz yyy xxx www"),
+      (92L, "qqq rrr sss ttt uuu vvv")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q77").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.TextOps.q77LexicalKnn.fn(spark, dir).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getLong(0) == 90L, s"exact duplicate must rank first: ${out.toSeq}")
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-12)
+    // the half-overlap doc appears, the disjoint doc cannot (posting join)
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.contains(91L) && !ids.contains(92L),
+      s"posting-list candidates wrong: $ids")
+    // cosines non-increasing, all in (0, 1 + ulp]
+    val cs = out.map(_.getDouble(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(cs.forall(c => c > 0.0 && c <= 1.0 + 1e-12))
+  }
+
+  test("q78 funnel latency: exact R-7 percentiles on a constructed latency set") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def ts(us: Long) = new java.sql.Timestamp((t0 + us) / 1000)
+    val M = 60L * 1000000
+    // four converting users with signup→click latencies 10/20/30/40 min;
+    // one user converts through purchase 5 min after the click
+    val ev = (1 to 4).flatMap { u =>
+      Seq((u.toLong, "signup", 0L), (u.toLong, "click", u * 10 * M)) ++
+        (if (u == 1) Seq((u.toLong, "purchase", u * 10 * M + 5 * M)) else Nil)
+    }.zipWithIndex.map { case ((u, et, off), i) =>
+      (i.toLong, ts(off), u, et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q78").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.EventOps.q78FunnelLatency.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // R-7 on [10,20,30,40] min: rank p·(n−1) → p25 = 17.5, p50 = 25, p75 = 32.5
+    assert(got.toSeq == Seq(
+      ("click_to_purchase", 1L, 5.0 * M, 5.0 * M, 5.0 * M),
+      ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
+  }
+
   test("q76 retention: cohort by first-seen day, offsets clipped to 0..7, distinct users") {
     import spark.implicits._
     val day = 86400L * 1000000
