@@ -559,18 +559,48 @@ object DedupOps {
   /** The SemDeDup drop set over a [[semdedupFrame]]: for every same-cell
     * pair over `tau`, the member MORE similar to its centroid drops (ties
     * drop the larger id). Returns one `vec_id` column.
+    *
+    * Exact-dup storms (q39's cluster-before-band discipline): identical
+    * embeddings COLLAPSE to one representative before the pair stage, so
+    * a vector duplicated 10⁶ times contributes one row to the quadratic
+    * join instead of 10¹² pairs. This is semantics-preserving, which the
+    * unchanged pairwise oracle proves on every run: within an identical
+    * group all cdots are equal, so the pairwise rule keeps exactly the
+    * min id (when the group's self-dot clears `tau` — the gate below) and
+    * any cross-group pair drops either ALL of one group (cdot differs /
+    * rep-id tie) — the rep-level decision expanded back to members.
+    * SkewSpec drives the 2000-identical-vector storm and asserts the pair
+    * join's own metrics stayed collapsed. Grouping keys carry the
+    * embedding itself at test scale; a 100 TB deployment pre-hashes the
+    * vector bytes to a 128-bit content key (collision-negligible) so the
+    * exchange stays narrow.
     */
   private[graft] def semdedupDrops(w: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
-    val x = w.select(col("vec_id").as("id_a"), col("cell"),
+    val selfDot = org.apache.spark.sql.graft.VectorExpressions
+      .float_dot(col("embedding"), col("embedding"))
+    val grp = w.groupBy(col("cell"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"), min(col("cdot")).as("cdot"))
+    val x = grp.select(col("rep").as("id_a"), col("cell"),
       col("embedding").as("ea"), col("cdot").as("ca"))
-    val y = w.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+    val y = grp.select(col("rep").as("id_b"), col("cell").as("cell_b"),
       col("embedding").as("eb"), col("cdot").as("cb"))
-    x.join(y, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+    val repDrops = x
+      .join(y, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
       .filter(org.apache.spark.sql.graft.VectorExpressions
         .float_dot(col("ea"), col("eb")) > tau)
-      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("vec_id"))
+      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("rep"))
       .distinct()
+    val wr = w.join(grp.select(col("cell"), col("embedding"), col("rep")),
+      Seq("cell", "embedding"))
+    // (a) non-representative members of an identical group whose self-dot
+    // clears tau (the pairwise rule keeps only the min id); (b) every
+    // member of a group whose representative lost a cross-group pair
+    val selfDup = wr
+      .filter(col("vec_id") =!= col("rep") && selfDot > tau)
+      .select("vec_id")
+    val crossDrops = wr.join(repDrops, "rep").select("vec_id")
+    selfDup.union(crossDrops).distinct()
   }
 
   val q74Semdedup: QueryDef = QueryDef.sql(

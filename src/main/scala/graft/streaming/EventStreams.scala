@@ -350,6 +350,57 @@ object EventStreams {
       .toDF()
   }
 
+  final case class RetEvent(ts: java.sql.Timestamp, day: Long, user_id: Long)
+  final case class RetState(cohort: Long, days: List[Long], rev: Long)
+  final case class RetUpdate(user_id: Long, rev: Long, cohort_day: Long,
+      day_offset: Long)
+
+  /** Streaming twin of q76's retention input: per-user keyed state tracks
+    * the first-seen epoch day (the cohort) and the distinct active days
+    * inside the offset horizon, re-emitting the user's CURRENT
+    * (cohort_day, day_offset) set with a monotone `rev` — the max-rev rows
+    * per user aggregate to exactly batch q76 (StreamingSpec pins it). A
+    * late-arriving EARLIER event lowers the cohort and shifts every
+    * offset, which is why the state keeps the day set, not the emitted
+    * offsets.
+    *
+    * State is O(users) × ≤(maxOffset+1) longs and deliberately has NO
+    * eviction: first-seen is a permanent user dimension — evicting and
+    * re-admitting a user would restart their cohort and diverge from
+    * batch (whereas keeping it, days beyond cohort+maxOffset are clipped
+    * identically by both). The kept day list is bounded by construction:
+    * days outside [cohort, cohort+maxOffset] prune on every update.
+    */
+  def retentionDays(events: DataFrame, maxOffset: Int = 7,
+      watermark: String = "48 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def update(uid: Long, rows: Iterator[RetEvent],
+        state: GroupState[RetState]): Iterator[RetUpdate] = {
+      val newDays = rows.map(_.day).toList
+      if (newDays.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption.getOrElse(RetState(Long.MaxValue, Nil, 0L))
+        val cohort = math.min(prev.cohort, newDays.min)
+        val days = (prev.days ++ newDays)
+          .filter(d => d >= cohort && d <= cohort + maxOffset)
+          .distinct.sorted
+        val st = RetState(cohort, days, prev.rev + 1)
+        state.update(st)
+        days.iterator.map(d => RetUpdate(uid, st.rev, cohort, d - cohort))
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .as[RetEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Run a bounded stream to completion into an in-memory table and return
     * the result (test/bench harness; `availableNow` processes the whole
     * directory then stops).

@@ -86,4 +86,36 @@ class SkewSpec extends SparkSpec {
     assert(gens.forall(_ <= 16L * n),
       s"some expansion outgrew the linear bound: $gens")
   }
+
+  test("q74 hot cell: identical-embedding collapse keeps the pair join sub-quadratic") {
+    import spark.implicits._
+    val n = 2000
+    val dim = 16
+    // 1990 exact copies of one vector + 10 mutually-orthogonal distinct
+    // vectors, ALL forced into ONE cell (a single zero centroid) — the
+    // exact-dup storm profile. Uncollapsed, the within-cell pair join
+    // would emit ~C(2000,2) ≈ 2M rows; collapsed it pairs 11
+    // representatives (55 rows).
+    def basis(j: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(j) = 1.0f; a
+    }
+    val emb = ((0 until n - 10).map(i => (i.toLong, basis(0))) ++
+      (0 until 10).map(j => ((n - 10 + j).toLong, basis(j + 1))))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val c1: Seq[(Long, Seq[Double])] = Seq((0L, Seq.fill(dim)(0.0)))
+    val drops = graft.queries.DedupOps.semdedupDrops(
+      graft.queries.DedupOps.semdedupFrame(emb, c1), 0.25)
+    val dropped = drops.collect().map(_.getLong(0)).toSet
+    // semantics under the storm: the pairwise rule keeps the min-id copy
+    // (self-dot 1 > tau, cdots all equal) and every orthogonal vector
+    assert(dropped == (1L until (n - 10).toLong).toSet,
+      s"expected exactly the non-canonical copies dropped; got ${dropped.size} drops")
+    // the executed joins stayed collapsed: every join node's output is
+    // O(n), nowhere near the ~2M uncollapsed pair volume
+    val joins = metric(drops.queryExecution.executedPlan, "Join")
+    assert(joins.nonEmpty)
+    assert(joins.forall(_ <= 3L * n),
+      s"a join emitted beyond the collapsed bound: $joins")
+  }
 }

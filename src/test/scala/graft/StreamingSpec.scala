@@ -455,6 +455,41 @@ class StreamingSpec extends SparkSpec {
       s"revision chain wrong: ${rows.toSeq}")
   }
 
+  test("streaming retention days converge to batch q76 over a time-split two-batch run") {
+    import graft.streaming.EventStreams
+    import scala.jdk.CollectionConverters._
+    val events = Tables(spark, sf, "events")
+    val cut = events.selectExpr("unix_micros(min(ts)) + 15*86400000000").head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("ret_stream")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ret_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, events.filter(expr(s"unix_micros(ts) < $cut")))
+    writePart("b.parquet", 20000L, events.filter(expr(s"unix_micros(ts) >= $cut")))
+    val emitted = EventStreams.runToMemory(
+      EventStreams.retentionDays(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "ret_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // max-rev snapshot per user is that user's final (cohort, offsets) set
+    val finalPairs = emitted.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val maxRev = rs.map(_._2).max
+      rs.filter(_._2 == maxRev).map(r => (r._3, r._4))
+    }
+    val streamed = finalPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = queries.EventOps.q76Retention.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed retention diverges: ${(streamed.toSet -- batch.toSet).take(3)} / ${
+        (batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("spend alert state survives micro-batches without the user's events") {
     // Regression: the timeout used to be currentWatermark+1, so a
     // sub-threshold accumulator was evicted at the first watermark advance
