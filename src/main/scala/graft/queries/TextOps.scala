@@ -571,12 +571,13 @@ object TextOps {
     *
     * Scale shape: tf build is one (doc, term) aggregation; the max_df
     * rule bounds every posting list to N/10 (production tightens the
-    * fraction — same plan), so the candidate join fans out at most
-    * |q terms| × cap rows; query terms broadcast (one document's
-    * vocabulary); norms co-key with the tf build; the corpus count joins
-    * the VOCABULARY dimension as a 1-row broadcast. No dense scan, no
-    * pair stage — the read is proportional to the query's posting mass,
-    * exactly like a Lucene query.
+    * fraction — same plan); the query's term vector is ONE document's
+    * capped vocabulary, collected driver-side (the q42 query-vector
+    * discipline) and fused into the norm aggregation as a map literal —
+    * num and n² compute in a single groupBy(doc) pass, `num > 0`
+    * reproducing the posting-join semantics exactly; the corpus count
+    * joins the VOCABULARY dimension as a 1-row broadcast. Two corpus
+    * passes total, no dense scan, no pair stage.
     *
     * Determinism: tf/df/N/norms are exact longs (the max_df rule plays
     * idf's down-weighting role, so NO transcendental enters the score);
@@ -618,13 +619,22 @@ object TextOps {
       .filter(col("df") * 10 <= col("n_docs"))
       .select("term")
     val kept = tf.join(dfKept, "term")
-    val nrm = kept.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-    val q = kept.filter(col("doc_id") === 0).select(col("term"), col("tf").as("qtf"))
-    val num = kept.filter(col("doc_id") =!= 0)
-      .join(broadcast(q), "term")
-      .groupBy(col("doc_id")).agg(sum(col("tf") * col("qtf")).as("num"))
-    val qn = nrm.filter(col("doc_id") === 0).select(col("n2").as("qn2"))
-    num.join(nrm, "doc_id")
+    // the query is ONE document's capped vocabulary — collect it (the q42
+    // query-vector discipline: a driver-side dimension, not corpus data)
+    // and fuse the posting probe INTO the norm aggregation, so the whole
+    // query is two corpus passes: (1) the query-term slice, (2) one
+    // groupBy(doc) computing num and n2 together. `num > 0` IS the
+    // posting-join semantics (tf and qtf are positive), so only docs
+    // sharing an indexed term survive — identical to the oracle's join.
+    val qTerms: Map[Long, Long] = kept.filter(col("doc_id") === 0)
+      .select(col("term"), col("tf")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qMap = typedLit(qTerms)
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"),
+        sum(col("tf") * coalesce(element_at(qMap, col("term")), lit(0L))).as("num"))
+    val qn = agg.filter(col("doc_id") === 0).select(col("n2").as("qn2"))
+    agg.filter(col("doc_id") =!= 0 && col("num") > 0)
       .crossJoin(broadcast(qn))
       .select(col("doc_id"), col("num"),
         (col("num").cast("double") /

@@ -325,10 +325,13 @@ class PlanSpec extends SparkSpec {
     assert("partial_sum".r.findFirstIn(p).isDefined, "report must partial-agg")
   }
 
-  test("q77: fused shingle hashing in the scan, query terms broadcast, top-k bounded") {
+  test("q77: fused shingle hashing in the scan, map-literal probe, top-k bounded") {
     val p = planOf(queries.TextOps.q77LexicalKnn.fn(spark, sf))
     assert(p.contains("shingle_hashes"), "bigram terms must hash natively in the scan")
-    assert(p.contains("BroadcastExchange"), "query-term posting probe must broadcast")
+    // the query's term vector is a collected map LITERAL fused into the
+    // norm aggregation (num and n2 in ONE groupBy) — no posting-join pass
+    assert(p.contains("element_at"), "query-term probe must be the fused map literal")
+    assert(p.contains("BroadcastExchange"), "the 1-row query norm must broadcast")
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
   }
 
