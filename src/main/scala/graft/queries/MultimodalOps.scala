@@ -244,6 +244,87 @@ object MultimodalOps {
       .orderBy("doc_id", "win")
   }
 
+  /** Q79 — video shot-boundary detection: the video-modality member of
+    * the perceptual family (image q71, audio q72). A "video" is the
+    * deterministic frame sequence of its document's normalized byte
+    * stream — consecutive 96-byte windows, each the SAME fixed 12×8
+    * grayscale thumbnail q71 fakes for images — and every frame gets the
+    * REAL native dHash-64 (identical toGray/resizeNearest kernel chain).
+    * A shot cut falls between consecutive frames whose hash Hamming
+    * distance exceeds 24 of 64 bits (the corpus' step distribution spans
+    * 18–45, median 32 — the threshold sits at its lower quintile so both
+    * outcomes occur; real footage shows near-0 within shots, which the
+    * spec pins on a constructed repeated-frame video). Per video:
+    * frame count, cut count, max step.
+    *
+    * Scale shape: MAP-ONLY like q72 — per-row `transform` computes the
+    * frame-hash array, `zip_with` the consecutive Hamming steps, and the
+    * counters are array folds; no shuffle but the output sort, linear in
+    * total video bytes. The per-frame hash chain is the shot-segmentation
+    * front of a video dedup pipeline (segment → keyframe per shot → q71
+    * banding over keyframes).
+    *
+    * Determinism: every quantity is integer (hash bits, XOR popcounts,
+    * counts) — the oracle recomputes the per-frame hashes from the same
+    * bytes through q71's SQL kernel mirror with a per-frame offset.
+    */
+  val q79VideoShots: QueryDef = {
+    def hiLo(lo0: Int, hi0: Int) =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         #      [CASE WHEN gv[(i // 8) * 9 + (i % 8) + 1] < gv[(i // 8) * 9 + (i % 8) + 2]
+         #            THEN 1::BIGINT ELSE 0::BIGINT END for i in range($lo0, $hi0)]),
+         #      (a, b) -> a * 2 + b)""".stripMargin('#')
+    QueryDef.sql(
+      "q79_video_shots",
+      s"""WITH img AS (
+         |  SELECT doc_id,
+         |    [unicode(ch) % 256 for ch in
+         |     regexp_extract_all(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '.')] AS px
+         |  FROM documents
+         |  WHERE length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) >= 192),
+         |fr AS (
+         |  SELECT doc_id, s,
+         |    [px[s*96 + (i // 9) * 12 + ((i % 9) * 12) // 9 + 1] for i in range(0, 72)] AS gv
+         |  FROM img, unnest(range(0, len(px) // 96)) AS t(s)),
+         |sig AS (
+         |  SELECT doc_id, s, ${hiLo(0, 32)} AS hi, ${hiLo(32, 64)} AS lo
+         |  FROM fr),
+         |steps AS (
+         |  SELECT doc_id, s,
+         |    bit_count(xor(hi, lag(hi) OVER w)) + bit_count(xor(lo, lag(lo) OVER w)) AS step
+         |  FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY s))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN step > 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(max(step) AS BIGINT) AS max_step
+         |FROM steps GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      videoShotStats(Tables(s, dir, "documents"))
+    }
+  }
+
+  /** q79's core over any documents-shaped frame — factored so a curation
+    * chain or spec can drive it on constructed frame sequences.
+    */
+  private[graft] def videoShotStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+      .filter(length(col("norm")) >= 192)
+      .select(col("doc_id"), encode(col("norm"), "UTF-8").as("data"))
+      .withColumn("nf", expr("octet_length(data) div 96"))
+      .withColumn("hashes",
+        transform(sequence(lit(0), col("nf") - 1),
+          i => org.apache.spark.sql.graft.ImageExpressions.dhash64(
+            col("data").substr(i * lit(96) + lit(1), lit(96)),
+            lit(1), lit(8), lit(12))))
+      .withColumn("steps", expr(
+        "zip_with(slice(hashes, 1, nf - 1), slice(hashes, 2, nf - 1), " +
+          "(a, b) -> bit_count(a ^ b))"))
+      .select(col("doc_id"), col("nf").cast("long").as("n_frames"),
+        expr("size(filter(steps, s -> s > 24))").cast("long").as("n_cuts"),
+        expr("array_max(steps)").cast("long").as("max_step"))
+      .orderBy("doc_id")
+
   val all: Seq[QueryDef] = Seq(q33MultimodalMeta, q71ImageNeardup,
-    q72AudioFeatures)
+    q72AudioFeatures, q79VideoShots)
 }

@@ -335,6 +335,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
   }
 
+  test("q79: video shot detection is map-only — no join, no aggregate, fused frame hashing") {
+    val p = planOf(queries.MultimodalOps.q79VideoShots.fn(spark, sf))
+    assert(p.contains("dhash64"), "frame hashing must be the native kernel")
+    assert(!p.contains("Join"), "per-video stats must not join")
+    assert(!p.contains("HashAggregate"), "per-video stats are array folds, not aggregates")
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
     // Seven sites intentionally cross-join 1-to-8-row broadcast frames:
     // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out

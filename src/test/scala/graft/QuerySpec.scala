@@ -407,6 +407,33 @@ class QuerySpec extends SparkSpec {
       ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
   }
 
+  test("q79 video shots: repeated frames make one shot, the cut lands at the content change") {
+    import spark.implicits._
+    // frame A: constant bytes → flat gradient → dHash 0; frame B: ascending
+    // rows → every horizontal gradient bit set → dHash all-ones. Hamming
+    // A↔A = 0 (same shot), A↔B = 64 (a cut).
+    val fA = "a" * 96
+    val fB = "abcdefghijkl" * 8
+    val docs = Seq(
+      (1L, fA + fA + fA + fB + fB),            // AAABB → 1 cut, 5 frames
+      (2L, fA * 4),                            // one static shot, 0 cuts
+      (3L, fA + fB + fA + fB),                 // ABAB → 3 cuts
+      (4L, fA + fB + ("z" * 50)),              // partial tail frame ignored
+      (5L, fA))                                // single frame → excluded
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q79").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.MultimodalOps.q79VideoShots.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((5L, 1L, 64L)),
+      2L -> ((4L, 0L, 0L)),
+      3L -> ((4L, 3L, 64L)),
+      4L -> ((2L, 1L, 64L))), out.toString)
+  }
+
   test("q76 retention: cohort by first-seen day, offsets clipped to 0..7, distinct users") {
     import spark.implicits._
     val day = 86400L * 1000000
