@@ -298,7 +298,7 @@ object MultimodalOps {
          |  CAST(max(step) AS BIGINT) AS max_step
          |FROM steps GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      videoShotStats(Tables(s, dir, "documents"))
+      videoShotStats(Tables(s, dir, "documents")).orderBy("doc_id")
     }
   }
 
@@ -323,7 +323,8 @@ object MultimodalOps {
       .select(col("doc_id"), col("nf").cast("long").as("n_frames"),
         expr("size(filter(steps, s -> s > 24))").cast("long").as("n_cuts"),
         expr("array_max(steps)").cast("long").as("max_step"))
-      .orderBy("doc_id")
+  // (no sort here: the streaming twin reuses this core and a streaming
+  // plan cannot carry a global orderBy — q79's fn adds the output order)
 
   val all: Seq[QueryDef] = Seq(q33MultimodalMeta, q71ImageNeardup,
     q72AudioFeatures, q79VideoShots)

@@ -707,11 +707,15 @@ object TextOps {
     // job count — both subtrees read the persisted `f`, so the fused plan
     // costs the same two partial aggregates, one fewer job/exchange.
     val dims = vrow.crossJoin(stats)
+    // ONE token-array pass computes all V counts (native tf_counts): the
+    // previous form ran V array_remove scans — V allocations per row —
+    // and was the scoring pass's hot loop. Values are identical exact
+    // longs, so the oracle keeps its V list_filter formulation.
     val withTf = f.crossJoin(broadcast(dims))
+      .withColumn("tfs", org.apache.spark.sql.graft.TextExpressions
+        .tf_counts(col("t"), col("vw")))
       .select(Seq(col("doc_id"), col("dl"), col("vc"), col("total")) ++
-        (1 to V).map(i =>
-          (size(col("t")) - size(array_remove(col("t"), element_at(col("vw"), i))))
-            .cast("long").as(s"tf_$i")): _*)
+        (1 to V).map(i => element_at(col("tfs"), i).as(s"tf_$i")): _*)
     val tfSum = (1 to V).map(i => col(s"tf_$i")).reduce(_ + _)
     val vcSum = (1 to V).map(i => element_at(col("vc"), i)).reduce(_ + _)
     val totalD = col("total").cast("double")

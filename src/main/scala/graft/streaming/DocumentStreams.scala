@@ -308,6 +308,16 @@ object DocumentStreams {
       stride: Int = 48): DataFrame =
     graft.queries.PipelineOps.chunked(docs, chunkTokens, stride)
 
+  /** Streaming twin of q79's video shot detection — stateless per-row
+    * (the frame-hash chain and cut counters are array folds inside one
+    * row), delegating to the SAME
+    * [[graft.queries.MultimodalOps.videoShotStats]] core minus its batch
+    * output sort, so the micro-batch boundary is invisible by
+    * construction.
+    */
+  def videoShotStats(docs: DataFrame): DataFrame =
+    graft.queries.MultimodalOps.videoShotStats(docs)
+
   def heavyHitterCells(docs: DataFrame): DataFrame = {
     import graft.queries.TextOps.{CmsA, CmsB, CmsP, CmsW}
     val sh = docs.select(col("doc_id"), explode(array_distinct(

@@ -146,6 +146,32 @@ object ExprKernels {
     hits
   }
 
+  /** Per-word occurrence counts (see TfCounts): counts of each element of
+    * `words` in `toks`, one traversal of `toks` against a |words|-sized
+    * hash map. Duplicate words copy the first occurrence's count.
+    */
+  def tfCounts(toks: ArrayData, words: ArrayData): ArrayData = {
+    val m = words.numElements()
+    val out = new Array[Long](m)
+    val idx = new java.util.HashMap[UTF8String, Integer](m * 2)
+    var j = 0
+    while (j < m) { idx.putIfAbsent(words.getUTF8String(j), j); j += 1 }
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val p = idx.get(toks.getUTF8String(i))
+      if (p != null) out(p) += 1
+      i += 1
+    }
+    j = 0
+    while (j < m) {
+      val p = idx.get(words.getUTF8String(j))
+      if (p != j) out(j) = out(p)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ length(x) over a token array in code points (see TokenLengthSum) —
     * `aggregate(t, 0L, (a, x) -> a + length(x))` without the fold lambda.
     */

@@ -60,6 +60,11 @@ object GraftExtensions {
       }),
     ("token_length_sum", classOf[TokenLengthSum].getName,
       (c: Seq[Expression]) => TokenLengthSum(c.head)),
+    ("tf_counts", classOf[TfCounts].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(toks, words) => TfCounts(toks, words)
+        case _ => throw new IllegalArgumentException("tf_counts(tokens, words)")
+      }),
     ("ws_token_count", classOf[WsTokenCount].getName,
       (c: Seq[Expression]) => WsTokenCount(c.head)),
     ("bpeish_token_count", classOf[BpeishTokenCount].getName,

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -109,6 +109,37 @@ case class TokensInSet(child: Expression, set: Seq[String])
     copy(child = newChild)
 }
 
+/** Per-word occurrence counts of `words` in `tokens`, ONE pass over the
+  * token array — the fused form of V × `size(t) − size(array_remove(t, w))`
+  * (q66's scoring hot loop: 16 full-array scans AND 16 array allocations
+  * per row collapse to a single traversal against a tiny hash map).
+  * `words` is a runtime column (the broadcast vocab row), so the map
+  * builds per row — O(|words|), trivial next to the token scan. Duplicate
+  * words receive identical counts. Equivalence to the array_remove
+  * formulation is property-tested (TextFunctionsSpec).
+  */
+case class TfCounts(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tf_counts"
+
+  override def nullSafeEval(toks: Any, words: Any): Any =
+    ExprKernels.tfCounts(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      words.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"org.apache.spark.sql.graft.ExprKernels.tfCounts($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `aggregate(tokens, 0L, (a, x) -> a + length(x))` as a native sum —
   * same CodegenFallback motivation as [[TokensInSet]].
   */
@@ -191,6 +222,11 @@ object TextExpressions {
   /** One-pass count of tokens contained in a small literal set. */
   def tokens_in_set(c: Column, set: Seq[String]): Column =
     ExpressionUtils.column(TokensInSet(ExpressionUtils.expression(c), set))
+
+  /** Per-word occurrence counts of `words` in `tokens`, one pass. */
+  def tf_counts(tokens: Column, words: Column): Column =
+    ExpressionUtils.column(TfCounts(
+      ExpressionUtils.expression(tokens), ExpressionUtils.expression(words)))
 
   /** Σ length(token) in code points, as a native fold. */
   def token_length_sum(c: Column): Column =

@@ -238,8 +238,9 @@ class PlanSpec extends SparkSpec {
   test("q66: vocab + totals broadcast back; scoring pass never shuffles the corpus") {
     val p = planOf(queries.TextOps.q66Perplexity.fn(spark, sf))
     assert(p.contains("tokenize"), "must tokenize with the native expression")
-    // tf per vocab word counts via codegen'd size/array_remove in the big scan
-    assert(p.contains("array_remove"), "tf must count via array_remove")
+    // all V tf counts in ONE native token pass (the previous V-pass
+    // array_remove form was the scoring hot loop)
+    assert(p.contains("tf_counts"), "tf must count via the fused tf_counts kernel")
     // the vocab is a TakeOrdered(V), never a full sort of the word counts
     assert(p.contains("TakeOrderedAndProject"), "top-V vocab must not full-sort")
     // one-row vocab + one-row totals come back as broadcasts

@@ -298,6 +298,34 @@ class StreamingSpec extends SparkSpec {
       s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
   }
 
+  test("streaming video shot stats equal batch q79 row-for-row (stateless twin)") {
+    import graft.streaming.DocumentStreams
+    import scala.jdk.CollectionConverters._
+    val docs = Tables(spark, sf, "documents")
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("docs_shots")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("shots_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, docs.filter(col("doc_id") <= mid))
+    writePart("b.parquet", 20000L, docs.filter(col("doc_id") > mid))
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventStreams.runToMemory(
+      DocumentStreams.videoShotStats(stream), "shots_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = queries.MultimodalOps.q79VideoShots.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch,
+      s"streamed shot stats diverge: ${(got -- batch).take(3)} / ${(batch -- got).take(3)}")
+  }
+
   test("streaming heavy-hitter sketch merges cells across micro-batches") {
     import graft.streaming.DocumentStreams
     // two doc_id-split files => two micro-batches: the count-min cells must

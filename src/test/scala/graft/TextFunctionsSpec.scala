@@ -60,4 +60,24 @@ class TextFunctionsSpec extends SparkSpec {
         col("w1") =!= col("w2") || col("b1") =!= col("b2"))
     assert(diverged.count() == 0L, diverged.collect().mkString("\n"))
   }
+
+  test("tf_counts equals the per-word array_remove formulation, incl. duplicate words") {
+    import org.apache.spark.sql.graft.TextExpressions._
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("the", "a", "of", "und", "x", "9", "Ω", "thee")
+    val texts = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq("", "the the the", "zzz yyy")
+    // word list includes a word ABSENT from every text and a DUPLICATE
+    val words = Seq("the", "of", "absent", "Ω", "the")
+    val df = texts.toDF("text")
+      .withColumn("t", graft.functions.TextFunctions.tokens("text"))
+      .withColumn("w", typedLit(words))
+      .withColumn("tfs", tf_counts(col("t"), col("w")))
+    val diverged = df.filter((1 to words.size).map(i =>
+      element_at(col("tfs"), i) =!=
+        (size(col("t")) - size(array_remove(col("t"), element_at(col("w"), i))))
+          .cast("long")).reduce(_ || _))
+    assert(diverged.count() == 0L, diverged.collect().mkString("\n"))
+  }
 }
