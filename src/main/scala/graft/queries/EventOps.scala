@@ -47,34 +47,51 @@ object EventOps {
     * aggregate, the portable formulation of `session_window`. One shuffle on
     * user_id; timestamps compare in exact microseconds in both engines.
     */
-  val q23Sessionize: QueryDef = QueryDef.sql(
-    "q23_sessionize",
-    s"""WITH flagged AS (
-       |  SELECT user_id, event_id, ts, value,
-       |    CASE WHEN lag(ts) OVER w IS NULL
-       |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-       |         THEN 1 ELSE 0 END AS new_session
-       |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-       |sessions AS (
-       |  SELECT user_id, event_id, ts, value,
-       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-       |  FROM flagged)
-       |SELECT user_id, session_idx, count(*) AS n_events,
-       |  min(ts) AS session_start, max(ts) AS session_end, ${SumVal("value")} AS sum_value
-       |FROM sessions
-       |GROUP BY user_id, session_idx
-       |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+  /** The q23 oracle's per-event session assignment (flagged → sessions
+    * CTEs, event_type carried), shared verbatim with q80's path analysis
+    * so the two session definitions can never drift.
+    */
+  private[graft] val SessionCtesSql: String =
+    """flagged AS (
+      |  SELECT user_id, event_id, ts, value, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, value, event_type,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)""".stripMargin
+
+  /** q23's per-event session assignment (user_id, event_id, ts, value,
+    * event_type, session_idx) — the ONE sessionization implementation,
+    * shared by q23's aggregate and q80's transition matrix.
+    */
+  private[graft] def sessionizedEvents(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
       .withColumn("new_session",
         when(lag(col("ts"), 1).over(w).isNull ||
           col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
           .otherwise(0))
       .withColumn("session_idx", sum(col("new_session")).over(wRun))
+      .drop("new_session")
+  }
+
+  val q23Sessionize: QueryDef = QueryDef.sql(
+    "q23_sessionize",
+    s"""WITH $SessionCtesSql
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end, ${SumVal("value")} AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    sessionizedEvents(Tables(s, dir, "events"))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
@@ -334,7 +351,52 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Q80 — session path analysis: the event-type transition matrix over
+    * q23's sessions (the "behavior flow" report — which step follows
+    * which, inside a session). Transitions are consecutive-event pairs
+    * WITHIN a session (the lead window resets at session boundaries by
+    * partitioning on (user, session)); the output is the full
+    * from×to count matrix plus each from-type's outgoing total, so
+    * p(next | current) is one division away.
+    *
+    * Plan shape: the sessionize exchange on user_id ALSO satisfies the
+    * (user, session) transition window — hashpartitioning(user_id) is a
+    * coarser clustering of both keys — so one exchange feeds both window
+    * passes; the matrix aggregate shuffles ≤ |types|² partial rows.
+    *
+    * Determinism: counts are longs; share = n / from_total is one
+    * long-derived double division, identical cross-engine.
+    */
+  val q80EventFlow: QueryDef = QueryDef.sql(
+    "q80_event_flow",
+    s"""WITH $SessionCtesSql,
+       |seq AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_idx
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM sessions),
+       |m AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE to_type IS NOT NULL
+       |  GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n,
+       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+       |FROM m
+       |ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+    val wNext = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = sessionizedEvents(Tables(s, dir, "events"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(wNext).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("share", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast(DoubleType))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q22EventsHourly, q23Sessionize, q24AsofJoin, q25JsonExtract, q41SlidingWindow,
-    q75Funnel, q76Retention, q78FunnelLatency)
+    q75Funnel, q76Retention, q78FunnelLatency, q80EventFlow)
 }

@@ -343,6 +343,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "per-video stats are array folds, not aggregates")
   }
 
+  test("q80: one user-keyed exchange feeds sessionize AND the transition window") {
+    val p = planOf(queries.EventOps.q80EventFlow.fn(spark, sf))
+    // hashpartitioning(user_id) satisfies the (user, session) transition
+    // window's clustering — a second exchange would mean the window
+    // re-shuffled what sessionize already placed
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(600))
+    assert("partial_count".r.findFirstIn(p).isDefined, "matrix must partial-agg")
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
     // Seven sites intentionally cross-join 1-to-8-row broadcast frames:
     // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out

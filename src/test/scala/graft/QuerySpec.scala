@@ -407,6 +407,35 @@ class QuerySpec extends SparkSpec {
       ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
   }
 
+  test("q80 event flow: transitions never cross a session boundary, shares sum to 1") {
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000)
+    // user 1: view→click, then a 31-min gap (session break) before
+    // purchase — the click→purchase transition MUST NOT be counted;
+    // user 2: one two-event session
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(5), 1L, "click"), (3L, ts(36), 1L, "purchase"),
+      (4L, ts(0), 2L, "view"), (5L, ts(10), 2L, "view"))
+      .map { case (e, t, u, et) => (e, t, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("q80").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = queries.EventOps.q80EventFlow.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("view", "click", 1L, 0.5), ("view", "view", 1L, 0.5)),
+      got.toSeq.toString)
+    // on the real corpus: per-from shares sum to exactly 1 (longs over longs)
+    val shares = queries.EventOps.q80EventFlow.fn(spark, sf).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getLong(2), r.getDouble(3))))
+    shares.foreach { case (from, rows) =>
+      val tot = rows.map(_._1).sum.toDouble
+      val sum = rows.map { case (n, sh) => assert(sh == n / tot); sh }.sum
+      assert(math.abs(sum - 1.0) < 1e-12, s"$from shares sum to $sum")
+    }
+  }
+
   test("q79 video shots: repeated frames make one shot, the cut lands at the content change") {
     import spark.implicits._
     // frame A: constant bytes → flat gradient → dHash 0; frame B: ascending
