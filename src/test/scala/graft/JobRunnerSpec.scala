@@ -79,6 +79,7 @@ class JobRunnerSpec extends SparkSpec {
          |    {"op": "span_dedup", "spanTokens": 8},
          |    {"op": "near_dedup", "threshold": 0.5},
          |    {"op": "embed_near_dedup", "minDot": 0.45},
+         |    {"op": "semantic_dedup", "clusters": 8, "minDot": 0.45},
          |    {"op": "decontaminate", "holdoutSource": "src19", "minShared": 2},
          |    {"op": "pii_scrub"},
          |    {"op": "quality_filter", "minScore": 0.0},
