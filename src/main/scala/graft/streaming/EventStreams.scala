@@ -350,6 +350,89 @@ object EventStreams {
       .toDF()
   }
 
+  final case class FlowEvent(ts: java.sql.Timestamp, tsUs: Long, event_id: Long,
+      user_id: Long, event_type: String)
+  /** Buffer entries are (tsUs, event_id, type) sorted by (ts, event_id) —
+    * the SAME total order as batch q80's lead window, so same-timestamp
+    * ties adjacency-chain identically.
+    */
+  final case class FlowState(buffer: List[(Long, Long, String)], maxEventUs: Long)
+  final case class FlowEmit(user_id: Long, from_type: String, to_type: String,
+      to_us: Long)
+
+  /** Streaming twin of q80's within-session transitions, APPEND-ONLY with
+    * event-time finalization: a transition (e1 → e2) is emitted exactly
+    * once, when the watermark passes e2 — at that point no event can ever
+    * insert between them (any new row has ts > watermark ≥ e2.ts, and
+    * older rows are watermark-dropped), so the pair's adjacency is final.
+    * Until then events wait in a per-user buffer sorted by (ts, type);
+    * out-of-order arrivals above the watermark slot into their true
+    * position and change which pairs become adjacent — no retro-correction
+    * needed because nothing unfinalized was emitted.
+    *
+    * State per user is O(events inside the watermark horizon) and drains
+    * continuously: everything older than the watermark leaves the buffer
+    * as it finalizes (the oldest unfinalized event is kept as the left
+    * endpoint of the next pair). `watermark` must be ≥ `gap` so an
+    * idle-evicted user's next event is PROVABLY outside the session gap
+    * (the dropped cross-eviction pair would have failed the gap test in
+    * batch too). StreamingSpec pins that the emitted multiset equals
+    * batch q80's transitions restricted to the finalized prefix.
+    */
+  def transitionFlow(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = durationMs(gap) * 1000L
+    val delayMs = durationMs(watermark)
+    require(delayMs * 1000L >= gapUs,
+      "transitionFlow: watermark delay must cover the session gap")
+    def drain(buf: List[(Long, Long, String)], upToUs: Long,
+        uid: Long): (List[(Long, Long, String)], List[FlowEmit]) = {
+      val out = scala.collection.mutable.ListBuffer.empty[FlowEmit]
+      var b = buf
+      // finalize while the SECOND event is at or below the horizon: the
+      // head then has no possible future neighbor on its right side
+      while (b.size >= 2 && b(1)._1 <= upToUs) {
+        val (t1, _, ty1) = b.head
+        val (t2, _, ty2) = b(1)
+        if (t2 - t1 <= gapUs) out += FlowEmit(uid, ty1, ty2, t2)
+        b = b.tail
+      }
+      (b, out.toList)
+    }
+    def update(uid: Long, rows: Iterator[FlowEvent],
+        state: GroupState[FlowState]): Iterator[FlowEmit] = {
+      if (state.hasTimedOut) {
+        // every buffered event is below the watermark: finalize the rest
+        val st = state.getOption.getOrElse(FlowState(Nil, Long.MinValue))
+        val (_, out) = drain(st.buffer, Long.MaxValue, uid)
+        state.remove()
+        out.iterator
+      } else {
+        val prev = state.getOption.getOrElse(FlowState(Nil, Long.MinValue))
+        val incoming = rows.map(e => (e.tsUs, e.event_id, e.event_type)).toList
+        val maxUs = (prev.maxEventUs :: incoming.map(_._1)).max
+        val merged = (prev.buffer ++ incoming).sorted
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (kept, out) = drain(merged, wmUs, uid)
+        state.update(FlowState(kept, maxUs))
+        state.setTimeoutTimestamp(
+          math.max(maxUs / 1000L + delayMs, state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("unix_micros(ts)").as("tsUs"),
+        col("event_id"), col("user_id"), col("event_type"))
+      .as[FlowEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+
   final case class RetEvent(ts: java.sql.Timestamp, day: Long, user_id: Long)
   final case class RetState(cohort: Long, days: List[Long], rev: Long)
   final case class RetUpdate(user_id: Long, rev: Long, cohort_day: Long,

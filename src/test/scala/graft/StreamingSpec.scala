@@ -483,6 +483,56 @@ class StreamingSpec extends SparkSpec {
       s"revision chain wrong: ${rows.toSeq}")
   }
 
+  test("streaming transition flow emits exactly the watermark-finalized batch q80 prefix") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
+    val events = Tables(spark, sf, "events")
+    val bounds = events.selectExpr("unix_micros(min(ts))", "unix_micros(max(ts))").head
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val cut = minUs + 15L * 86400000000L
+    val dir = java.nio.file.Files.createTempDirectory("flow_stream")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("flow_part")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, events.filter(expr(s"unix_micros(ts) < $cut")))
+    writePart("b.parquet", 20000L, events.filter(expr(s"unix_micros(ts) >= $cut")))
+    // flusher batch: one far-future event per user invokes every group at
+    // the final watermark (its own 10-day gap can never make a transition)
+    writePart("c.parquet", 30000L, events.groupBy("user_id").agg(max("ts").as("m"))
+      .select((col("user_id") + 1000000000L).as("event_id"),
+        (col("m") + expr("INTERVAL 10 DAYS")).as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"), lit("{}").as("props")))
+    val emitted = EventStreams.runToMemory(
+      EventStreams.transitionFlow(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+        watermark = "31 minutes"), "flow_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // batch truth: per-user within-session adjacent pairs (q80's core),
+    // restricted to the finalized prefix (to-event at or below the final
+    // watermark = real-data max − the 31-minute delay)
+    val wNext = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val cutoff = maxUs - 31L * 60000000L
+    val batch = queries.EventOps.sessionizedEvents(events)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(wNext).as("to_type"),
+        lead(expr("unix_micros(ts)"), 1).over(wNext).as("to_us"))
+      .filter(col("to_type").isNotNull && col("to_us") <= cutoff)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(emitted == batch,
+      s"flow multiset diverges: ${(emitted.toSet -- batch.toSet).take(3)} / ${
+        (batch.toSet -- emitted.toSet).take(3)}")
+  }
+
   test("streaming retention days converge to batch q76 over a time-split two-batch run") {
     import graft.streaming.EventStreams
     import scala.jdk.CollectionConverters._
