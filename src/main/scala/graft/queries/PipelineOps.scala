@@ -443,7 +443,83 @@ object PipelineOps {
       .orderBy("test_id", "train_id")
   }
 
+  /** Q81 — split drift audit (Population Stability Index): the
+    * DISTRIBUTIONAL complement to q70's overlap audit. After the
+    * cluster-keyed split (q68), train and test should be samples of the
+    * same corpus — this measures whether they are, as the PSI between
+    * their document-length distributions over 10 fixed-width buckets
+    * (200-char buckets, top-capped; fixed edges keep every count an
+    * exact long — no quantile estimation in the denominator of an audit).
+    * Per-bucket add-one smoothing makes the PSI total over empty buckets.
+    * The |PSI| < 0.1 "no shift" convention applies to the sum of the
+    * per-bucket contributions reported here.
+    *
+    * Scale shape: q68's split machinery feeding one (split, bucket)
+    * count aggregate — 20 partial cells; the bucket dimension (10 rows)
+    * and the 1-row totals broadcast. Beyond the split itself the audit
+    * is one corpus pass.
+    *
+    * Determinism: counts are exact longs; p/q are long-derived doubles
+    * through mirrored association; ln's 1-ulp cross-engine skew is
+    * absorbed by nano-quantizing each contribution (q65's discipline —
+    * QuerySpec pins every contribution's distance from the flip
+    * boundary).
+    */
+  val q81SplitDrift: QueryDef = QueryDef.sql(
+    "q81_split_drift",
+    s"""WITH sp AS (
+       |${graft.queries.DedupOps.q68LeakageSafeSplit.oracle.get}
+       |),
+       |b AS (
+       |  SELECT sp.split, least(d.n_chars // 200, 9) AS bucket
+       |  FROM sp JOIN documents d USING (doc_id)
+       |  WHERE sp.split IN ('train', 'test')),
+       |c AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM b GROUP BY bucket),
+       |g AS (SELECT r AS bucket FROM unnest(range(0, 10)) AS t(r)),
+       |c2 AS (
+       |  SELECT g.bucket, coalesce(c.n_train, 0) AS n_train,
+       |    coalesce(c.n_test, 0) AS n_test
+       |  FROM g LEFT JOIN c ON g.bucket = c.bucket),
+       |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+       |             CAST(sum(n_test) AS BIGINT) AS tot_test FROM c2)
+       |SELECT bucket, n_train, n_test,
+       |  CAST(floor((
+       |    (CAST(n_train + 1 AS DOUBLE) / (tot_train + 10) -
+       |     CAST(n_test + 1 AS DOUBLE) / (tot_test + 10)) *
+       |    ln((CAST(n_train + 1 AS DOUBLE) / (tot_train + 10)) /
+       |       (CAST(n_test + 1 AS DOUBLE) / (tot_test + 10)))
+       |  ) * 1000000000 + 0.5) AS BIGINT) AS psi_n9
+       |FROM c2, t
+       |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val sp = graft.queries.DedupOps.q68LeakageSafeSplit.fn(s, dir)
+      .select(col("doc_id"), col("split"))
+      .filter(col("split").isin("train", "test"))
+    val b = sp
+      .join(Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("split"), least(expr("n_chars div 200"), lit(9L)).as("bucket"))
+    val c = b.groupBy(col("bucket"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val g = s.range(0, 10).select(col("id").as("bucket"))
+    val c2 = g.join(c, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
+    val t = c2.agg(sum(col("n_train")).as("tot_train"), sum(col("n_test")).as("tot_test"))
+    val p = (col("n_train") + 1).cast("double") / (col("tot_train") + 10)
+    val q = (col("n_test") + 1).cast("double") / (col("tot_test") + 10)
+    c2.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_train"), col("n_test"),
+        floor(((p - q) * log(p / q)) * lit(1000000000L) + lit(0.5))
+          .cast("long").as("psi_n9"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
-    q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination)
+    q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination,
+    q81SplitDrift)
 }

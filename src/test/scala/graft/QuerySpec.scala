@@ -407,6 +407,33 @@ class QuerySpec extends SparkSpec {
       ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
   }
 
+  test("q81 split drift: PSI contributions non-negative, counts conserve, margins clear") {
+    val rows = queries.PipelineOps.q81SplitDrift.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), "all 10 fixed buckets present")
+    // each (p−q)·ln(p/q) term is ≥ 0 by construction
+    assert(rows.forall(_._4 >= 0L), rows.mkString(","))
+    // counts conserve against the split relation itself
+    val sp = queries.DedupOps.q68LeakageSafeSplit.fn(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._2).sum == sp("train") && rows.map(_._3).sum == sp("test"))
+    // flip-margin (the q65 discipline): recompute each contribution with
+    // the same association order and pin its nano-quantization distance
+    val totT = rows.map(_._2).sum + 10.0
+    val totE = rows.map(_._3).sum + 10.0
+    rows.foreach { case (bkt, nt, ne, n9) =>
+      val p = (nt + 1).toDouble / totT
+      val q = (ne + 1).toDouble / totE
+      val raw = (p - q) * math.log(p / q)
+      val x = raw * 1e9 + 0.5
+      assert(math.floor(x).toLong == n9, s"bucket $bkt recompute mismatch")
+      val frac = x - math.floor(x)
+      assert(frac > 1e-3 && frac < 1 - 1e-3,
+        s"bucket $bkt contribution sits $frac from a flip boundary")
+    }
+  }
+
   test("q80 event flow: transitions never cross a session boundary, shares sum to 1") {
     import spark.implicits._
     val t0 = 1700000000000000L
