@@ -363,7 +363,8 @@ class PlanSpec extends SparkSpec {
     val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
-      "q81_split_drift") // 1-row split totals onto the 10-bucket dimension
+      "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
+      "q82_bpe_merges") // K 1-row argmax merge frames onto the vocab table
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = planOf(df)

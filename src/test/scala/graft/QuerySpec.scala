@@ -407,6 +407,32 @@ class QuerySpec extends SparkSpec {
       ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
   }
 
+  test("q82 BPE merges: composition, count ties, and greedy overlap on a constructed corpus") {
+    import spark.implicits._
+    // hand-derived 6-round trace:
+    //  r0 (a,b):6 → ab      r1 (c,d):4 → cd
+    //  r2 tie at 3 between (ab,ab) and (a,a) — pa order picks (a,a) → aa,
+    //     and "aaaa" pairs GREEDILY: ".a..a..a..a." → ".aa..aa."
+    //  r3 (ab,ab):3 → abab (a merge of a prior merge — composition)
+    //  r4 tie at 2 between (cd,cd) and (e,f) — pa order picks (cd,cd)
+    //  r5 (e,f):2 → ef
+    val docs = Seq((1L, "abab abab abab cdcd cdcd efef gh ij aaaa"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q82").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = queries.TextOps.q82BpeMerges.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, "a", "b", "ab", 6L),
+      (1L, "c", "d", "cd", 4L),
+      (2L, "a", "a", "aa", 3L),
+      (3L, "ab", "ab", "abab", 3L),
+      (4L, "cd", "cd", "cdcd", 2L),
+      (5L, "e", "f", "ef", 2L)), got.toSeq.toString)
+  }
+
   test("q81 split drift: PSI contributions non-negative, counts conserve, margins clear") {
     val rows = queries.PipelineOps.q81SplitDrift.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
