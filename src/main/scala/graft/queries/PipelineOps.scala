@@ -518,8 +518,42 @@ object PipelineOps {
       .orderBy("bucket")
   }
 
+  /** Q83 — the dataset datasheet: doc/char/token totals at every
+    * (source × lang) granularity via CUBE — the "what's in this corpus"
+    * report card every curated dataset ships with (per-source rows, per-
+    * language rows, the full matrix, and the corpus total in one pass).
+    * Rolled-up keys surface as '(all)' (the columns are never null in
+    * data, so the sentinel is unambiguous).
+    *
+    * Plan shape: CUBE's Expand multiplies each row by the 4 grouping
+    * sets BEFORE the aggregate, but partial aggregation collapses to
+    * |sources|×|langs| cells per set per partition — the shuffle carries
+    * ≤ 4·|matrix| partials regardless of corpus size. Token counts are
+    * the native ws_token_count (exact ints, codegen'd).
+    */
+  val q83Datasheet: QueryDef = QueryDef.sql(
+    "q83_datasheet",
+    """SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))) AS BIGINT) AS total_ws_tokens
+      |FROM documents
+      |GROUP BY CUBE (source, lang)
+      |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(org.apache.spark.sql.graft.TextExpressions.ws_token_count(col("text"))
+          .cast("long")).as("total_ws_tokens"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("total_chars"), col("total_ws_tokens"))
+      .orderBy("source", "lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
     q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination,
-    q81SplitDrift)
+    q81SplitDrift, q83Datasheet)
 }

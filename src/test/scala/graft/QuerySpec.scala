@@ -407,6 +407,31 @@ class QuerySpec extends SparkSpec {
       ("signup_to_click", 4L, 17.5 * M, 25.0 * M, 32.5 * M)), got.toSeq.toString)
   }
 
+  test("q83 datasheet: cube margins are consistent sums of the full matrix") {
+    val rows = queries.PipelineOps.q83Datasheet.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def add(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    val matrix = rows.filter { case ((s, l), _) => s != "(all)" && l != "(all)" }
+    assert(matrix.nonEmpty)
+    // every margin and the grand total must equal the matrix's sums
+    val total = matrix.values.reduce(add)
+    assert(rows(("(all)", "(all)")) == total)
+    matrix.keys.map(_._1).toSeq.distinct.foreach { s =>
+      assert(rows((s, "(all)")) ==
+        matrix.filter(_._1._1 == s).values.reduce(add), s"source $s margin")
+    }
+    matrix.keys.map(_._2).toSeq.distinct.foreach { l =>
+      assert(rows(("(all)", l)) ==
+        matrix.filter(_._1._2 == l).values.reduce(add), s"lang $l margin")
+    }
+    // and the corpus totals are the real ones
+    val docs = Tables(spark, sf, "documents")
+    assert(total._1 == docs.count())
+    assert(total._2 == docs.agg(sum(col("n_chars"))).head.getLong(0))
+  }
+
   test("q82 BPE merges: composition, count ties, and greedy overlap on a constructed corpus") {
     import spark.implicits._
     // hand-derived 6-round trace:
