@@ -483,6 +483,48 @@ class StreamingSpec extends SparkSpec {
       s"revision chain wrong: ${rows.toSeq}")
   }
 
+  test("streaming retention: a late earlier event re-cohorts and shifts every offset") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val t0 = java.time.Instant.parse("2026-03-01T00:00:00Z").toEpochMilli
+    def nanos(day: Long): Long = (t0 + day * 86400000L) * 1000000L
+    def writeFile(dir: java.nio.file.Path, name: String, mod: Long,
+        rows: Seq[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ret_rev")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), EventStreams.rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ret_rev_src")
+    // batch 1: cohort day 10, offsets {0, 2}
+    writeFile(dir, "a.parquet", 10000L, Seq(
+      Row(1L, nanos(10), 1L, "view", 0.0, "{}"),
+      Row(2L, nanos(12), 1L, "view", 0.0, "{}")))
+    // batch 2: a LATE day-9 event — the cohort drops to 9 and every
+    // previously-seen day's offset shifts (+1)
+    writeFile(dir, "b.parquet", 20000L, Seq(
+      Row(3L, nanos(9), 1L, "view", 0.0, "{}")))
+    val rows = EventStreams.runToMemory(
+      EventStreams.retentionDays(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+        watermark = "96 hours"), "ret_rev_t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxRev = rows.map(_._1).max
+    val epochDay9 = (t0 / 86400000L) + 9
+    assert(rows.filter(_._1 == maxRev).map(r => (r._2, r._3)).toSet ==
+      Set((epochDay9, 0L), (epochDay9, 1L), (epochDay9, 3L)),
+      s"re-cohorted offsets wrong: ${rows.toSeq}")
+    // the pre-revision emission carried the old cohort (day 10, offsets 0/2)
+    assert(rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet ==
+      Set((epochDay9 + 1, 0L), (epochDay9 + 1, 2L)))
+  }
+
   test("streaming transition flow emits exactly the watermark-finalized batch q80 prefix") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.expressions.Window
