@@ -80,11 +80,16 @@ case class PcmWindowStats(left: Expression, right: Expression)
   override def prettyName: String = "pcm_window_stats"
 
   override def nullSafeEval(data: Any, win: Any): Any =
-    PcmWindowStats.eval(data.asInstanceOf[Array[Byte]], win.asInstanceOf[Int])
+    PcmWindowStats.evalWindows(data.asInstanceOf[Array[Byte]], win.asInstanceOf[Int])
 
+  // Named `evalWindows` (not `eval`): the case class inherits
+  // `eval(InternalRow)` from BinaryExpression, which suppresses the static
+  // forwarder Scala would otherwise emit for a companion method named `eval`,
+  // so generated Java calling `PcmWindowStats.eval(byte[], int)` failed Janino
+  // compilation and the whole stage silently fell back to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (d, w) =>
-      s"org.apache.spark.sql.graft.PcmWindowStats.eval($d, $w)")
+      s"org.apache.spark.sql.graft.PcmWindowStats.evalWindows($d, $w)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -125,7 +130,7 @@ object PcmWindowStats {
     StructField("zc", IntegerType, nullable = false),
     StructField("n", IntegerType, nullable = false))), containsNull = false)
 
-  def eval(data: Array[Byte], windowSamples: Int)
+  def evalWindows(data: Array[Byte], windowSamples: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val stats = graft.multimodal.Multimodal.pcmWindowStats(data, windowSamples)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(stats.map(s =>

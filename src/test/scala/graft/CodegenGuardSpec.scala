@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ImageExpressions, JsonExpressions, RegexScrub, SketchExpressions, SumExpressions, VectorExpressions}
+
+/** Whole-stage-codegen COMPILE guard for every scalar native expression.
+  *
+  * Round-12 lesson: `pcm_window_stats` generated Java that Janino could not
+  * compile (the companion's `eval(byte[], int)` had no static forwarder
+  * because `BinaryExpression.eval(InternalRow)` shadows the name), and Spark
+  * fell back to interpreted execution for the WHOLE stage — results stayed
+  * correct, the plan string still showed the expression, and no test
+  * noticed. The plan-string assertions in PlanSpec cannot catch this class
+  * of defect: the plan prints identically whether the generated class
+  * compiled or not.
+  *
+  * This guard actually compiles the generated source: `debug.codegenStringSeq`
+  * runs `CodeGenerator.compile` on every WholeStageCodegen subtree and
+  * reports `ByteCodeStats.UNAVAILABLE` (maxMethodCodeSize == -1) when Janino
+  * rejects it. Every registered scalar expression is exercised in a map-only
+  * projection and must (a) appear inside a compiled subtree's source and
+  * (b) leave no subtree uncompilable.
+  */
+class CodegenGuardSpec extends SparkSpec {
+
+  private def compiledSources(df: DataFrame): Seq[String] = {
+    val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+      df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty,
+      "no WholeStageCodegen subtree in the plan — expression fell out of codegen:\n" +
+        df.queryExecution.executedPlan.toString.take(1200))
+    subtrees.foreach { case (name, _, stats) =>
+      assert(stats.maxMethodCodeSize >= 0,
+        s"generated Java FAILED to compile (interpreted fallback) in subtree:\n$name")
+    }
+    subtrees.map(_._2)
+  }
+
+  private def assertCodegen(df: DataFrame, kernels: String*): Unit = {
+    val sources = compiledSources(df)
+    kernels.foreach { k =>
+      assert(sources.exists(_.contains(k)),
+        s"kernel call `$k` not found in any COMPILED codegen source — " +
+          "the expression is running interpreted")
+    }
+  }
+
+  // parquet-backed so ConvertToLocalRelation can't constant-fold the
+  // projection away (a LocalTableScan plan has no codegen stage to compile)
+  private lazy val base: DataFrame =
+    spark.read.parquet(s"$sf/documents.parquet").limit(2)
+      .withColumn("d", col("n_chars").cast("double") / 1000.0)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("emb", array((0 until 8).map(i => (lit(i) * col("d")).cast("float")): _*))
+      .withColumn("json", concat(lit("{\"k\":"), col("doc_id"), lit("}")))
+
+  test("text/sketch expressions: generated stage compiles") {
+    import org.apache.spark.sql.graft.TextExpressions._
+    val df = base.select(
+      tokenize(col("text")).as("tk"),
+      ws_token_count(col("text")).as("ws"),
+      bpeish_token_count(col("text")).as("bp"),
+      token_length_sum(col("toks")).as("tl"),
+      tokens_in_set(col("toks"), Seq("the", "my")).as("ts"),
+      tf_counts(col("toks"), array(lit("the"), lit("fox"))).as("tf"),
+      ngram_hashes(col("toks"), 3).as("sh"),
+      SketchExpressions.rolling_hash(col("text")).as("rh"),
+      SketchExpressions.simhash32(SketchExpressions.token_hashes(col("toks"))).as("s32"),
+      SketchExpressions.minhash_signature(
+        SketchExpressions.token_hashes(col("toks")),
+        Seq(3L, 5L), Seq(7L, 11L), 2147483647L).as("mh"))
+    assertCodegen(df,
+      "ExprKernels.tokenize", "ExprKernels.tokenHashes", "ExprKernels.wsTokenCount",
+      "ExprKernels.bpeishTokenCount", "ExprKernels.tokenLengthSum",
+      "ExprKernels.tokensInSet", "ExprKernels.tfCounts", "ExprKernels.shingleHashes",
+      "ExprKernels.rollingHash", "ExprKernels.simhash", "ExprKernels.minhash")
+  }
+
+  test("vector expressions: generated stage compiles") {
+    val codebook = Seq(0L -> Seq(0.0, 0.1, 0.2, 0.3), 1L -> Seq(1.0, 1.1, 1.2, 1.3))
+    val df = base.select(
+      VectorExpressions.float_dot(col("emb"), col("emb")).as("dot"),
+      VectorExpressions.float_norm(col("emb")).as("nrm"),
+      VectorExpressions.nearest_centroid(col("emb"), codebook, offset = 2).as("nc"),
+      SumExpressions.decimal9_nanos(col("d")).as("n9"))
+    // float_dot / float_norm emit inline loops (no named kernel call); the
+    // compiledSources nonEmpty + all-compile assertions cover them because
+    // the whole projection is one stage
+    assertCodegen(df,
+      "ExprKernels.nearestCentroid", "Decimal9Nanos$.MODULE$.nanos")
+  }
+
+  test("image/audio/json/scrub expressions: generated stage compiles") {
+    val df = base.select(
+      ImageExpressions.dhash64(
+        ImageExpressions.pcm_synth(col("text"), lit(64), lit(1)),
+        lit(1), lit(4), lit(5)).as("dh"),
+      ImageExpressions.pcm_window_stats(
+        ImageExpressions.pcm_synth(col("text"), lit(64), lit(3)), lit(4)).as("pw"),
+      JsonExpressions.json_long_field(col("json"), "k").as("jl"),
+      RegexScrub.regex_scrub(col("text"), Seq("fox|box" -> "***")).as("rs"))
+    assertCodegen(df,
+      "Multimodal.dhash64", "Multimodal.pcmFromCodepoints",
+      "PcmWindowStats.evalWindows", "ExprKernels.jsonLongField",
+      "RegexScrub$.MODULE$.scrub")
+  }
+
+  test("q71/q72/q79 multimodal pipelines: every codegen stage compiles") {
+    // the three registered queries whose hot path rides the image/audio
+    // expressions — the exact stage that silently de-codegen'd in round 12
+    Seq(
+      queries.MultimodalOps.q71ImageNeardup.fn(spark, sf),
+      queries.MultimodalOps.q72AudioFeatures.fn(spark, sf),
+      queries.MultimodalOps.q79VideoShots.fn(spark, sf)
+    ).foreach { df =>
+      val subtrees = org.apache.spark.sql.execution.debug.codegenStringSeq(
+        df.queryExecution.executedPlan)
+      subtrees.foreach { case (name, _, stats) =>
+        assert(stats.maxMethodCodeSize >= 0,
+          s"generated Java FAILED to compile in subtree:\n$name")
+      }
+    }
+  }
+}
