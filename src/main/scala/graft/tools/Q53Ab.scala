@@ -2,13 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.{Caches, SparkEntry}
-import graft.queries.VectorOps
 
-/** Round-10 A/B: does persisting q53's 80-row exact-arm result (shared by
-  * all four overlap joins) beat re-running the rank per arm? Same design
-  * as [[CcAb]]: ALTERNATE the arms within one JVM so thermal drift hits
-  * both equally; measurement identical to Bench (noop write,
-  * Caches.clearAll between runs). Not registered in the driver contract.
+/** q53 repeated-measure harness. Historically (rounds 10–12) this was the
+  * persist-vs-recompute A/B for the exact arm's 80-row result; the round-13
+  * driver-assembled shape collects each arm's ≤8-row aggregate exactly once,
+  * so there is no persist left to A/B — the tool now just measures the
+  * query under the Bench session settings (noop write, Caches.clearAll
+  * between runs) for before/after comparisons. Not in the driver contract.
   */
 object Q53Ab {
   def main(args: Array[String]): Unit = {
@@ -33,29 +33,13 @@ object Q53Ab {
       Caches.clearAll(spark)
       s
     }
-    // warmup both arms (codegen/JIT) before measuring
-    VectorOps.persistExactArm = true; runOnce()
-    VectorOps.persistExactArm = false; runOnce()
-
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]
-    (1 to reps).foreach { i =>
-      Seq(i % 2 == 0, i % 2 == 1).foreach { persist =>
-        VectorOps.persistExactArm = persist
-        val s = runOnce()
-        samples += ((persist, s))
-        println(f"[q53ab] rep=$i persist=$persist t=$s%.3f")
-      }
-    }
-    def stats(p: Boolean): (Double, Double) = {
-      val ts = samples.filter(_._1 == p).map(_._2).sorted
-      (ts(ts.size / 2), ts.min)
-    }
-    val (pm, pmin) = stats(true)
-    val (nm, nmin) = stats(false)
-    println(f"[q53ab] PERSIST   median=$pm%.3f min=$pmin%.3f (n=$reps)")
-    println(f"[q53ab] NOPERSIST median=$nm%.3f min=$nmin%.3f (n=$reps)")
-    println(s"[q53ab] winner=${if (pm <= nm) "persist" else "nopersist"}")
-    VectorOps.persistExactArm = true
+    runOnce() // warmup (codegen/JIT)
+    val ts = (1 to reps).map { i =>
+      val s = runOnce()
+      println(f"[q53ab] rep=$i t=$s%.3f")
+      s
+    }.sorted
+    println(f"[q53ab] median=${ts(ts.size / 2)}%.3f min=${ts.head}%.3f (n=$reps)")
     spark.stop()
   }
 }

@@ -574,4 +574,29 @@ class QuerySpec extends SparkSpec {
     assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
+
+  test("q53 recall floors: pq mean ≥ 0.4, ivf mean ≥ 0.3 (refactors can't trade recall for speed)") {
+    val rows = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect()
+    def meanRecall(m: String): Double = {
+      val rs = rows.filter(_.getString(0) == m)
+      assert(rs.nonEmpty, s"no rows for method $m")
+      rs.map(_.getDouble(3)).sum / rs.length
+    }
+    // deterministic at fixed SF — sf0.001 measures pq 0.65, ivf 0.3125
+    // (sf0.1: pq 0.43–0.63, ivf 0.33–0.45). The pq floor leaves wide
+    // margin; the ivf floor pins within 0.0125 of today's value, which is
+    // the point: an ANN geometry change that buys speed with recall must
+    // show up here, not in a silently lower meter row.
+    assert(meanRecall("pq") >= 0.4, s"pq recall ${meanRecall("pq")}")
+    assert(meanRecall("ivf") >= 0.3, s"ivf recall ${meanRecall("ivf")}")
+  }
+
+  test("q53 window-knob twin produces identical rows to the topk-agg default") {
+    val agg = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect().map(_.toSeq).toSeq
+    queries.VectorOps.topKAggTop10 = false
+    try {
+      val win = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect().map(_.toSeq).toSeq
+      assert(win == agg, "window twin diverged from topk-agg selection")
+    } finally queries.VectorOps.topKAggTop10 = true
+  }
 }
