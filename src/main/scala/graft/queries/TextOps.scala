@@ -881,12 +881,90 @@ object TextOps {
       val wf = Tables(s, dir, "documents")
         .select(explode(toks).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      var w = wf.withColumn("s",
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      // Production BPE trainers (Sennrich's learn_bpe, HF tokenizers) make
+      // ONE distributed pass — corpus → word-frequency table — and run the
+      // merge rounds in memory over that table: rounds are vocabulary-
+      // space, and even a 10⁶-word count table is a few dozen MB. The
+      // collect is bounded by BpeDriverVocabMax (limit pushed into the
+      // collect, so an over-threshold vocab ships threshold+1 rows, not
+      // the table); above it the distributed round loop below runs
+      // instead — same math, argmax-per-round jobs.
+      val wfRows = wf.limit(BpeDriverVocabMax + 1).collect()
+      if (wfRows.length <= BpeDriverVocabMax) {
+        // exact counts: the limit sits above the completed aggregation
+        var words: Array[(Array[String], Long)] =
+          wfRows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+        for (r <- 0 until K) {
+          val counts = scala.collection.mutable.HashMap
+            .empty[(String, String), Long].withDefaultValue(0L)
+          words.foreach { case (sy, n) =>
+            var i = 0
+            while (i < sy.length - 1) { counts((sy(i), sy(i + 1))) += n; i += 1 }
+          }
+          // argmax under the SQL total order (cnt DESC, pa ASC, pb ASC);
+          // symbols are [a-z0-9] ASCII, so String ordering == UTF8 binary
+          val ((pa, pb), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((r.toLong, pa, pb, pa + pb, cnt))
+          // greedy left-to-right non-overlapping pairing — exactly the
+          // delimiter-wrapped replace() semantics of the SQL form (both
+          // engines' replace scans the source past each match without
+          // rescanning replaced output): match → emit merged, skip 2
+          words = words.map { case (sy, n) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == pa && sy(i + 1) == pb) {
+                out += pa + pb; i += 2
+              } else { out += sy(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+      } else distributedBpeRounds(s, wf, merges)
+      s.createDataFrame(merges.toSeq)
+        .toDF("r", "left_sym", "right_sym", "merged", "cnt")
+        .coalesce(1)
+    }
+  }
+
+  /** q82 distributed fallback (vocab above [[BpeDriverVocabMax]]): the word
+    * table persists — it is the only corpus-scale relation and every round
+    * reads it — and each round's 1-row argmax comes to the driver (bounded:
+    * K rows, the merge table a trainer keeps anyway), applied as a LITERAL
+    * replace so no broadcast-exchange job and no m_r lineage in later
+    * rounds. Symbols are strictly [a-z0-9], safe to embed in expression
+    * text. Appends the K merge rows to `merges`.
+    */
+  private def distributedBpeRounds(s: org.apache.spark.sql.SparkSession,
+      wf: org.apache.spark.sql.DataFrame,
+      merges: scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)])
+      : Unit = {
+    val K = BpeRounds
+    var w = wf.withColumn("s",
         concat(lit("."), array_join(expr("regexp_extract_all(word, '.', 0)"), ".."),
           lit(".")))
-      val merges = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.DataFrame]
-      for (r <- 0 until K) {
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // queue of superseded checkpoints: w_{r-1}'s blocks are read when
+      // the LAZY checkpoint of w_r materializes inside round r+1's argmax
+      // job, so w_{r-1} is safe to release only after that job — two
+      // rounds behind the head
+      val oldW = scala.collection.mutable.Queue.empty[org.apache.spark.sql.DataFrame]
+      // Round-loop engine settings, restored in the finally:
+      // - AQE off: each round is a vocab-space micro-query (31-row input
+      //   at bench SF) where AQE's per-stage materialization futures add a
+      //   job boundary per shuffle — measured as a third of q82's wall
+      //   with zero replanning benefit (no skew, nothing to coalesce).
+      // - shuffle partitions sized to the VOCAB aggregate, not the corpus:
+      //   every shuffle in scope reduces to ≤|vocab| rows after map-side
+      //   partials (wf's reduce side included), so corpus-width reduce
+      //   fan-out only buys empty-task overhead. A production trainer
+      //   sizes its round-loop shuffles to the vocab table the same way.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try for (r <- 0 until K) {
         val pairs = w
           .withColumn("sy", split(trim(col("s"), "."), "\\.\\."))
           .select(col("n"), explode(expr(
@@ -895,25 +973,64 @@ object TextOps {
           .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
           .agg(sum(col("n")).as("cnt"))
         val m = pairs.orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
-        merges += m.select(lit(r.toLong).as("r"), col("pa").as("left_sym"),
-          col("pb").as("right_sym"), concat(col("pa"), col("pb")).as("merged"),
-          col("cnt"))
-        w = w
-          .crossJoin(broadcast(m.select(col("pa").as("__pa"), col("pb").as("__pb"))))
-          .withColumn("s", expr(
-            "replace(s, concat('.', __pa, '..', __pb, '.'), concat('.', __pa, __pb, '.'))"))
-          .drop("__pa", "__pb")
-      // NOT persisted: the unrolled lineage recomputes earlier rounds
-      // O(K²) times, but each is a vocab-sized codegen pass — a measured
-      // per-round persist was ~30% SLOWER at bench scale (K
-      // materialization barriers beat K² cheap recomputes; the q77/q67
-      // persist-vs-recompute pattern). At production round counts (10⁴+)
-      // a trainer checkpoints the symbol table every few hundred rounds —
-      // same plan, a checkpoint knob, not a rewrite.
+          .collect().head
+        val (pa, pb, cnt) = (m.getString(0), m.getString(1), m.getLong(2))
+        merges += ((r.toLong, pa, pb, pa + pb, cnt))
+        // the merge patterns ride as lit() references, NOT interpolated
+        // SQL text: every round's plan then has the same SHAPE and the
+        // same generated Java (literals live in the references array), so
+        // whole-stage codegen compiles once for all K rounds instead of
+        // per round — the per-round Janino compile was most of the gap
+        // between stage time and wall time
+        w = w.withColumn("s", replace(col("s"),
+          lit(s".$pa..$pb."), lit(s".$pa$pb.")))
+        // cadence knob: re-materialize the symbol table every
+        // BpePersistEvery rounds, keeping plan depth (and recompute on a
+        // lost partition) bounded by the cadence, the way a production
+        // trainer's checkpoint does at 10⁴+ rounds. Cadence 1 also keeps
+        // every round's plan identical — the codegen-reuse prerequisite.
+        // Superseded tables unpersist one round later (their successor's
+        // materialization read them).
+        if (BpePersistEvery > 0 && (r + 1) % BpePersistEvery == 0 && r + 1 < K) {
+          // LAZY localCheckpoint (not persist): persist leaves the full
+          // lineage in the logical plan, so analysis/optimization and
+          // CacheManager sameResult lookups grow with the round index —
+          // measured as the dominant per-round cost once the corpus pass
+          // was cached. Checkpointing truncates the plan to a LogicalRDD:
+          // every round analyzes/plans the SAME constant-depth tree
+          // (q62's pointer-jumping discipline). Lazy, so the NEXT round's
+          // argmax job materializes it — no dedicated checkpoint job per
+          // round; superseded tables release two rounds behind.
+          val next = w.localCheckpoint(eager = false)
+          oldW.enqueue(next)
+          if (oldW.size > 2) oldW.dequeue().unpersist(blocking = false)
+          w = next
+        }
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
       }
-      merges.reduce(_ unionByName _).orderBy("r")
-    }
   }
+
+  /** q82 symbol-table checkpoint cadence for the distributed fallback:
+    * re-checkpoint the merged word table every N rounds (0 = never).
+    * Bounds lineage depth at production round counts the way a trainer's
+    * checkpoint does, and at cadence 1 makes every round's plan shape
+    * identical so whole-stage codegen compiles once for all K rounds
+    * (measured: the per-round compile dominated the round-12 gap between
+    * stage time and wall time).
+    */
+  private[graft] val BpePersistEvery = 1
+
+  /** q82 driver-rounds bound: when the word-frequency table has at most
+    * this many rows it collects and the merge rounds run in memory — the
+    * production trainer shape (Sennrich's learn_bpe / HF tokenizers train
+    * over the counts table in a single process after the corpus
+    * reduction); 200k words ≈ a few dozen MB of driver heap. Above the
+    * bound the distributed argmax-per-round loop runs instead. var so the
+    * equivalence spec can force the fallback at test SF.
+    */
+  @volatile private[graft] var BpeDriverVocabMax = 200000
 
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,

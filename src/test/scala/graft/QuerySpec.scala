@@ -456,6 +456,19 @@ class QuerySpec extends SparkSpec {
       (3L, "ab", "ab", "abab", 3L),
       (4L, "cd", "cd", "cdcd", 2L),
       (5L, "e", "f", "ef", 2L)), got.toSeq.toString)
+    // the distributed fallback (vocab above the driver bound) must trace
+    // the SAME merges — force it via the bound and compare row-for-row,
+    // on the constructed corpus AND the real documents table
+    queries.TextOps.BpeDriverVocabMax = 0
+    try {
+      val fb = queries.TextOps.q82BpeMerges.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(fb.toSeq == got.toSeq, "distributed fallback diverged from driver rounds")
+      val fbReal = queries.TextOps.q82BpeMerges.fn(spark, sf).collect().map(_.toSeq).toSeq
+      queries.TextOps.BpeDriverVocabMax = 200000
+      val drReal = queries.TextOps.q82BpeMerges.fn(spark, sf).collect().map(_.toSeq).toSeq
+      assert(fbReal == drReal, "paths diverged on the documents corpus")
+    } finally queries.TextOps.BpeDriverVocabMax = 200000
   }
 
   test("q81 split drift: PSI contributions non-negative, counts conserve, margins clear") {
