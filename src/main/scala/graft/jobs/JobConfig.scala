@@ -64,6 +64,21 @@ final case class StageSpec(op: String, params: Map[String, Any] = Map.empty) {
       .getOrElse(Map.empty)
 }
 
+/** Declared input normalization — the reference's transform_param block
+  * (scale / mean_value / mean_file, prototxt e.g. data/lrcn_cos.prototxt:
+  * 33-39, applied by FloatDataTransformer): feature vectors become
+  * `(x − mean) · scale` before train/features/test. `meanValues` is the
+  * per-channel mean_value mode (cycled over the vector, matching
+  * interleaved HWC layouts); `computeMean=true` is the mean_file mode —
+  * the per-element corpus mean is computed from the training source at
+  * -train (VectorMean, one pass) and persisted next to the model like
+  * compute_image_mean's blob, then loaded by -features/-test.
+  */
+final case class TransformSpec(
+    scale: Double = 1.0,
+    meanValues: Seq[Double] = Nil,
+    computeMean: Boolean = false)
+
 final case class JobConfig(
     source: SourceSpec,
     dim: Int,
@@ -75,7 +90,8 @@ final case class JobConfig(
     model: String = "",
     output: String = "",
     outputFormat: String = "json",
-    stages: Seq[StageSpec] = Nil)
+    stages: Seq[StageSpec] = Nil,
+    transform: Option[TransformSpec] = None)
 
 object JobConfig {
 
@@ -91,7 +107,7 @@ object JobConfig {
       case other => fail(s"config root must be a JSON object, got $other")
     }
     val known = Set("source", "validation", "dim", "lr", "iters", "l2",
-      "validateEvery", "model", "output", "outputFormat", "stages")
+      "validateEvery", "model", "output", "outputFormat", "stages", "transform")
     val unknown = root.keySet -- known
     if (unknown.nonEmpty) fail(s"unknown config keys: ${unknown.mkString(", ")}")
 
@@ -229,6 +245,34 @@ object JobConfig {
           l.zipWithIndex.map { case (v, i) => stageSpec(v, i) }
         case Some(other) => fail(s"stages must be a JSON array, got $other")
         case None => Nil
+      },
+      transform = root.get("transform").map {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val tKnown = Set("scale", "meanValues", "computeMean")
+          val tUnknown = m.keySet -- tKnown
+          if (tUnknown.nonEmpty) fail(s"unknown transform keys: ${tUnknown.mkString(", ")}")
+          val td = TransformSpec()
+          val t = TransformSpec(
+            scale = dbl(m, "scale", td.scale),
+            meanValues = m.get("meanValues") match {
+              case Some(l: List[Any @unchecked]) => l.map {
+                case n: Double => n
+                case other => fail(s"transform.meanValues must be numbers, got $other")
+              }
+              case Some(other) => fail(s"transform.meanValues must be an array, got $other")
+              case None => Nil
+            },
+            computeMean = m.get("computeMean") match {
+              case Some(b: Boolean) => b
+              case Some(other) => fail(s"transform.computeMean must be true/false, got $other")
+              case None => td.computeMean
+            })
+          if (t.computeMean && t.meanValues.nonEmpty)
+            fail("transform: computeMean and meanValues are mutually exclusive " +
+              "(mean_file vs mean_value, like the reference transformer)")
+          if (t.scale == 0d) fail("transform.scale must be non-zero")
+          t
+        case other => fail(s"transform must be a JSON object, got $other")
       })
     // dim drives the model lifecycle; a pure curation pipeline (stages
     // declared) doesn't have one

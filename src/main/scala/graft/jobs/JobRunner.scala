@@ -88,6 +88,42 @@ object JobRunner {
   private def readSource(spark: SparkSession, s: SourceSpec): DataFrame =
     spark.read.format(s.format).load(s.dataPath)
 
+  /** Where a computed corpus mean persists, next to the model weights —
+    * the compute_image_mean blob of the declared transform.
+    */
+  private[jobs] def meanPath(model: String): String = s"$model.mean"
+
+  /** Declared transform_param application ((x − mean) · scale over the
+    * feature column, the P10 transformer stage) via the codegen'd
+    * [[org.apache.spark.sql.graft.VecNormalize]] — stays inside the same
+    * whole-stage-codegen span as the forward pass's dot.
+    */
+  private def normalized(df: DataFrame, featCol: String, mean: Array[Float],
+      scale: Float): DataFrame =
+    df.withColumn(featCol, org.apache.spark.sql.graft.VectorExpressions
+      .vec_normalize(org.apache.spark.sql.functions.col(featCol),
+        mean.toSeq, scale))
+
+  /** Resolve the declared transform's mean for this run mode: mean_value
+    * literals straight from the config; computeMean = the per-element
+    * corpus mean of the TRAINING source (VectorMean, one distributed
+    * pass), computed and persisted at -train, loaded by -features/-test so
+    * every stage of the lifecycle applies the identical mean.
+    */
+  private def resolveMean(spark: SparkSession, cfg: JobConfig,
+      t: graft.jobs.TransformSpec, training: Option[DataFrame]): Array[Float] =
+    if (!t.computeMean) t.meanValues.map(_.toFloat).toArray
+    else training match {
+      case Some(raw) =>
+        val vm = org.apache.spark.sql.functions.udaf(new graft.agg.VectorMean(cfg.dim))
+        val mean = raw.agg(vm(org.apache.spark.sql.functions.col(cfg.source.featureCol)))
+          .head().getSeq[Double](0).toArray
+        graft.ml.LogisticRegression.saveWeights(spark, mean, meanPath(cfg.model))
+        mean.map(_.toFloat)
+      case None =>
+        graft.ml.LogisticRegression.loadWeights(spark, meanPath(cfg.model)).map(_.toFloat)
+    }
+
   /** Session-injected body so tests (and notebook users) can run a declared
     * job without owning JVM-global session construction.
     */
@@ -121,11 +157,21 @@ object JobRunner {
     }
 
     if (inv.train) {
-      val data = readSource(spark, src)
+      val raw = readSource(spark, src)
+      // declared transform: the SAME (mean, scale) applies to the training
+      // AND validation sources — normalizing train but not val would skew
+      // every interleaved metric
+      val norm: DataFrame => DataFrame = cfg.transform match {
+        case Some(t) =>
+          val mean = resolveMean(spark, cfg, t, training = Some(raw))
+          normalized(_, src.featureCol, mean, t.scale.toFloat)
+        case None => identity
+      }
+      val data = norm(raw)
       val weights = cfg.validation match {
         case Some(v) =>
           val (w, metrics) =
-            g.trainWithValidation(data, readSource(spark, v), src.featureCol, src.labelCol)
+            g.trainWithValidation(data, norm(readSource(spark, v)), src.featureCol, src.labelCol)
           // validation metric frame rides along with the snapshot (the
           // reference's interleaved-validation output frame)
           if (cfg.output.nonEmpty)
@@ -137,9 +183,20 @@ object JobRunner {
       g.save(weights, cfg.model)
     }
 
+    // features/test apply the model's transform: mean_value literals from
+    // the config, a computed mean from the blob persisted at -train
+    def applyTransform(df: DataFrame, featCol: String): DataFrame =
+      cfg.transform match {
+        case Some(t) =>
+          val mean = resolveMean(spark, cfg, t, training = None)
+          normalized(df, featCol, mean, t.scale.toFloat)
+        case None => df
+      }
+
     if (inv.features) {
       val w = g.load(cfg.model)
-      g.features(readSource(spark, src), w, src.idCol, src.featureCol)
+      g.features(applyTransform(readSource(spark, src), src.featureCol),
+          w, src.idCol, src.featureCol)
         .write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/features")
     }
@@ -150,7 +207,8 @@ object JobRunner {
       // reference's test mode reads its own test data source), falling back
       // to the training source for single-source jobs
       val testSrc = cfg.validation.getOrElse(src)
-      val metrics = g.test(readSource(spark, testSrc), w, testSrc.idCol, testSrc.featureCol)
+      val metrics = g.test(applyTransform(readSource(spark, testSrc), testSrc.featureCol),
+        w, testSrc.idCol, testSrc.featureCol)
       // one small JSON document, like the reference's test_result file —
       // written through the job filesystem (FSUtils role) so hdfs://- and
       // s3://-style output URIs work under spark-submit, not just file://

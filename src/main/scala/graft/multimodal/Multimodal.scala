@@ -374,6 +374,53 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(s => decode(s, numChannels).map(resize)))
   }
 
+  /** P10 normalization — the transformer's scale-multiply + mean-subtract
+    * (reference FloatDataTransformer.java:15-40 wrapping Caffe's
+    * `(value − mean) · scale`; transform_param scale / mean_value /
+    * mean_file, e.g. data/lrcn_cos.prototxt:33-39): u8 HWC bytes → float
+    * buffer. `mean.length == channels` is the per-channel mean_value mode
+    * (channel = i mod channels on interleaved HWC); `mean.length ==
+    * data.length` is the per-pixel mean_file (corpus-mean blob) mode.
+    * Same arithmetic as the codegen'd column form
+    * ([[org.apache.spark.sql.graft.VecNormalize]]).
+    */
+  def normalize(s: MediaSample, mean: Array[Float], scale: Float): Array[Float] = {
+    require(!s.encoded, "normalize needs a decoded buffer")
+    require(mean.length == s.channels || mean.length == s.data.length,
+      s"mean length ${mean.length} matches neither channels ${s.channels} " +
+        s"nor buffer ${s.data.length}")
+    val out = new Array[Float](s.data.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((s.data(i) & 0xFF) - mean(i % mean.length)) * scale
+      i += 1
+    }
+    out
+  }
+
+  /** Corpus per-pixel mean — the `compute_image_mean` / mean_file producer:
+    * element-wise mean over same-shape decoded buffers via the A1
+    * VectorMean aggregate (map-side partial sums; one (dim)-sized buffer
+    * per partition reaches the exchange). Feed [[normalize]]'s per-pixel
+    * mode or slice per channel.
+    */
+  def pixelMean(ds: Dataset[MediaSample], dim: Int): Array[Float] = {
+    import ds.sparkSession.implicits._
+    val vm = org.apache.spark.sql.functions.udaf(new graft.agg.VectorMean(dim))
+    ds.map(s => s.data.map(b => (b & 0xFF).toFloat).toSeq).toDF("px")
+      .agg(vm(col("px"))).head().getSeq[Double](0).map(_.toFloat).toArray
+  }
+
+  /** Normalized feature-vector stage: decode → normalize, the transformer
+    * chain a features/train pipeline runs per sample (P10 complete).
+    */
+  def normalizeFrame(ds: Dataset[MediaSample], mean: Array[Float],
+      scale: Float): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map(s => (s.id, s.label, normalize(s, mean, scale).toSeq))
+      .toDF("id", "label", "features")
+  }
+
   /** Build a MediaSample dataset from the documents table, payload = utf8
     * bytes (the environment's stand-in for real media blobs).
     */

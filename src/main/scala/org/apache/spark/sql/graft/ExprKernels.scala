@@ -388,4 +388,23 @@ object ExprKernels {
     }
     null
   }
+
+  /** (x[i] − mean[i mod mean.length]) · scale per element (see
+    * VecNormalize): mean.length == channels covers the per-channel
+    * `mean_value` mode on interleaved HWC data, mean.length == x.length
+    * the per-pixel `mean_file` mode — one modulo rule for both.
+    */
+  def vecNormalize(x: ArrayData, mean: Array[Float], scale: Float): ArrayData = {
+    val n = x.numElements()
+    if (n % mean.length != 0)
+      throw new IllegalArgumentException(
+        s"vec_normalize: vector length $n not a multiple of mean length ${mean.length}")
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (x.getFloat(i) - mean(i % mean.length)) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -129,6 +129,24 @@ object GraftExtensions {
         case Seq(t, ctr, g) => PcmSynth(t, ctr, g)
         case _ => throw new IllegalArgumentException(
           "pcm_synth(text, center, gain)")
+      }),
+    ("vec_normalize", classOf[VecNormalize].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(x, meanE, scaleE) =>
+          // mean and scale must be literals; evaluated once at resolution.
+          // SQL numerics arrive as int/long/double/Decimal — all fold to
+          // float (the transformer's working precision)
+          def toF(v: Any): Float = v match {
+            case d: org.apache.spark.sql.types.Decimal => d.toFloat
+            case n: Number => n.floatValue()
+            case other => throw new IllegalArgumentException(
+              s"vec_normalize: non-numeric mean/scale element $other")
+          }
+          val arr = meanE.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val et = meanE.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          VecNormalize(x, arr.toObjectArray(et).map(toF), toF(scaleE.eval()))
+        case _ => throw new IllegalArgumentException(
+          "vec_normalize(x, array(mean...), scale)")
       }))
 }
 

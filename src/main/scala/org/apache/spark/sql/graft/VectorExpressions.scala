@@ -136,7 +136,44 @@ case class NearestCentroid(child: Expression, labels: Array[Long],
     copy(child = newChild)
 }
 
+/** Caffe-transformer input normalization — P10's scale-multiply +
+  * mean-subtract half (reference FloatDataTransformer.java:15-40 wrapping
+  * Caffe's data_transformer `(value − mean) · scale`; transform_param
+  * scale/mean_value/mean_file, e.g. data/lrcn_cos.prototxt:33-39):
+  * `vec_normalize(x)` with the mean vector and scale riding as generated-
+  * class references. mean.length == channels gives the per-channel
+  * `mean_value` mode on an interleaved HWC buffer (channel = i mod
+  * channels); mean.length == x.length gives the per-pixel `mean_file`
+  * (corpus-mean blob) mode.
+  */
+case class VecNormalize(child: Expression, mean: Array[Float], scale: Float)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(mean.nonEmpty, "vec_normalize: empty mean vector")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.vecNormalize(input.asInstanceOf[ArrayData], mean, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("mean", mean, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.vecNormalize($c, $mRef, ${scale}f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** Codegen'd (x − mean) · scale normalization (the transformer kernel). */
+  def vec_normalize(x: Column, mean: Seq[Float], scale: Float): Column =
+    ExpressionUtils.column(VecNormalize(
+      ExpressionUtils.expression(x), mean.toArray, scale))
+
   /** Codegen'd double dot product of two float-array columns. */
   def float_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(

@@ -83,12 +83,14 @@ class CodegenGuardSpec extends SparkSpec {
       VectorExpressions.float_dot(col("emb"), col("emb")).as("dot"),
       VectorExpressions.float_norm(col("emb")).as("nrm"),
       VectorExpressions.nearest_centroid(col("emb"), codebook, offset = 2).as("nc"),
+      VectorExpressions.vec_normalize(col("emb"), Seq(0.5f, 1.5f), 2.0f).as("vn"),
       SumExpressions.decimal9_nanos(col("d")).as("n9"))
     // float_dot / float_norm emit inline loops (no named kernel call); the
     // compiledSources nonEmpty + all-compile assertions cover them because
     // the whole projection is one stage
     assertCodegen(df,
-      "ExprKernels.nearestCentroid", "Decimal9Nanos$.MODULE$.nanos")
+      "ExprKernels.nearestCentroid", "ExprKernels.vecNormalize",
+      "Decimal9Nanos$.MODULE$.nanos")
   }
 
   test("image/audio/json/scrub expressions: generated stage compiles") {

@@ -68,6 +68,71 @@ class JobRunnerSpec extends SparkSpec {
       .loadWeights(spark, s"$work/model2").length == 64)
   }
 
+  test("declared transform block: corpus mean computed at train, applied by features (P10 normalize)") {
+    val work = java.nio.file.Files.createTempDirectory("jobnorm").toString
+    Tables(spark, sf, "embeddings")
+      .withColumn("y", when(expr("embedding[0] + embedding[1]") > 0, 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$work/train")
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$work/train", "labelCol": "y"},
+         |  "dim": 64, "lr": 2.0, "iters": 10,
+         |  "model": "$work/model",
+         |  "output": "$work/out",
+         |  "outputFormat": "parquet",
+         |  "transform": {"scale": 2.0, "computeMean": true}
+         |}""".stripMargin)
+    JobRunner.run(spark,
+      JobRunner.parse(Array("-train", "-features", "-conf", conf)))
+    // the mean blob persisted next to the model (compute_image_mean role)
+    // and equals the corpus element-wise mean
+    val mean = graft.ml.LogisticRegression.loadWeights(spark, s"$work/model.mean")
+    assert(mean.length == 64)
+    // features of a chosen sample = sigmoid(dot(w, (x - mean) * scale)):
+    // recompute by hand with the engine's exact float arithmetic
+    // (FloatVectorDot: float operands, sequential double accumulation)
+    val w = graft.ml.LogisticRegression.loadWeights(spark, s"$work/model")
+    val row = spark.read.parquet(s"$work/train")
+      .filter(col("vec_id") === 7L).select("embedding").head()
+    val x = row.getSeq[Float](0)
+    val z = x.indices.foldLeft(0.0) { (acc, i) =>
+      acc + w(i).toFloat.toDouble * ((x(i) - mean(i).toFloat) * 2.0f).toDouble
+    }
+    val p = 1.0 / (1.0 + math.exp(-z))
+    val got = spark.read.parquet(s"$work/out/features")
+      .filter(col("SampleID") === "7").head()
+    assert(math.abs(got.getSeq[Float](1).head - z.toFloat) <= math.ulp(z.toFloat),
+      s"z mismatch: got ${got.getSeq[Float](1).head}, expected $z")
+    assert(math.abs(got.getSeq[Float](2).head - p.toFloat) <= math.ulp(p.toFloat))
+    // a run WITHOUT the transform must differ (normalization is real)
+    val confPlain = writeConf(
+      s"""{
+         |  "source": {"path": "$work/train", "labelCol": "y"},
+         |  "dim": 64, "lr": 2.0, "iters": 10,
+         |  "model": "$work/model_plain", "output": "$work/out_plain",
+         |  "outputFormat": "parquet"
+         |}""".stripMargin)
+    JobRunner.run(spark,
+      JobRunner.parse(Array("-train", "-features", "-conf", confPlain)))
+    val wPlain = graft.ml.LogisticRegression.loadWeights(spark, s"$work/model_plain")
+    assert(!w.sameElements(wPlain), "transform had no effect on training")
+  }
+
+  test("transform config validation: computeMean and meanValues are exclusive; scale non-zero") {
+    intercept[IllegalArgumentException](JobConfig.fromJson(
+      """{"source": {"path": "/x"}, "dim": 4,
+        |"transform": {"computeMean": true, "meanValues": [1.0]}}""".stripMargin))
+    intercept[IllegalArgumentException](JobConfig.fromJson(
+      """{"source": {"path": "/x"}, "dim": 4, "transform": {"scale": 0.0}}""".stripMargin))
+    intercept[IllegalArgumentException](JobConfig.fromJson(
+      """{"source": {"path": "/x"}, "dim": 4, "transform": {"bogus": 1.0}}""".stripMargin))
+    val t = JobConfig.fromJson(
+      """{"source": {"path": "/x"}, "dim": 4,
+        |"transform": {"scale": 0.5, "meanValues": [104.0, 117.0, 123.0]}}""".stripMargin)
+      .transform.get
+    assert(t.scale == 0.5 && t.meanValues == Seq(104.0, 117.0, 123.0) && !t.computeMean)
+  }
+
   test("declared curation pipeline runs end-to-end from JSON alone") {
     val work = java.nio.file.Files.createTempDirectory("jobcurate").toString
     val conf = writeConf(

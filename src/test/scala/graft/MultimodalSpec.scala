@@ -257,4 +257,59 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() == 12) // 2 windows per sample
     assert(df.filter(org.apache.spark.sql.functions.col("rms") <= 0).count() == 0)
   }
+
+  test("normalize: hand-computed (x - mean) * scale, per-channel and per-pixel modes") {
+    // 2x1 BGR image: pixels (10,20,30) and (110,220,130) interleaved HWC
+    val s = MediaSample("i", "l", 3, 1, 2, encoded = false,
+      Array[Byte](10, 20, 30, 110.toByte, 220.toByte, 130.toByte))
+    // per-channel mean_value mode (lrcn_cos.prototxt's 104/117/123 shape)
+    val perChan = Multimodal.normalize(s, Array(104f, 117f, 123f), 0.5f)
+    assert(perChan.toSeq == Seq(
+      (10 - 104) * 0.5f, (20 - 117) * 0.5f, (30 - 123) * 0.5f,
+      (110 - 104) * 0.5f, (220 - 117) * 0.5f, (130 - 123) * 0.5f))
+    // per-pixel mean_file mode: mean length == buffer length
+    val perPix = Multimodal.normalize(s,
+      Array(1f, 2f, 3f, 4f, 5f, 6f), 2f)
+    assert(perPix.toSeq == Seq(18f, 36f, 54f, 212f, 430f, 248f))
+    // byte values are unsigned: 220.toByte must read as 220, not -36
+    assert(perChan(4) == (220 - 117) * 0.5f)
+    intercept[IllegalArgumentException] {
+      Multimodal.normalize(s, Array(1f, 2f), 1f) // neither channels nor dim
+    }
+  }
+
+  test("pixelMean + normalize round-trip: corpus mean_file semantics (VectorMean reuse)") {
+    import spark.implicits._
+    val samples = Seq(
+      MediaSample("a", "l", 1, 1, 4, encoded = false, Array[Byte](0, 10, 20, 30)),
+      MediaSample("b", "l", 1, 1, 4, encoded = false, Array[Byte](100, 90, 80, 70)))
+    val mean = Multimodal.pixelMean(spark.createDataset(samples), dim = 4)
+    assert(mean.toSeq == Seq(50f, 50f, 50f, 50f))
+    // normalizing by the corpus mean centres the corpus: the two samples
+    // become exact negations of each other
+    val na = Multimodal.normalize(samples(0), mean, 1f)
+    val nb = Multimodal.normalize(samples(1), mean, 1f)
+    assert(na.zip(nb).forall { case (x, y) => x == -y })
+    // the frame stage carries the same floats
+    val frame = Multimodal.normalizeFrame(spark.createDataset(samples), mean, 1f)
+      .orderBy("id").collect()
+    assert(frame.head.getSeq[Float](2) == na.toSeq)
+  }
+
+  test("vec_normalize expression matches the kernel and handles SQL literal modes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Seq(10f, 20f, 30f, 110f, 220f, 130f))).toDF("id", "v")
+    val got = df.select(org.apache.spark.sql.graft.VectorExpressions
+        .vec_normalize(col("v"), Seq(104f, 117f, 123f), 0.5f).as("n"))
+      .head().getSeq[Float](0)
+    assert(got == Seq(-47f, -48.5f, -46.5f, 3f, 51.5f, 3.5f))
+    // SQL-registered form: int-literal array + fractional scale
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vn")
+    val sqlGot = spark.sql(
+      "SELECT vec_normalize(v, array(104, 117, 123), 0.5) FROM vn")
+      .head().getSeq[Float](0)
+    assert(sqlGot == got)
+  }
 }
