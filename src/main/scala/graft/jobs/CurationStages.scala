@@ -197,6 +197,19 @@ object CurationStages {
       val emb = docs.sparkSession.read.parquet(embPath)
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
           lit(0).as("label"))
+      // semdedupDrops' identical-embedding collapse is pairwise-equivalent
+      // only when duplicated vectors clear the self-dot gate (its scaladoc
+      // invariant: self-dot > tau). The declarative stage accepts arbitrary
+      // user-declared embedding tables with no normalization guarantee, so
+      // enforce the q60 corpus invariant up front — near-unit norms — with
+      // one map-only projected pass; failing loudly beats silently
+      // diverging from the pairwise rule on a cross-group centroid-dot tie.
+      val offNorm = emb.filter(abs(org.apache.spark.sql.graft.VectorExpressions
+          .float_dot(col("embedding"), col("embedding")) - 1.0d) > 0.01d).count()
+      if (offNorm > 0) throw new IllegalArgumentException(
+        s"semantic_dedup: $offNorm embeddings are not unit-normalized " +
+          "(|x|² off 1 by > 0.01) — normalize them before this stage " +
+          "(the dedup rule's identical-vector collapse requires it)")
       val c0 = KMeans.collectCentroids(KMeans.centroids(
         emb.withColumn("__k", pmod(col("vec_id"), lit(k))), "__k"))
       val c1 = KMeans.collectCentroids(KMeans.centroids(

@@ -181,6 +181,13 @@ object JobConfig {
           case "image_near_dedup" =>
             num("maxHamming")(n => n.isWhole && n >= 0 && n <= 3,
               "must be an integer 0..3 (4x16-bit banding is exact only to 3)")
+          case "semantic_dedup" =>
+            optStr("embeddings"); optStr("idCol"); optStr("embeddingCol")
+            num("clusters")(n => n.isWhole && n >= 1, "must be a positive integer")
+            // unit vectors self-dot to ~1: a tau at or above that would
+            // defeat the identical-vector collapse's self-dot gate
+            num("minDot")(t => t < 0.99, "must be below 0.99 " +
+              "(unit-norm self-dot must clear it — see semdedupDrops)")
           case "multimodal_join" =>
             optStr("embeddings"); optStr("idCol"); optStr("embeddingCol")
             params.get("how").foreach {

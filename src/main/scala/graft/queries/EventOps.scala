@@ -292,8 +292,14 @@ object EventOps {
       |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS users
       |FROM a GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    // FLOOR division, not `div` (truncation toward zero): the oracle's
+    // `//` floors, and the two diverge by one on pre-1970 (negative-epoch)
+    // timestamps. (a − pmod(a,b)) div b is floorDiv in exact long math —
+    // a double floor(a/86400e6) can flip on exact-multiple boundaries.
     val d = Tables(s, dir, "events")
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .select(col("user_id"), expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+        .as("day"))
     val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     d.join(f, "user_id")
       .select(col("user_id"), col("cohort_day"),

@@ -276,9 +276,16 @@ object EventStreams {
     * `c > signup + stepWindow` can never validate (t1 only decreases).
     * Purchases prune on the doubled horizon (t3 ≤ t1 + 2·stepWindow).
     * State per user is O(events inside the funnel horizon) — the
-    * enrichAsOf class — and the whole entry evicts once the watermark
-    * passes signup + 2·stepWindow (chain provably final; for signup-less
-    * users, after `watermark` of idleness).
+    * enrichAsOf class — and once the watermark passes signup +
+    * 2·stepWindow (chain provably final; for signup-less users, after
+    * `watermark` of idleness) it COLLAPSES to an O(1) finalized tombstone
+    * rather than evicting: full removal would let a post-horizon event
+    * rebuild the user from scratch, restarting rev (shadowing the
+    * finalized chain under the max-rev consumer contract) and re-basing
+    * t1 on a later signup — the re-admission divergence retentionDays'
+    * scaladoc documents. The tombstone keeps (signupUs, final t2/t3 as
+    * the only candidates, rev), so post-horizon activity re-emits the
+    * identical final chain at monotonically higher rev.
     */
   def funnelStages(events: DataFrame, stepWindow: String = "24 hours",
       watermark: String = "48 hours"): DataFrame = {
@@ -301,8 +308,30 @@ object EventStreams {
     }
     def update(uid: Long, rows: Iterator[FunnelEvent],
         state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
-      if (state.hasTimedOut) { state.remove(); Iterator.empty }
-      else {
+      if (state.hasTimedOut) {
+        // NOT state.remove(): a removed user re-admitted by any later
+        // event would rebuild from scratch — rev restarting at 1 (tying
+        // with or shadowed by the finalized emission under the documented
+        // max-rev consumer contract) and a second signup would restart the
+        // chain at the LATER signup, diverging from batch funnelStages.
+        // Instead the state collapses to an O(1) finalized tombstone: the
+        // final chain's t2/t3 as singleton candidate lists — chain()
+        // re-derives exactly (t1, t2, t3) from them — plus signupUs and
+        // the monotone rev. Post-horizon events flow through the normal
+        // path: t1 can't decrease (new ts > watermark ≥ signup), new
+        // candidates can't qualify (> t1 + 2·stepWindow) and are pruned,
+        // so re-emissions carry the SAME final chain at higher rev.
+        // No further timeout: the tombstone is permanent O(1) per user,
+        // the same bound retentionDays documents for never evicting.
+        state.getOption.foreach { st =>
+          val (_, t2, t3) = chain(st)
+          state.update(FunnelState(st.signupUs,
+            if (t2 >= 0) List(t2) else Nil,
+            if (t3 >= 0) List(t3) else Nil,
+            st.maxEventUs, st.rev))
+        }
+        Iterator.empty
+      } else {
         var st = state.getOption
           .getOrElse(FunnelState(-1L, Nil, Nil, Long.MinValue, 0L))
         rows.foreach { e =>
@@ -393,8 +422,14 @@ object EventStreams {
       val out = scala.collection.mutable.ListBuffer.empty[FlowEmit]
       var b = buf
       // finalize while the SECOND event is at or below the horizon: the
-      // head then has no possible future neighbor on its right side
-      while (b.size >= 2 && b(1)._1 <= upToUs) {
+      // head then has no possible future neighbor on its right side.
+      // STRICTLY below the horizon: the engine's late-data filter drops
+      // rows with ts < watermark, so an event with ts EXACTLY equal to
+      // the watermark can still arrive — and with a smaller event_id it
+      // sorts between the head and a just-emitted second event, changing
+      // the adjacency. A pair is final only once its second event is
+      // strictly under the watermark.
+      while (b.size >= 2 && b(1)._1 < upToUs) {
         val (t1, _, ty1) = b.head
         val (t2, _, ty2) = b(1)
         if (t2 - t1 <= gapUs) out += FlowEmit(uid, ty1, ty2, t2)
@@ -476,7 +511,11 @@ object EventStreams {
     }
     events
       .withWatermark("ts", watermark)
-      .select(col("ts"), expr("unix_micros(ts) div 86400000000").as("day"),
+      // floor division (batch q76's rule): `div` truncates toward zero and
+      // diverges from the floor bucket by one on negative-epoch timestamps
+      .select(col("ts"), expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+        .as("day"),
         col("user_id"))
       .as[RetEvent]
       .groupByKey(_.user_id)

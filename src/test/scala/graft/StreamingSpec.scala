@@ -483,6 +483,63 @@ class StreamingSpec extends SparkSpec {
       s"revision chain wrong: ${rows.toSeq}")
   }
 
+  test("streaming funnel: post-horizon activity re-emits the finalized chain, never a reset (tombstone)") {
+    // 4 batches: (1) user 1 completes a chain; (2) another user's far-
+    // future event advances the watermark past user 1's horizon; (3) a
+    // further batch with NO user-1 rows lets the event-time timeout fire —
+    // pre-round-13 this REMOVED the state, so (4) a post-horizon user-1
+    // event rebuilt it from scratch: rev restarted at 1 (tying with the
+    // finalized emission under the max-rev contract) and the chain reset.
+    // The finalized tombstone must instead re-emit the SAME chain at
+    // strictly higher rev.
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val t0 = java.time.Instant.parse("2026-04-01T00:00:00Z").toEpochMilli
+    def nanos(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000000L
+    def us(offsetMin: Long): Long = (t0 + offsetMin * 60000L) * 1000L
+    def writeFile(dir: java.nio.file.Path, name: String, mod: Long,
+        rows: Seq[Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funnel_tomb")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), EventStreams.rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    val day = 1440L
+    val dir = java.nio.file.Files.createTempDirectory("funnel_tomb_src")
+    writeFile(dir, "a.parquet", 10000L, Seq(
+      Row(1L, nanos(0), 1L, "signup", 0.0, "{}"),
+      Row(2L, nanos(60), 1L, "click", 0.0, "{}"),
+      Row(3L, nanos(120), 1L, "purchase", 0.0, "{}")))
+    writeFile(dir, "b.parquet", 20000L, Seq(
+      Row(4L, nanos(30 * day), 2L, "view", 0.0, "{}")))
+    // user 1 has no rows here: their event-time timeout fires this batch
+    writeFile(dir, "c.parquet", 30000L, Seq(
+      Row(5L, nanos(30 * day + 60), 2L, "view", 0.0, "{}")))
+    // post-horizon user-1 activity (above the watermark, so admitted)
+    writeFile(dir, "d.parquet", 40000L, Seq(
+      Row(6L, nanos(30 * day + 30), 1L, "click", 0.0, "{}")))
+    val u1 = EventStreams.runToMemory(
+      EventStreams.funnelStages(
+        EventStreams.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "funnel_tomb_t").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    val chain = (us(0), us(60), us(120))
+    assert(u1.nonEmpty && u1.head._2 == chain, s"initial chain wrong: ${u1.toSeq}")
+    assert(u1.length >= 2, s"post-horizon event emitted nothing: ${u1.toSeq}")
+    // re-admission: strictly higher rev, identical finalized chain
+    assert(u1.last._1 > u1.head._1, s"rev not monotone across eviction: ${u1.toSeq}")
+    assert(u1.forall(_._2 == chain),
+      s"post-horizon emission diverged from the finalized chain: ${u1.toSeq}")
+  }
+
   test("streaming retention: a late earlier event re-cohorts and shifts every offset") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.Row
