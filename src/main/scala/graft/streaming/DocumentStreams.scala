@@ -331,6 +331,54 @@ object DocumentStreams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming twin of q81's PSI drift audit — the production form of a
+    * drift monitor: a sliding event-time window over incoming document
+    * lengths, each finalized window scored against the STATIC training
+    * distribution (10 smoothed counts, driver metadata riding as
+    * literals — the broadcast analogue of q81's 1-row totals frame).
+    *
+    * One stateful operator: the window aggregate carries a 10-slot count
+    * vector per window (sum-of-indicator columns — a second chained
+    * aggregation for the window total would be a second stateful operator,
+    * which append-mode streaming restricts; the vector shape also keeps
+    * state O(windows × 10)). PSI expansion to one row per (window, bucket)
+    * is stateless projection downstream of the finalized rows, with
+    * EXACTLY q81's smoothed arithmetic ((n+1)/(tot+10), (p−q)·ln(p/q),
+    * nano-quantized to psi_n9) so the streamed rows are comparable to the
+    * batch audit's.
+    *
+    * `stream` needs (ts, n_chars) — documents joined to their ingest
+    * event time. Emits (window_start, bucket, n_window, n_train, psi_n9)
+    * for every watermark-finalized window.
+    */
+  def driftMonitor(stream: DataFrame, trainCounts: Seq[Long],
+      windowDur: String = "1 hour", slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    require(trainCounts.length == 10, s"10 train buckets, got ${trainCounts.length}")
+    val totTrain = trainCounts.sum
+    val bucketCol = least(expr("n_chars div 200"), lit(9L))
+    val counts = (0 until 10).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .select(col("ts"), bucketCol.as("bucket"))
+      .groupBy(window(col("ts"), windowDur, slide).as("w"))
+      .agg(counts.head, counts.tail: _*)
+    val totW = (0 until 10).map(i => col(s"n$i")).reduce(_ + _)
+    val slots = (0 until 10).map(i => struct(
+      lit(i.toLong).as("bucket"), col(s"n$i").as("n_window"),
+      lit(trainCounts(i)).as("n_train")))
+    val p = (col("b.n_train") + 1).cast("double") / lit(totTrain + 10).cast("double")
+    val q = (col("b.n_window") + 1).cast("double") / (col("tot_w") + 10).cast("double")
+    agg
+      .select(col("w.start").as("window_start"), totW.as("tot_w"),
+        explode(array(slots: _*)).as("b"))
+      .select(col("window_start"), col("b.bucket").as("bucket"),
+        col("b.n_window").as("n_window"), col("b.n_train").as("n_train"),
+        floor(((p - q) * log(p / q)) * lit(1000000000L) + lit(0.5))
+          .cast("long").as("psi_n9"))
+  }
+
   /** Batch readout over an emitted [[heavyHitterCells]] table: the
     * count-min estimate (min across the 4 row counters) for each candidate
     * fingerprint in `candidates(fp)`. The cell table is ≤32k rows by

@@ -540,6 +540,53 @@ class StreamingSpec extends SparkSpec {
       s"post-horizon emission diverged from the finalized chain: ${u1.toSeq}")
   }
 
+  test("streaming drift monitor: finalized windows score PSI identically to the batch formulation") {
+    import graft.streaming.DocumentStreams
+    // (ts, n_chars) stream: each document gets a deterministic ingest time
+    // spread over 5 hours so multiple sliding windows finalize
+    val base = "2026-05-01T00:00:00Z"
+    val withTs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("ts", expr(
+        s"timestamp'$base' + make_interval(0, 0, 0, 0, 0, cast(doc_id % 300 as int), 0)"))
+      .select("ts", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream")
+    withTs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // the static train distribution: the corpus' own bucket histogram
+    val train = Tables(spark, sf, "documents")
+      .groupBy(least(expr("n_chars div 200"), lit(9L)).as("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainCounts = (0L to 9L).map(b => train.getOrElse(b, 0L))
+    val stream = spark.readStream
+      .schema("ts timestamp, n_chars long").parquet(dir.toString)
+    val got = graft.streaming.EventStreams.runToMemory(
+      DocumentStreams.driftMonitor(stream, trainCounts), "drift_t")
+    // batch twin: the same operator over the same frame computes every
+    // window; emitted streamed rows must match it exactly
+    val batch = DocumentStreams.driftMonitor(withTs, trainCounts)
+      .withColumnRenamed("psi_n9", "psi_b")
+      .withColumnRenamed("n_window", "nw_b")
+    val joined = got.join(batch, Seq("window_start", "bucket"), "inner")
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("psi_n9") =!= col("psi_b") ||
+      col("n_window") =!= col("nw_b")).count() == 0)
+    // only windows the final watermark left open may be withheld
+    val maxTs = withTs.agg(max("ts")).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 4 * 3600 * 1000L)
+    val missing = batch.join(got.select("window_start", "bucket"),
+      Seq("window_start", "bucket"), "left_anti")
+    assert(missing.filter(col("window_start") < cutoff).count() == 0)
+    // the monitor is the q81 audit's arithmetic: a window whose counts
+    // equal the train distribution scores PSI 0 in every bucket — feed the
+    // train histogram through the stateless scorer shape directly
+    val selfRows = DocumentStreams.driftMonitor(
+      withTs, trainCounts, windowDur = "24 hours", slide = "24 hours")
+    val self = selfRows.filter(col("n_window") > 0)
+    // one 24h window holds the whole corpus: n_window == n_train per bucket
+    assert(self.filter(col("n_window") =!= col("n_train")).count() == 0)
+    assert(self.filter(col("psi_n9") =!= 0L).count() == 0)
+  }
+
   test("streaming retention: a late earlier event re-cohorts and shifts every offset") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.Row
