@@ -115,14 +115,32 @@ object Bench {
     // thermal state a function of ALPHABETICAL POSITION (q5x always
     // measured hottest). Passes give every query one sample from each
     // thermal epoch; the median then compares like with like.
+    // Per-query jobs_launched (overhead honesty): sub-second queries that
+    // read >2x the oracle are usually paying fixed per-job scheduling, not
+    // plan cost — the job count makes the two separable in the record.
+    // Jobs are attributed by SUBMISSION time (SparkListenerJobStart.time,
+    // stamped synchronously on the driver at submit) falling inside the
+    // query's wall interval, so async listener-bus delivery can't
+    // misattribute, and jobs from query-internal worker threads (q53's
+    // concurrent arms) are still counted.
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobTimes.add(j.time)
+      })
+    val intervals = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     (1 to runs).foreach { _ =>
       selected.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
+          val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+            intervals(name) = (w0, System.currentTimeMillis()) // last pass wins
           } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -130,6 +148,14 @@ object Bench {
           } finally Caches.clearAll(spark) // each run pays its full cost
         }
       }
+    }
+    Thread.sleep(500) // drain the listener bus before reading job starts
+    val jobStarts = {
+      val it = jobTimes.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val jobCounts = intervals.map { case (name, (a, b)) =>
+      name -> jobStarts.count(t => t >= a && t <= b)
     }
     val results = selected.flatMap { case (name, _) =>
       samples.get(name).filter(_.nonEmpty)
@@ -162,8 +188,11 @@ object Bench {
     // ("parsed": null). So the verbose line — full per-query medians, errors —
     // goes FIRST (audit trail, also written to a file), and a compact summary
     // line small enough to always fit the tail goes LAST.
+    // jobs: Spark jobs launched on the LAST measured pass per query (warm
+    // steady state — first passes may pay one-time DerivedLayout builds)
+    val qsJobs = jobCounts.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"jobs":$qsJobs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}"""
     // min_total: sum of per-query MINIMA across passes — robust to this box's
     // thermal throttling (a hot pass inflates medians uniformly; the min of
     // one-sample-per-thermal-epoch is the coolest observed execution).

@@ -17,6 +17,11 @@ class JobRunnerSpec extends SparkSpec {
     p.toString
   }
 
+  // full-chain output fingerprint, pinned on the fixed sf0.001 corpus
+  // (round 13); re-pin ONLY after hand-verifying an intentional stage change
+  private val PinnedChainHash = -8632220971499603254L
+  private val PinnedChainCount = 415L
+
   test("declared train -> features -> test lifecycle from one config document") {
     val work = java.nio.file.Files.createTempDirectory("jobrun").toString
     // a labeled copy of the embeddings table is the declared source
@@ -221,6 +226,62 @@ class JobRunnerSpec extends SparkSpec {
       graft.jobs.StageSpec("multimodal_join", Map(
         "embeddings" -> s"$sf/embeddings.parquet", "how" -> "left")))
     assert(left.count() == 50)
+  }
+
+  test("full round-12 stage chain e2e: image/semantic dedup -> mix -> split -> chunk -> pack, output pinned") {
+    // the stage interactions under regression lock: provenance columns
+    // (split, bins) must ride THROUGH the dedup joins, the mix gate must
+    // see post-dedup language counts, and pack must window over the
+    // chunked rows — a breakage anywhere reorders/changes rows and moves
+    // the pinned fingerprint
+    val work = java.nio.file.Files.createTempDirectory("jobfull").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [
+         |    {"op": "image_near_dedup", "maxHamming": 3},
+         |    {"op": "semantic_dedup", "clusters": 8, "minDot": 0.25},
+         |    {"op": "temperature_mix", "alpha": 0.5, "budgetDocs": 400},
+         |    {"op": "assign_split", "trainPct": 80, "valPct": 10},
+         |    {"op": "chunk", "chunkTokens": 32, "stride": 24},
+         |    {"op": "pack", "tokenBudget": 256}
+         |  ]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val corpus = spark.read.parquet(s"$work/out/corpus")
+    val n = corpus.count()
+    assert(n > 0, "chain produced an empty corpus")
+    // structural invariants of the composed chain
+    assert(Seq("doc_id", "split", "chunk_start", "n_tok", "cum_tok", "bin")
+      .forall(corpus.columns.contains), corpus.columns.mkString(","))
+    assert(corpus.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // order-insensitive content fingerprint (xor of row hashes; sum overflows
+    // under ANSI mode) over every column; the count
+    // and sum pin the exact output of the chain on the fixed sf0.001
+    // corpus — any semantic change to any stage (or a provenance column
+    // lost in a join) moves at least one of them
+    val cols = corpus.columns.sorted.map(col)
+    val fp = corpus.agg(
+      bit_xor(xxhash64(cols: _*)).as("h"), count(lit(1)).as("n")).head()
+    val (gotH, gotN) = (fp.getLong(0), fp.getLong(1))
+    // determinism first: the identical declaration reproduces the corpus
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-curate", "-conf", conf, "-output", s"$work/out2")))
+    val again = spark.read.parquet(s"$work/out2/corpus")
+    val fp2 = again.agg(
+      bit_xor(xxhash64(again.columns.sorted.map(col): _*)).as("h"),
+      count(lit(1)).as("n")).head()
+    assert((fp2.getLong(0), fp2.getLong(1)) == ((gotH, gotN)),
+      "declared chain is not deterministic")
+    // pinned fingerprint (sf0.001 corpus is driver-fixed): recorded from
+    // the round-13 run — see assertion message for re-pinning protocol
+    val (pinH, pinN) = (PinnedChainHash, PinnedChainCount)
+    assert((gotH, gotN) == ((pinH, pinN)),
+      s"chain output moved: hash=$gotH count=$gotN (pinned $pinH/$pinN). " +
+        "If a stage change is INTENTIONAL, re-pin after verifying the new " +
+        "output by hand; an unintentional move is a stage-interaction bug.")
   }
 
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
