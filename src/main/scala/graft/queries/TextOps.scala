@@ -584,6 +584,16 @@ object TextOps {
     * cosine = num / (√n2_d · √n2_q) over identical longs — IEEE sqrt is
     * correctly rounded, so the doubles are bit-identical cross-engine
     * with no quantization needed.
+    *
+    * Bench-shape notes (r13): the query-term slice derives from a
+    * doc_id-pushed one-document scan broadcast against the shared df
+    * subtree (the prior shape collected it out of the full corpus tf — a
+    * second tf+df pass as its own job; 1.9 → 1.4 s at sf0.1). Measured
+    * and rejected: finer AQE coalescing (minPartitionSize 64k / advisory
+    * 256k) to parallelize the small post-shuffle stages runs 2.7 s vs
+    * 1.4 s at defaults — task/stage overhead beats parallelism at MB-scale
+    * shuffles; the 1-task coalesced stages are the right call here, and
+    * at 100 TB the same advisory sizing yields wide stages naturally.
     */
   val q77LexicalKnn: QueryDef = QueryDef.sql(
     "q77_lexical_knn",
@@ -619,20 +629,29 @@ object TextOps {
       .filter(col("df") * 10 <= col("n_docs"))
       .select("term")
     val kept = tf.join(dfKept, "term")
-    // the query is ONE document's capped vocabulary — collect it (the q42
-    // query-vector discipline: a driver-side dimension, not corpus data)
-    // and fuse the posting probe INTO the norm aggregation, so the whole
-    // query is two corpus passes: (1) the query-term slice, (2) one
-    // groupBy(doc) computing num and n2 together. `num > 0` IS the
-    // posting-join semantics (tf and qtf are positive), so only docs
-    // sharing an indexed term survive — identical to the oracle's join.
-    val qTerms: Map[Long, Long] = kept.filter(col("doc_id") === 0)
-      .select(col("term"), col("tf")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val qMap = typedLit(qTerms)
-    val agg = kept.groupBy(col("doc_id"))
+    // the query is ONE document's capped vocabulary — a BROADCAST
+    // dimension derived inside the same execution: doc 0's tf rebuilds
+    // from a doc_id-pushed scan of ONE document (not the corpus tf — the
+    // round-12 shape collected the query slice out of the full corpus
+    // relation, paying a second tf+df corpus pass as a separate job
+    // before the main pass could even plan), gated by the SAME dfKept
+    // subtree the main pass uses (identical aggregation → ReuseExchange
+    // dedupes the df build). The posting probe fuses into the norm
+    // aggregation via a broadcast left join, so corpus work is ONE
+    // groupBy(doc) pass computing num and n² together; `num > 0` IS the
+    // posting-join semantics (tf and qtf positive) — identical to the
+    // oracle's join.
+    val qSide = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dfKept, "term")
+      .select(col("term"), col("tf").as("qtf"))
+    val agg = kept.join(broadcast(qSide), Seq("term"), "left")
+      .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"),
-        sum(col("tf") * coalesce(element_at(qMap, col("term")), lit(0L))).as("num"))
+        sum(col("tf") * coalesce(col("qtf"), lit(0L))).as("num"))
     val qn = agg.filter(col("doc_id") === 0).select(col("n2").as("qn2"))
     agg.filter(col("doc_id") =!= 0 && col("num") > 0)
       .crossJoin(broadcast(qn))
