@@ -326,13 +326,17 @@ class PlanSpec extends SparkSpec {
     assert("partial_sum".r.findFirstIn(p).isDefined, "report must partial-agg")
   }
 
-  test("q77: fused shingle hashing in the scan, map-literal probe, top-k bounded") {
-    val p = planOf(queries.TextOps.q77LexicalKnn.fn(spark, sf))
+  test("q77: fused shingle hashing, broadcast query slice from a pushed one-doc scan, top-k bounded") {
+    val df = queries.TextOps.q77LexicalKnn.fn(spark, sf)
+    val p = planOf(df)
     assert(p.contains("shingle_hashes"), "bigram terms must hash natively in the scan")
-    // the query's term vector is a collected map LITERAL fused into the
-    // norm aggregation (num and n2 in ONE groupBy) — no posting-join pass
-    assert(p.contains("element_at"), "query-term probe must be the fused map literal")
-    assert(p.contains("BroadcastExchange"), "the 1-row query norm must broadcast")
+    // the query's term vector derives from a doc_id-PUSHED scan of one
+    // document (never a second corpus tf pass) and broadcasts into the
+    // fused norm aggregation (num and n2 in ONE groupBy)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]")
+      || p.contains("EqualTo(doc_id,0)"),
+      "query slice must push doc_id = 0 into its scan")
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast-join the postings")
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
   }
 
