@@ -863,8 +863,11 @@ object TextOps {
     * argmax round (LIMIT 1 over nothing collapses the chain) — the specs
     * construct corpora with pair depth ≥ K, and any real corpus has it.
     */
-  val q82BpeMerges: QueryDef = {
-    val K = BpeRounds
+  /** The q82/q84 oracle CTE chain: wf (word counts), w0 (delimiter-wrapped
+    * symbols) and K merge rounds — w$K is the fully-merged word table,
+    * m0..m$K-1 the per-round argmaxes.
+    */
+  private def bpeOracleCtes(K: Int): String = {
     val roundCtes = (0 until K).map { r =>
       s"""p$r AS (
          #  SELECT pa, pb, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -880,23 +883,43 @@ object TextOps {
          #  FROM w$r, m$r m)"""
         .stripMargin('#')
     }.mkString(",\n")
+    s"""wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($ToksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |w0 AS (
+       |  SELECT word, n,
+       |    '.' || array_to_string(regexp_extract_all(word, '.'), '..') || '.' AS s
+       |  FROM wf),
+       |$roundCtes""".stripMargin
+  }
+
+  val q82BpeMerges: QueryDef = {
+    val K = BpeRounds
     val unionSql = (0 until K).map(r =>
       s"SELECT $r AS r, pa, pb, cnt FROM m$r").mkString("\n  UNION ALL ")
     QueryDef.sql(
       "q82_bpe_merges",
-      s"""WITH wf AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest($ToksSql) AS word FROM documents)
-         |  GROUP BY word),
-         |w0 AS (
-         |  SELECT word, n,
-         |    '.' || array_to_string(regexp_extract_all(word, '.'), '..') || '.' AS s
-         |  FROM wf),
-         |$roundCtes
+      s"""WITH ${bpeOracleCtes(K)}
          |SELECT CAST(r AS BIGINT) AS r, pa AS left_sym, pb AS right_sym,
          |  pa || pb AS merged, cnt
          |FROM ($unionSql)
          |ORDER BY r""".stripMargin) { (s, dir) =>
+      val merges = learnBpeMerges(s, dir)
+      s.createDataFrame(merges)
+        .toDF("r", "left_sym", "right_sym", "merged", "cnt")
+        .coalesce(1)
+    }
+  }
+
+  /** The BPE trainer core shared by q82 (emits the merge table) and q84
+    * (applies it): learns [[BpeRounds]] merges, driver rounds under the
+    * [[BpeDriverVocabMax]] vocab bound, distributed fallback above it.
+    * Returns (round, left, right, merged, count) in round order.
+    */
+  private[graft] def learnBpeMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
+      val K = BpeRounds
       val wf = Tables(s, dir, "documents")
         .select(explode(toks).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -941,9 +964,56 @@ object TextOps {
           }
         }
       } else distributedBpeRounds(s, wf, merges)
-      s.createDataFrame(merges.toSeq)
-        .toDF("r", "left_sym", "right_sym", "merged", "cnt")
-        .coalesce(1)
+      merges.toSeq
+  }
+
+  /** Q84 — BPE tokenizer APPLICATION: encode the corpus with the merge
+    * table q82 learns — the trainer→tokenizer handoff every LLM pipeline
+    * runs after induction. Per document: the pre-BPE token count and the
+    * post-merge symbol count (the sequence length the model actually
+    * sees; their ratio is the tokenizer's compression on this corpus).
+    *
+    * Plan shape: the VOCABULARY maps word → post-merge symbol count by
+    * applying the K learned merges (literal patterns from
+    * [[learnBpeMerges]]) to the delimiter-wrapped form — a vocab-sized
+    * map-only derivation off the distinct-word aggregate; the corpus pass
+    * explodes tokens and joins that vocab dimension on `word` (a KEYED
+    * join — vocab is unbounded at 100 TB, so no broadcast assumption),
+    * then one groupBy(doc). Same greedy left-to-right merge semantics as
+    * the trainer (delimiter-wrapped replace, see q82); counts are exact
+    * longs — bit-exact cross-engine.
+    */
+  val q84BpeApply: QueryDef = {
+    val K = BpeRounds
+    QueryDef.sql(
+      "q84_bpe_apply",
+      s"""WITH ${bpeOracleCtes(K)},
+         |wsym AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(s, '.'), '..')) AS BIGINT) AS n_sym
+         |  FROM w$K),
+         |d AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(w.n_sym) AS BIGINT) AS n_sym
+         |FROM d JOIN wsym w USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val merges = learnBpeMerges(s, dir)
+      val docs = Tables(s, dir, "documents")
+      var wsym = docs.select(explode(toks).as("word")).distinct()
+        .withColumn("s", concat(lit("."),
+          array_join(expr("regexp_extract_all(word, '.', 0)"), ".."), lit(".")))
+      merges.foreach { case (_, pa, pb, _, _) =>
+        wsym = wsym.withColumn("s",
+          replace(col("s"), lit(s".$pa..$pb."), lit(s".$pa$pb.")))
+      }
+      val symCount = wsym.select(col("word"),
+        size(split(trim(col("s"), "."), "\\.\\.")).cast("long").as("n_sym"))
+      docs.select(col("doc_id"), explode(toks).as("word"))
+        .join(symCount, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_sym"))
+        .orderBy("doc_id")
     }
   }
 
@@ -1054,5 +1124,6 @@ object TextOps {
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
-    q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges)
+    q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
+    q84BpeApply)
 }

@@ -469,6 +469,13 @@ class QuerySpec extends SparkSpec {
       val drReal = queries.TextOps.q82BpeMerges.fn(spark, sf).collect().map(_.toSeq).toSeq
       assert(fbReal == drReal, "paths diverged on the documents corpus")
     } finally queries.TextOps.BpeDriverVocabMax = 200000
+    // q84 applies those merges: hand-traced post-merge symbol counts on
+    // the same corpus. Tokens: abab×3 (→ 1 sym via ab,abab), cdcd×2
+    // (→ 1 via cd,cdcd), efef (→ 2 via ef), gh (2), ij (2), aaaa
+    // (→ 2 via aa greedy pairing) ⇒ n_tok 9, n_sym 3+2+2+2+2+2 = 13
+    val enc = queries.TextOps.q84BpeApply.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 9L, 13L)), enc.toSeq.toString)
   }
 
   test("q81 split drift: PSI contributions non-negative, counts conserve, margins clear") {
