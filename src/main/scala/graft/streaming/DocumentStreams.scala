@@ -331,6 +331,31 @@ object DocumentStreams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming twin of q84's BPE tokenizer application — STATELESS: once
+    * the merge table is learned ([[graft.queries.TextOps.learnBpeMerges]],
+    * a driver artifact like driftMonitor's train distribution), encoding
+    * is pure per-row computation — wrap each token's symbols in
+    * delimiters, chain the K merge replaces (the trainer's exact greedy
+    * semantics), count symbols — so the micro-batch boundary is invisible
+    * and streamed rows equal batch q84 row-for-row. Per doc:
+    * (doc_id, n_tok, n_sym).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens("text")
+    def encodeWord(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val wrapped = concat(lit("."),
+        array_join(regexp_extract_all(w, lit("."), lit(0)), ".."), lit("."))
+      val applied = merges.foldLeft(wrapped) { case (c, (pa, pb)) =>
+        replace(c, lit(s".$pa..$pb."), lit(s".$pa$pb."))
+      }
+      size(split(trim(applied, "."), "\\.\\.")).cast("long")
+    }
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      aggregate(transform(toks, encodeWord _), lit(0L), (a, x) => a + x)
+        .as("n_sym"))
+  }
+
   /** Streaming twin of q81's PSI drift audit — the production form of a
     * drift monitor: a sliding event-time window over incoming document
     * lengths, each finalized window scored against the STATIC training

@@ -595,6 +595,30 @@ class QuerySpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("q85 int8 quantization: half-step error bound, hand-recomputed row, checksum consistency") {
+    val rows = queries.VectorOps.q85EmbedQuant.fn(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val mse = r.getDouble(3)
+      // |x/scale − round(x/scale)| ≤ 0.5 ⇒ per-element err ≤ (scale/2)²
+      assert(mse >= 0 && mse <= (scale / 2) * (scale / 2) + 1e-18,
+        s"vec ${r.getLong(0)}: mse $mse breaks the half-step bound for scale $scale")
+    }
+    // hand recompute vector 7 with the engine's exact arithmetic
+    val x = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0)
+    val mx = x.map(v => math.abs(v.toDouble)).max
+    val scale = mx / 127
+    val codes = x.map(v => math.floor(v.toDouble / scale + 0.5).toLong)
+    val mse = x.zip(codes).map { case (v, c) =>
+      val d = v.toDouble - c.toDouble * scale; d * d }.sum / x.length
+    val got = rows.find(_.getLong(0) == 7L).get
+    assert(got.getDouble(1) == scale && got.getLong(2) == codes.sum)
+    assert(got.getDouble(3) == mse, s"mse ${got.getDouble(3)} != $mse")
+    // code range: int8-representable by construction of the max-based scale
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
+
   test("q53 recall floors: pq mean ≥ 0.4, ivf mean ≥ 0.3 (refactors can't trade recall for speed)") {
     val rows = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect()
     def meanRecall(m: String): Double = {

@@ -587,6 +587,27 @@ class StreamingSpec extends SparkSpec {
     assert(self.filter(col("psi_n9") =!= 0L).count() == 0)
   }
 
+  test("streaming BPE encode: stateless per-row encoding equals batch q84 row-for-row") {
+    import graft.streaming.DocumentStreams
+    val merges = queries.TextOps.learnBpeMerges(spark, sf)
+      .map { case (_, pa, pb, _, _) => (pa, pb) }
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(DocumentStreams.schema)
+      .parquet(dir.toString)
+    val got = graft.streaming.EventStreams.runToMemory(
+      DocumentStreams.bpeEncode(stream, merges), "bpe_enc_t")
+    val batch = queries.TextOps.q84BpeApply.fn(spark, sf)
+      .withColumnRenamed("n_tok", "nt_b").withColumnRenamed("n_sym", "ns_b")
+    val joined = got.join(batch, "doc_id")
+    // stateless: EVERY document emits, and all values match the batch twin
+    assert(got.count() == batch.count() && joined.count() == got.count())
+    assert(joined.filter(col("n_tok") =!= col("nt_b") ||
+      col("n_sym") =!= col("ns_b")).count() == 0)
+  }
+
   test("streaming retention: a late earlier event re-cohorts and shifts every offset") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.Row
