@@ -295,11 +295,15 @@ object Relational {
       |  count(DISTINCT l_orderkey) AS n_orders,
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin) { (s, dir) =>
-    val li = Tables(s, dir, "lineitem")
-    li.agg(countDistinct(col("l_partkey")).as("n_parts"))
-      .crossJoin(li.agg(countDistinct(col("l_suppkey")).as("n_supps")))
-      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
-      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
+    // ONE scan: Catalyst plans multiple DISTINCT aggregates with a single
+    // Expand (each row fans out once per distinct column, map-side-deduped
+    // before the exchange) — the round-12 shape ran four full scans
+    // crossJoined (11 jobs for a 1-row answer)
+    Tables(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_rows"))
   }
 
   /** Q11 — group-size min/max (SURVEY A3: partition-size min/max

@@ -159,15 +159,21 @@ class PlanSpec extends SparkSpec {
     assert(p52.contains("array_distinct"), p52.take(400))
   }
 
-  test("q35/q10: distinct sketches and split distincts plan without Expand") {
-    // q35's bitset aggregate and q10's per-column aggregations exist to
-    // keep the multi-distinct Expand (N row copies into one shuffle) out
-    // of the plan — lock that in
+  test("q35: distinct sketch plans without Expand; q10: ONE scan via the multi-distinct Expand") {
+    // q35's bitset aggregate keeps Expand out entirely (constant sketch
+    // state per group)
     val p35 = planOf(queries.Relational.q35ApproxDistinct.fn(spark, sf))
     assert(!p35.contains("Expand"), p35.take(600))
     assert(p35.contains("linear_count_buckets"), p35.take(600))
+    // q10 reversed in r13: the old four-scans-crossJoined shape existed to
+    // avoid Expand's row copies, but measured DOUBLE the CPU and 11 jobs
+    // vs 3 — the copies are cheap in-memory references deduped by the
+    // partial distinct aggregate before the exchange, while each extra
+    // scan re-decodes its column. One scan + Expand is the 100 TB shape.
     val p10 = planOf(queries.Relational.q10Distinct.fn(spark, sf))
-    assert(!p10.contains("Expand"), p10.take(600))
+    assert("Scan parquet".r.findAllIn(p10).size == 1,
+      "q10 must read lineitem exactly once")
+    assert(p10.contains("Expand"), "multi-distinct must plan the single-pass Expand")
   }
 
   test("q25/q19/q40/q18: native scalar replacements keep CodegenFallback out") {
@@ -357,18 +363,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
-    // Seven sites intentionally cross-join 1-to-8-row broadcast frames:
-    // q10 (four 1-row distinct-count aggregates), q27/q53 (8 held-out
-    // query vectors), q57 (1-row mix denominator), q65/q66 (1-row stats
-    // frames), q73 (both arms' 1-row stats/query broadcasts). This guard
-    // keeps that list CLOSED: a refactor that introduces a BNLJ/cartesian
-    // anywhere else — or grows a scalar-broadcast site into a real cross
-    // join — must show up here and justify itself.
-    val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
+    // Sites that intentionally cross-join 1-to-8-row broadcast frames:
+    // q27/q53 (8 held-out query vectors), q57 (1-row mix denominator),
+    // q65/q66 (1-row stats frames), q73 (both arms' 1-row stats/query
+    // broadcasts). This guard keeps that list CLOSED: a refactor that
+    // introduces a BNLJ/cartesian anywhere else — or grows a
+    // scalar-broadcast site into a real cross join — must show up here
+    // and justify itself. (r13 removals: q10 is one multi-distinct
+    // aggregate now; q82's rounds run driver-side.)
+    val allowed = Set("q27_dot_topk", "q53_ann_recall",
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
-      "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
-      "q82_bpe_merges") // K 1-row argmax merge frames onto the vocab table
+      "q81_split_drift") // 1-row split totals onto the 10-bucket dimension
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = planOf(df)
