@@ -286,7 +286,11 @@ object Relational {
     * map-side-dedups its own column and shuffles only that column's
     * partial distincts; the extra scans are column-pruned parquet reads,
     * and scans are the cheap currency at 100 TB — shuffles are not.
-    * (Measured at sf0.1: 0.64s expand vs 0.35s split.)
+    * Re-measured r13 (tools/Q10Ab, interleaved 5-rep): split 0.82 s
+    * median vs expand 1.10 s — the r12 call stands. (Expand shows LOWER
+    * aggregate task time, 1.2 vs 2.4 s, but its single wide shuffle
+    * stage serializes worse than four small pipelined jobs on wall —
+    * wall is what the suite pays.)
     */
   val q10Distinct: QueryDef = QueryDef.sql(
     "q10_distinct",
@@ -295,15 +299,11 @@ object Relational {
       |  count(DISTINCT l_orderkey) AS n_orders,
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin) { (s, dir) =>
-    // ONE scan: Catalyst plans multiple DISTINCT aggregates with a single
-    // Expand (each row fans out once per distinct column, map-side-deduped
-    // before the exchange) — the round-12 shape ran four full scans
-    // crossJoined (11 jobs for a 1-row answer)
-    Tables(s, dir, "lineitem").agg(
-      countDistinct(col("l_partkey")).as("n_parts"),
-      countDistinct(col("l_suppkey")).as("n_supps"),
-      countDistinct(col("l_orderkey")).as("n_orders"),
-      count(lit(1)).as("n_rows"))
+    val li = Tables(s, dir, "lineitem")
+    li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .crossJoin(li.agg(countDistinct(col("l_suppkey")).as("n_supps")))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
+      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
   }
 
   /** Q11 — group-size min/max (SURVEY A3: partition-size min/max

@@ -165,15 +165,13 @@ class PlanSpec extends SparkSpec {
     val p35 = planOf(queries.Relational.q35ApproxDistinct.fn(spark, sf))
     assert(!p35.contains("Expand"), p35.take(600))
     assert(p35.contains("linear_count_buckets"), p35.take(600))
-    // q10 reversed in r13: the old four-scans-crossJoined shape existed to
-    // avoid Expand's row copies, but measured DOUBLE the CPU and 11 jobs
-    // vs 3 — the copies are cheap in-memory references deduped by the
-    // partial distinct aggregate before the exchange, while each extra
-    // scan re-decodes its column. One scan + Expand is the 100 TB shape.
+    // q10 stays split: the single-scan Expand alternative was re-tried in
+    // r13 and lost the interleaved A/B (tools/Q10Ab: split 0.82 s median
+    // vs expand 1.10 s at sf0.1 — expand's one wide shuffle stage
+    // serializes worse on wall than four pipelined single-column jobs,
+    // despite lower aggregate task time)
     val p10 = planOf(queries.Relational.q10Distinct.fn(spark, sf))
-    assert("Scan parquet".r.findAllIn(p10).size == 1,
-      "q10 must read lineitem exactly once")
-    assert(p10.contains("Expand"), "multi-distinct must plan the single-pass Expand")
+    assert(!p10.contains("Expand"), p10.take(600))
   }
 
   test("q25/q19/q40/q18: native scalar replacements keep CodegenFallback out") {
@@ -369,9 +367,8 @@ class PlanSpec extends SparkSpec {
     // broadcasts). This guard keeps that list CLOSED: a refactor that
     // introduces a BNLJ/cartesian anywhere else — or grows a
     // scalar-broadcast site into a real cross join — must show up here
-    // and justify itself. (r13 removals: q10 is one multi-distinct
-    // aggregate now; q82's rounds run driver-side.)
-    val allowed = Set("q27_dot_topk", "q53_ann_recall",
+    // and justify itself. (r13 removal: q82's rounds run driver-side.)
+    val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
       "q81_split_drift") // 1-row split totals onto the 10-bucket dimension
