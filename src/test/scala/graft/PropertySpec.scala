@@ -81,6 +81,40 @@ object KernelProperties extends Properties("graft.kernels") {
       val comp = b.foldLeft(rollingHashRef(a))((acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
       hab == comp
     }
+
+  property("normalize: per-channel and per-pixel modes agree with the direct formula") =
+    Prop.forAll(Gen.chooseNum(1, 3), Gen.chooseNum(1, 6), Gen.chooseNum(1, 6),
+      Gen.chooseNum(-128f, 128f), Gen.chooseNum(0.01f, 4f)) { (c, h, w, m0, scale) =>
+      val s = MediaSample("p", "x", c, h, w, encoded = false,
+        Array.tabulate(c * h * w)(i => (i * 37 % 256).toByte))
+      val chanMean = Array.tabulate(c)(i => m0 + i)
+      val pixMean = Array.tabulate(c * h * w)(i => m0 - i % 7)
+      val perChan = Multimodal.normalize(s, chanMean, scale)
+      val perPix = Multimodal.normalize(s, pixMean, scale)
+      perChan.indices.forall { i =>
+        perChan(i) == ((s.data(i) & 0xFF) - chanMean(i % c)) * scale &&
+          perPix(i) == ((s.data(i) & 0xFF) - pixMean(i)) * scale
+      }
+    }
+
+  property("BPE greedy merge: skip-2 pairing equals the delimiter-wrapped string replace") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "c")),
+      Gen.oneOf(("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a"))) { (sy, pair) =>
+      val (pa, pb) = pair
+      // the driver trainer's greedy pairing
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i + 1 < sy.length && sy(i) == pa && sy(i + 1) == pb) {
+          out += pa + pb; i += 2
+        } else { out += sy(i); i += 1 }
+      }
+      // the SQL form: delimiter-wrapped replace, left-to-right past each match
+      val wrapped = sy.mkString(".", "..", ".")
+      val replaced = wrapped.replace(s".$pa..$pb.", s".$pa$pb.")
+      val viaReplace = replaced.stripPrefix(".").stripSuffix(".").split("\\.\\.").toSeq
+      out.toSeq == viaReplace
+    }
 }
 
 /** Spark-dependent property-style checks (seeded loops — the SQL expression
