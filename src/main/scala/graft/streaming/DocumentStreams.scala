@@ -356,6 +356,16 @@ object DocumentStreams {
         .as("n_sym"))
   }
 
+  /** Streaming twin of q85's SQ8 quantization — STATELESS: the per-vector
+    * scale makes quantization pure per-row computation (no corpus
+    * statistics), so streamed ingest quantizes exactly like the batch
+    * pass — the shape a vector store's write path actually has. Shares
+    * q85's projection+audit columns ([[graft.queries.VectorOps.quantized]]
+    * / `quantAudit`); streamed rows equal batch q85 row-for-row.
+    */
+  def quantizeEmbeddings(stream: DataFrame): DataFrame =
+    graft.queries.VectorOps.quantAudit(graft.queries.VectorOps.quantized(stream))
+
   /** Streaming twin of q81's PSI drift audit — the production form of a
     * drift monitor: a sliding event-time window over incoming document
     * lengths, each finalized window scored against the STATIC training

@@ -608,6 +608,25 @@ class StreamingSpec extends SparkSpec {
       col("n_sym") =!= col("ns_b")).count() == 0)
   }
 
+  test("streaming SQ8 quantization: stateless per-row codes equal batch q85 row-for-row") {
+    import graft.streaming.DocumentStreams
+    val dir = java.nio.file.Files.createTempDirectory("quant_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val stream = spark.readStream
+      .schema(Tables(spark, sf, "embeddings").schema).parquet(dir.toString)
+    val got = graft.streaming.EventStreams.runToMemory(
+      DocumentStreams.quantizeEmbeddings(stream), "quant_t")
+    val batch = queries.VectorOps.q85EmbedQuant.fn(spark, sf)
+      .withColumnRenamed("qscale", "qs_b").withColumnRenamed("code_sum", "cs_b")
+      .withColumnRenamed("mse", "mse_b")
+    val joined = got.join(batch, "vec_id")
+    assert(got.count() == batch.count() && joined.count() == got.count())
+    assert(joined.filter(col("qscale") =!= col("qs_b") ||
+      col("code_sum") =!= col("cs_b") || col("mse") =!= col("mse_b")).count() == 0)
+  }
+
   test("streaming retention: a late earlier event re-cohorts and shifts every offset") {
     import graft.streaming.EventStreams
     import org.apache.spark.sql.Row
