@@ -79,7 +79,8 @@ object CurationStages {
     "temperature_mix" -> Set("alpha", "budgetDocs"),
     "assign_split" -> Set("trainPct", "valPct", "threshold"),
     "chunk" -> Set("chunkTokens", "stride"),
-    "pack" -> Set("tokenBudget"))
+    "pack" -> Set("tokenBudget"),
+    "bpe_annotate" -> Set.empty)
 
   /** The n-gram pair relation's jaccard floor
     * ([[graft.queries.TextOps.ngramJaccardPairs]] filters at 0.06 before
@@ -368,6 +369,27 @@ object CurationStages {
     // q50's shard-keyed greedy packer
     case "pack" =>
       graft.queries.PipelineOps.packed(docs, stage.int("tokenBudget", 256))
+
+    // q84's tokenizer application as a declared stage: learn the BPE
+    // merge table FROM THE CURATED FRAME itself (a pipeline's tokenizer
+    // is induced on the corpus it ships, post-dedup/filter) and annotate
+    // every document with its post-BPE sequence length `n_sym` — the
+    // budget downstream chunk/pack consumers actually spend in MODEL
+    // tokens, where n_tok-style whitespace counts only approximate it.
+    // Vocab-sized map-only derivation + one corpus join on word
+    // (q84's plan shape); rows without tokens annotate 0.
+    case "bpe_annotate" =>
+      val s = docs.sparkSession
+      val merges = graft.queries.TextOps.learnBpeMergesFrom(s, docs)
+        .map { case (_, pa, pb, _, _) => (pa, pb) }
+      val sym = graft.queries.TextOps.bpeSymCounts(docs, merges)
+      val perDoc = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens("text")).as("word"))
+        .join(sym, "word")
+        .groupBy("doc_id").agg(sum("n_sym").as("n_sym"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_sym", coalesce(col("n_sym"), lit(0L)))
 
     case other =>
       throw new IllegalArgumentException(s"unknown curation stage op '$other'")

@@ -918,9 +918,35 @@ object TextOps {
     * Returns (round, left, right, merged, count) in round order.
     */
   private[graft] def learnBpeMerges(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, String, String, String, Long)] = {
+      dir: String): Seq[(Long, String, String, String, Long)] =
+    learnBpeMergesFrom(s, Tables(s, dir, "documents"))
+
+  /** word → post-merge symbol count for a given merge table: the
+    * vocabulary-sized map-only derivation q84 and the declarative
+    * `bpe_annotate` stage share (literal replaces over the
+    * delimiter-wrapped symbol form — the trainer's exact greedy
+    * semantics).
+    */
+  private[graft] def bpeSymCounts(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    var wsym = docs.select(explode(toks).as("word")).distinct()
+      .withColumn("s", concat(lit("."),
+        array_join(expr("regexp_extract_all(word, '.', 0)"), ".."), lit(".")))
+    merges.foreach { case (pa, pb) =>
+      wsym = wsym.withColumn("s",
+        replace(col("s"), lit(s".$pa..$pb."), lit(s".$pa$pb.")))
+    }
+    wsym.select(col("word"),
+      size(split(trim(col("s"), "."), "\\.\\.")).cast("long").as("n_sym"))
+  }
+
+  /** Frame-generic trainer entry: the declarative `bpe_annotate` stage
+    * learns from whatever (curated) corpus it is handed, not a table dir.
+    */
+  private[graft] def learnBpeMergesFrom(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String, Long)] = {
       val K = BpeRounds
-      val wf = Tables(s, dir, "documents")
+      val wf = docs
         .select(explode(toks).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -1000,15 +1026,8 @@ object TextOps {
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val merges = learnBpeMerges(s, dir)
       val docs = Tables(s, dir, "documents")
-      var wsym = docs.select(explode(toks).as("word")).distinct()
-        .withColumn("s", concat(lit("."),
-          array_join(expr("regexp_extract_all(word, '.', 0)"), ".."), lit(".")))
-      merges.foreach { case (_, pa, pb, _, _) =>
-        wsym = wsym.withColumn("s",
-          replace(col("s"), lit(s".$pa..$pb."), lit(s".$pa$pb.")))
-      }
-      val symCount = wsym.select(col("word"),
-        size(split(trim(col("s"), "."), "\\.\\.")).cast("long").as("n_sym"))
+      val symCount = bpeSymCounts(docs,
+        merges.map { case (_, pa, pb, _, _) => (pa, pb) })
       docs.select(col("doc_id"), explode(toks).as("word"))
         .join(symCount, "word")
         .groupBy(col("doc_id"))

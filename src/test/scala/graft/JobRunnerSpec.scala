@@ -284,6 +284,38 @@ class JobRunnerSpec extends SparkSpec {
         "output by hand; an unintentional move is a stage-interaction bug.")
   }
 
+  test("bpe_annotate stage: post-BPE sequence lengths ride the declared chain (q84 parity)") {
+    val work = java.nio.file.Files.createTempDirectory("jobbpe").toString
+    // pass-through chain: the stage alone, so the learned tokenizer is
+    // q84's (same corpus) and n_sym must match it row-for-row
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "bpe_annotate"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    assert(out.columns.contains("n_sym"))
+    val q84 = queries.TextOps.q84BpeApply.fn(spark, sf)
+      .select(col("doc_id"), col("n_sym").as("ns_q84"))
+    val joined = out.join(q84, "doc_id")
+    assert(joined.count() == out.count())
+    assert(joined.filter(col("n_sym") =!= col("ns_q84")).count() == 0,
+      "stage n_sym diverged from q84 on the identical corpus")
+    // after dedup, the tokenizer retrains on the CURATED frame — the
+    // stage still annotates every surviving row
+    val conf2 = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out2", "outputFormat": "parquet",
+         |  "stages": [{"op": "exact_dedup"}, {"op": "bpe_annotate"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf2)))
+    val out2 = spark.read.parquet(s"$work/out2/corpus")
+    assert(out2.filter(col("n_sym") <= 0).count() == 0, "unannotated rows")
+  }
+
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
     val work = java.nio.file.Files.createTempDirectory("jobchunk").toString
     val conf = writeConf(
