@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Sketch-based near-duplicate detection (LLM-pipeline dedup, SURVEY §7.2
@@ -494,6 +495,19 @@ object DedupOps {
        |  ${FingerprintSql("'s' || CAST(cluster_id AS VARCHAR)")} % 100 AS h
        |  FROM cl)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.sources.SplitAssignment(s, dir)
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  /** The q68 split computed INLINE from the corpus — the build function
+    * behind [[graft.sources.SplitAssignment]]'s persisted layout, and the
+    * equality reference SplitAssignmentSpec pins the layout against. Every
+    * query-path consumer (q68/q70/q81) reads the layout instead; only the
+    * layout build and the spec call this directly.
+    */
+  private[graft] def leakageSafeSplitFrame(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, dir, "documents")
     val pairs = graft.sources.PairGraph(s, dir)
       .filter(col("jaccard") >= 0.5).select("a", "b")
@@ -507,7 +521,6 @@ object DedupOps {
       .withColumn("split",
         when(h < 80, "train").when(h < 90, "val").otherwise("test"))
       .select("doc_id", "cluster_id", "split")
-      .orderBy("doc_id")
   }
 
   /** q74's near-duplicate dot threshold. The embeddings are unit-normalized

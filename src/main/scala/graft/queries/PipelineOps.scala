@@ -425,18 +425,11 @@ object PipelineOps {
        |JOIN sizes s ON s.doc_id = test_id
        |WHERE shared >= 2
        |ORDER BY test_id, train_id""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
-    val pairs = graft.sources.PairGraph(s, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
-    val cc = graft.operators.Components.connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("component"))
-    val h = graft.functions.TextFunctions
-      .fingerprint("concat('s', CAST(__cl AS STRING))") % 100
-    val withSplit = docs.join(cc, Seq("doc_id"), "left")
-      .withColumn("__cl", coalesce(col("component"), col("doc_id")))
-      .withColumn("split",
-        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
-      .drop("component", "__cl")
+    // the split comes from the persisted SplitAssignment layout (assigned
+    // once per corpus at ingest — the audit never re-runs the CC machinery)
+    val withSplit = Tables(s, dir, "documents")
+      .join(graft.sources.SplitAssignment(s, dir).select("doc_id", "split"),
+        Seq("doc_id"))
     bipartiteOverlap(withSplit,
         col("split") === "test", col("split") === "train")
       .filter(col("shared") >= 2)
@@ -495,7 +488,7 @@ object PipelineOps {
        |  ) * 1000000000 + 0.5) AS BIGINT) AS psi_n9
        |FROM c2, t
        |ORDER BY bucket""".stripMargin) { (s, dir) =>
-    val sp = graft.queries.DedupOps.q68LeakageSafeSplit.fn(s, dir)
+    val sp = graft.sources.SplitAssignment(s, dir)
       .select(col("doc_id"), col("split"))
       .filter(col("split").isin("train", "test"))
     val b = sp
