@@ -132,9 +132,12 @@ object CurationStages {
     // the EMBEDDING near-dup route (q46's banded sign-LSH candidates +
     // exact-dot verify, q62's components, q63's canonicalize): for corpora
     // where duplication lives in meaning-space, not shingle-space. The
-    // band geometry is declared because IT is the scale knob
-    // (operators/Banding scaladoc: bitsPerBand ~ log2(N/bucket) keeps
-    // candidates linear); docs without an embedding row are kept.
+    // band geometry is the scale knob (operators/Banding scaladoc:
+    // bitsPerBand ~ log2(N/bucket) keeps candidates linear) — when not
+    // declared, bitsPerBand derives from the embedding count by that rule
+    // (the q28/q46/q86 default since round 14), so the stage is
+    // sub-quadratic out of the box; declare it only to pin an operating
+    // point. Docs without an embedding row are kept.
     case "embed_near_dedup" =>
       val embPath = stage.params.get("embeddings").map(_.asInstanceOf[String])
         .orElse(embeddingsDefault)
@@ -145,10 +148,16 @@ object CurationStages {
       val embCol = stage.strOr("embeddingCol", "embedding")
       val dim = stage.int("dim", 64)
       val bands = stage.int("bands", 4)
-      val bits = stage.int("bitsPerBand", 4)
       val minDot = stage.dbl("minDot", 0.25)
       val emb = docs.sparkSession.read.parquet(embPath)
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      // derived bits respect the 63-bit long budget for any declared band
+      // count (JobConfig validates declared geometry; derived geometry
+      // self-caps)
+      val bits =
+        if (stage.params.contains("bitsPerBand")) stage.int("bitsPerBand", 4)
+        else math.min(graft.queries.VectorOps.derivedBandBits(emb.count()),
+          63 / bands)
       val cand = graft.operators.Banding
         .bandedCandidates(emb, "vec_id", "embedding", dim, bands, bits)
       // exact verify BEFORE clustering: candidates are hash collisions,

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.VectorExpressions
 
-/** Parametric sign-LSH banding — the generic candidate-pair generator the
-  * fixed-band queries (q28/q46: 4 bands × 4 bits over the 16-plane family)
-  * specialize, with the band geometry exposed because IT is the scale knob.
+/** Parametric sign-LSH banding — the generic candidate-pair generator
+  * behind the curation stages, with the band geometry exposed because IT
+  * is the scale knob. Since round 14 the banded queries (q28/q46/q86) and
+  * the embed_near_dedup stage DERIVE bitsPerBand from the corpus count by
+  * the policy below (floored at the historical 4×4 for tiny corpora);
+  * declaring a geometry pins an operating point instead.
   *
   * Candidate volume math (measured by tools/SlopeProbe, recorded in
   * SCALE.md): pairs sharing a band key number ~ `bands · 2^-bits · N²/2`

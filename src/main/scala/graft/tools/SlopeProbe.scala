@@ -20,7 +20,8 @@ object SlopeProbe {
   private val Targets = Seq("q21_ngram_jaccard", "q28_embedding_neardup",
     "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh",
     "q67_span_dedup", "q68_leakage_safe_split", "q69_chunk_windows",
-    "q70_split_contamination", "q71_image_neardup", "q74_semdedup")
+    "q70_split_contamination", "q71_image_neardup", "q74_semdedup",
+    "q86_quant_audit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

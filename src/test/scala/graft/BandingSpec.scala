@@ -67,4 +67,21 @@ class BandingSpec extends SparkSpec {
     assert(falseDeep * 5 < falseShallow,
       f"expected ~16x fewer random collisions, got $falseShallow%.0f -> $falseDeep%.0f")
   }
+
+  test("derived band depth: integer rule, floor 4, cap 15, exact power-of-two boundaries") {
+    import queries.VectorOps.derivedBandBits
+    // floor: tiny corpora keep the historical 4x4 geometry
+    assert(derivedBandBits(0) == 4 && derivedBandBits(500) == 4)
+    // exact boundary at 2^b * 64: 1024 still fits 4 bits, 1025 needs 5 —
+    // integer comparisons, so no log2 rounding hazard at the flip points
+    assert(derivedBandBits(1024) == 4 && derivedBandBits(1025) == 5)
+    assert(derivedBandBits(2000) == 5) // the sf0.1 corpus
+    assert(derivedBandBits((1L << 14) * 64) == 14)
+    assert(derivedBandBits((1L << 15) * 64) == 15)
+    // cap: 4 bands x 15 bits rides a 63-bit long
+    assert(derivedBandBits(Long.MaxValue) == 15)
+    // monotone: a bigger corpus never gets a shallower geometry
+    val pts = Seq(1L, 100L, 1024L, 4096L, 100000L, 10000000L, 1L << 40)
+    assert(pts.map(derivedBandBits).sliding(2).forall(s => s.head <= s.last))
+  }
 }
