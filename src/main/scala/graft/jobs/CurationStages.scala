@@ -191,8 +191,9 @@ object CurationStages {
     // cull the corresponding documents (doc_id ≡ vec_id, the doc-embedding
     // convention). The meaning-space dedup pass that catches paraphrase
     // redundancy after exact_dedup/near_dedup have taken the token-space
-    // copies. `clusters` is the IVF sizing knob — production sets
-    // k ∝ corpus/cell_target so per-cell pair work stays bounded.
+    // copies. `clusters` is the IVF sizing knob; when not declared it
+    // derives as k ∝ corpus/cell_target (IvfCentroids.scaleK — the
+    // q74 default since round 14) so per-cell pair work stays bounded.
     case "semantic_dedup" =>
       val embPath = stage.params.get("embeddings").map(_.asInstanceOf[String])
         .orElse(embeddingsDefault)
@@ -201,12 +202,17 @@ object CurationStages {
             "source is not a table directory to default from"))
       val idCol = stage.strOr("idCol", "vec_id")
       val embCol = stage.strOr("embeddingCol", "embedding")
-      val k = stage.int("clusters", 16)
       val tau = stage.dbl("minDot", 0.25)
       import graft.ml.KMeans
       val emb = docs.sparkSession.read.parquet(embPath)
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"),
           lit(0).as("label"))
+      // `clusters` pins an operating point; the default SIZES the codebook
+      // by the IVF rule (k ∝ N/cell_target — IvfCentroids.scaleK), which
+      // is what keeps the within-cell pair stage ~linear as corpora grow
+      val k =
+        if (stage.params.contains("clusters")) stage.int("clusters", 16)
+        else graft.sources.IvfCentroids.scaleK(emb.count()).toInt
       // semdedupDrops' identical-embedding collapse is pairwise-equivalent
       // only when duplicated vectors clear the self-dot gate (its scaladoc
       // invariant: self-dot > tau). The declarative stage accepts arbitrary

@@ -618,11 +618,11 @@ object DedupOps {
 
   val q74Semdedup: QueryDef = QueryDef.sql(
     "q74_semdedup",
-    s"""WITH ${VectorOps.IvfAssignCtes},
+    s"""WITH ${VectorOps.IvfAssignScaledCtes},
        |w AS (
        |  SELECT e.vec_id, e.label, e.cell, e.embedding,
        |    ${graft.functions.VectorFunctions.DotSeqSql("e.embedding", "c.centroid")} AS cdot
-       |  FROM a1 e JOIN c1 c ON e.cell = c.c_label),
+       |  FROM a1s e JOIN c1s c ON e.cell = c.c_label),
        |p AS (
        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cdot AS ca, y.cdot AS cb,
        |    ${graft.functions.VectorFunctions.DotSeqSql("x.embedding", "y.embedding")} AS dot
@@ -635,8 +635,11 @@ object DedupOps {
        |FROM w LEFT JOIN drops d ON w.vec_id = d.vec_id
        |ORDER BY w.vec_id""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
-    val (_, c1) = graft.sources.IvfCentroids(s, dir)
-    val w = semdedupFrame(emb, c1)
+    // the scale-sized codebook (k = scaleK(N), ~CellTarget vectors/cell)
+    // bounds within-cell pair work — NOT the label codebook, whose fixed
+    // k makes the confined pair stage Θ(N²/k)
+    val (_, c1s) = graft.sources.IvfCentroids.scaled(s, dir)
+    val w = semdedupFrame(emb, c1s)
     val drops = semdedupDrops(w, SemTau)
     w.select("vec_id", "label", "cell", "cdot")
       .join(drops.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")

@@ -22,17 +22,29 @@ import org.apache.spark.sql.functions._
 object IvfCentroids {
 
   /** Bump when the centroid derivation changes (k-means math, key domain,
-    * refinement depth).
+    * refinement depth). v2: added the scale-sized tables (c0s/c1s).
     */
-  private val Version = "v1"
+  private val Version = "v2"
 
   type Table = Seq[(Long, Seq[Double])]
+
+  /** The IVF sizing rule, k ∝ N/cell_target: smallest k with ~[[CellTarget]]
+    * vectors per cell, floored at 10 (the label-codebook's granularity) so
+    * tiny corpora keep a meaningful split. Pure integer arithmetic —
+    * mirrored verbatim in q74's oracle `kgeo` CTE. This is what keeps
+    * within-cell pair work bounded: at k = N/target, a confined pair stage
+    * costs ~N·target/2 dots total — linear in N — instead of Θ(N²/k) at
+    * fixed k (SCALE.md's measured q74 slope before round 14).
+    */
+  private[graft] val CellTarget = 100L
+  private[graft] def scaleK(n: Long): Long =
+    math.max(10L, (n + CellTarget - 1) / CellTarget)
 
   // collected-table memo: the layout read is a tiny job, but q53 alone
   // loads the codebook on every bench run — (session, fingerprinted path)
   // keys make staleness impossible, like Tables' plan cache
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Table, Table)]
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), ((Table, Table), (Table, Table))]
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("cent", Version, dir, Seq(s"$dir/embeddings.parquet"))
@@ -40,26 +52,45 @@ object IvfCentroids {
   /** (c0 label-mean table, c1 refined cell table), sorted by label like
     * [[graft.ml.KMeans.collectCentroids]].
     */
-  def apply(spark: SparkSession, dir: String): (Table, Table) = {
+  def apply(spark: SparkSession, dir: String): (Table, Table) =
+    load(spark, dir)._1
+
+  /** The SCALE-SIZED codebook (c0s warm-start means over vec_id % k with
+    * k = [[scaleK]](N), c1s its one-Lloyd refinement) — q74 SemDeDup's
+    * blocking structure, sized so per-cell pair work stays bounded as the
+    * corpus grows. Same layout, trained in the same ingest pass.
+    */
+  def scaled(spark: SparkSession, dir: String): (Table, Table) =
+    load(spark, dir)._2
+
+  private def load(spark: SparkSession, dir: String)
+      : ((Table, Table), (Table, Table)) = {
     val target = layoutPath(dir)
     cache.getOrElseUpdate((spark, target), {
       import graft.ml.KMeans
       val df = DerivedLayout(spark, target) { tmp =>
         val emb = graft.Tables(spark, dir, "embeddings")
+        val k = scaleK(emb.count())
         val c0df = KMeans.centroids(emb.withColumn("__k", col("label")), "__k")
         val c0 = KMeans.collectCentroids(c0df)
-        c0df.select(lit("c0").as("stage"),
+        val c0sdf = KMeans.centroids(
+          emb.withColumn("__k", pmod(col("vec_id"), lit(k))), "__k")
+        val c0s = KMeans.collectCentroids(c0sdf)
+        def tagged(stage: String, d: org.apache.spark.sql.DataFrame) =
+          d.select(lit(stage).as("stage"),
             col("c_label").cast("long").as("c_label"), col("centroid"))
-          .unionByName(
-            KMeans.centroids(KMeans.assignWith(emb, c0), "cell")
-              .select(lit("c1").as("stage"),
-                col("c_label").cast("long").as("c_label"), col("centroid")))
+        tagged("c0", c0df)
+          .unionByName(tagged("c1",
+            KMeans.centroids(KMeans.assignWith(emb, c0), "cell")))
+          .unionByName(tagged("c0s", c0sdf))
+          .unionByName(tagged("c1s",
+            KMeans.centroids(KMeans.assignWith(emb, c0s), "cell")))
           .write.mode("overwrite").parquet(tmp)
       }
       val rows = df.select("stage", "c_label", "centroid").collect()
       def table(stage: String): Table = rows.filter(_.getString(0) == stage)
         .map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
-      (table("c0"), table("c1"))
+      ((table("c0"), table("c1")), (table("c0s"), table("c1s")))
     })
   }
 }
