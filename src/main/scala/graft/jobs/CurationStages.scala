@@ -80,7 +80,7 @@ object CurationStages {
     "assign_split" -> Set("trainPct", "valPct", "threshold"),
     "chunk" -> Set("chunkTokens", "stride"),
     "pack" -> Set("tokenBudget"),
-    "bpe_annotate" -> Set.empty)
+    "bpe_annotate" -> Set("mergesFrom"))
 
   /** The n-gram pair relation's jaccard floor
     * ([[graft.queries.TextOps.ngramJaccardPairs]] filters at 0.06 before
@@ -91,7 +91,8 @@ object CurationStages {
   val NearDedupFloor = 0.06
 
   def apply(docs: DataFrame, stage: StageSpec,
-      embeddingsDefault: Option[String] = None): DataFrame = stage.op match {
+      embeddingsDefault: Option[String] = None,
+      sourceDirDefault: Option[String] = None): DataFrame = stage.op match {
 
     // q20 semantics: one canonical (minimum) doc_id per exact text
     case "exact_dedup" =>
@@ -392,11 +393,24 @@ object CurationStages {
     // budget downstream chunk/pack consumers actually spend in MODEL
     // tokens, where n_tok-style whitespace counts only approximate it.
     // Vocab-sized map-only derivation + one corpus join on word
-    // (q84's plan shape); rows without tokens annotate 0.
+    // (q84's plan shape); rows without tokens annotate 0. Default:
+    // learn from the FLOWING frame (a shipped tokenizer is induced on
+    // the curated corpus). `mergesFrom: "corpus"` instead LOADS the
+    // stamped BpeMerges artifact of the job's source table — the
+    // train-once/apply-everywhere handoff, for chains that annotate
+    // many derived corpora with ONE production tokenizer.
     case "bpe_annotate" =>
       val s = docs.sparkSession
-      val merges = graft.queries.TextOps.learnBpeMergesFrom(s, docs)
-        .map { case (_, pa, pb, _, _) => (pa, pb) }
+      val merges = (stage.strOr("mergesFrom", "flow") match {
+        case "corpus" =>
+          val dir = sourceDirDefault.getOrElse(throw new IllegalArgumentException(
+            "bpe_annotate: mergesFrom=corpus needs a table-dir job source " +
+              "to locate the corpus artifact"))
+          graft.sources.BpeMerges(s, dir)
+        case "flow" => graft.queries.TextOps.learnBpeMergesFrom(s, docs)
+        case other => throw new IllegalArgumentException(
+          s"bpe_annotate: mergesFrom must be 'flow' or 'corpus', got '$other'")
+      }).map { case (_, pa, pb, _, _) => (pa, pb) }
       val sym = graft.queries.TextOps.bpeSymCounts(docs, merges)
       val perDoc = docs
         .select(col("doc_id"),
@@ -437,9 +451,10 @@ object CurationStages {
     */
   def run(docs: DataFrame, stages: Seq[StageSpec],
       audit: Option[(String, Long) => Unit] = None,
-      embeddingsDefault: Option[String] = None): DataFrame =
+      embeddingsDefault: Option[String] = None,
+      sourceDirDefault: Option[String] = None): DataFrame =
     stages.foldLeft(docs) { (df, st) =>
-      val out = CurationStages(df, st, embeddingsDefault)
+      val out = CurationStages(df, st, embeddingsDefault, sourceDirDefault)
       audit.foreach(f => f(st.op, out.count()))
       out
     }

@@ -150,7 +150,8 @@ object JobRunner {
       // CLI entrypoint still clearAll's at process end in main()).
       val before = graft.Caches.snapshot(spark)
       try CurationStages.run(spark.read.format(src.format).load(src.dataPath),
-          cfg.stages, embeddingsDefault = embDefault)
+          cfg.stages, embeddingsDefault = embDefault,
+          sourceDirDefault = if (src.table.nonEmpty) Some(src.path) else None)
         .write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/corpus")
       finally graft.Caches.clearCreatedSince(spark, before)

@@ -905,7 +905,9 @@ object TextOps {
          |  pa || pb AS merged, cnt
          |FROM ($unionSql)
          |ORDER BY r""".stripMargin) { (s, dir) =>
-      val merges = learnBpeMerges(s, dir)
+      // q82 IS the training run: the first execution learns the merges
+      // and writes the stamped BpeMerges artifact; re-runs read it
+      val merges = graft.sources.BpeMerges(s, dir)
       s.createDataFrame(merges)
         .toDF("r", "left_sym", "right_sym", "merged", "cnt")
         .coalesce(1)
@@ -1024,7 +1026,10 @@ object TextOps {
          |FROM d JOIN wsym w USING (word)
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val merges = learnBpeMerges(s, dir)
+      // train-once/apply-everywhere: the merge table comes from the
+      // persisted BpeMerges artifact (learned inline only when absent),
+      // so the application pass pays vocabulary-join cost, not training
+      val merges = graft.sources.BpeMerges(s, dir)
       val docs = Tables(s, dir, "documents")
       val symCount = bpeSymCounts(docs,
         merges.map { case (_, pa, pb, _, _) => (pa, pb) })

@@ -314,6 +314,37 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf2)))
     val out2 = spark.read.parquet(s"$work/out2/corpus")
     assert(out2.filter(col("n_sym") <= 0).count() == 0, "unannotated rows")
+    // mergesFrom=corpus: the stage LOADS the stamped BpeMerges artifact
+    // (train-once/apply-everywhere) instead of retraining on the flow, so
+    // even after dedup the annotations match q84's corpus-level lengths
+    val conf3 = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out3", "outputFormat": "parquet",
+         |  "stages": [{"op": "exact_dedup"},
+         |             {"op": "bpe_annotate", "mergesFrom": "corpus"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf3)))
+    val out3 = spark.read.parquet(s"$work/out3/corpus")
+    val j3 = out3.join(q84, "doc_id")
+    assert(j3.count() == out3.count())
+    assert(j3.filter(col("n_sym") =!= col("ns_q84")).count() == 0,
+      "corpus-artifact annotations diverged from q84 on surviving rows")
+  }
+
+  test("BpeMerges artifact: stamped layout rows == inline training, q82 reads it back") {
+    val inline = queries.TextOps.learnBpeMerges(spark, sf)
+    val artifact = sources.BpeMerges(spark, sf)
+    assert(artifact == inline, "persisted merge table diverged from the trainer")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(sources.BpeMerges.layoutPath(sf), "_SUCCESS")))
+    // q82's output is the artifact verbatim
+    val q82 = queries.TextOps.q82BpeMerges.fn(spark, sf).collect()
+    assert(q82.length == artifact.length)
+    q82.zip(artifact).foreach { case (r, (rr, pa, pb, m, c)) =>
+      assert((r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)) == ((rr, pa, pb, m, c)))
+    }
   }
 
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
