@@ -24,37 +24,57 @@ import org.apache.spark.sql.functions._
   * library functions on DataFrames — see graft.queries.* and the
   * registered SQL functions (GraftExtensions); they need no session state.
   */
-final class Graft(spark: SparkSession, dim: Int, cfg: TrainConfig = TrainConfig()) {
+final class Graft(spark: SparkSession, dim: Int, cfg: TrainConfig = TrainConfig(),
+    numClasses: Int = 2) {
 
+  require(numClasses >= 2, s"numClasses must be >= 2, got $numClasses")
+
+  // numClasses = 2 keeps the binary sigmoid model (single weight vector,
+  // the historical surface); > 2 routes every lifecycle call to the
+  // multi-output softmax head — same flattened-weights snapshot format,
+  // so JobRunner's train→save→load→features/test chain is model-agnostic
   private val lr = new LogisticRegression(dim, cfg)
+  private val sm =
+    if (numClasses > 2) Some(new graft.ml.SoftmaxRegression(dim, numClasses, cfg))
+    else None
 
   private def toRdd(source: DataFrame, featCol: String, labelCol: String) =
     source.select(col(featCol), col(labelCol).cast("double")).rdd
       .map(r => (r.getSeq[Float](0).toArray, r.getDouble(1)))
 
-  /** M1 — synchronous distributed training; returns the weight vector. */
+  /** M1 — synchronous distributed training; returns the weight vector
+    * (flattened `classes × dim` matrix for the softmax head).
+    */
   def train(source: DataFrame, featCol: String = "embedding",
-      labelCol: String = "label"): Array[Double] =
-    lr.fit(toRdd(source, featCol, labelCol))
+      labelCol: String = "label"): Array[Double] = {
+    val data = toRdd(source, featCol, labelCol)
+    sm.fold(lr.fit(data))(_.fit(data))
+  }
 
   /** M2 — training interleaved with validation; returns (weights, metrics
     * DataFrame(iteration, accuracy, loss)) like the reference's validation
     * output frame.
     */
   def trainWithValidation(train: DataFrame, validation: DataFrame,
-      featCol: String = "embedding", labelCol: String = "label"): (Array[Double], DataFrame) =
-    lr.fitWithValidation(spark, toRdd(train, featCol, labelCol),
-      toRdd(validation, featCol, labelCol))
+      featCol: String = "embedding", labelCol: String = "label"): (Array[Double], DataFrame) = {
+    val t = toRdd(train, featCol, labelCol)
+    val v = toRdd(validation, featCol, labelCol)
+    sm.fold(lr.fitWithValidation(spark, t, v))(_.fitWithValidation(spark, t, v))
+  }
 
-  /** M3 — forward pass: (SampleID, ip1, prob) feature frame. */
+  /** M3 — forward pass: (SampleID, ip1, prob) feature frame (k-wide blobs
+    * for the softmax head).
+    */
   def features(source: DataFrame, weights: Array[Double],
       idCol: String = "vec_id", featCol: String = "embedding"): DataFrame =
-    lr.features(source, idCol, featCol, weights)
+    sm.fold(lr.features(source, idCol, featCol, weights))(
+      _.features(source, idCol, featCol, weights))
 
   /** M4 — per-blob mean metrics, the reference's `test` result map. */
   def test(source: DataFrame, weights: Array[Double],
       idCol: String = "vec_id", featCol: String = "embedding"): Map[String, Seq[Double]] =
-    lr.test(source, idCol, featCol, weights)
+    sm.fold(lr.test(source, idCol, featCol, weights))(
+      _.test(source, idCol, featCol, weights))
 
   /** K5 — model snapshot to parquet. */
   def save(weights: Array[Double], path: String): Unit =

@@ -82,6 +82,7 @@ final case class TransformSpec(
 final case class JobConfig(
     source: SourceSpec,
     dim: Int,
+    classes: Int = 2,
     validation: Option[SourceSpec] = None,
     lr: Double = 1.0,
     iters: Int = 50,
@@ -106,7 +107,7 @@ object JobConfig {
       case m: Map[String @unchecked, Any @unchecked] => m
       case other => fail(s"config root must be a JSON object, got $other")
     }
-    val known = Set("source", "validation", "dim", "lr", "iters", "l2",
+    val known = Set("source", "validation", "dim", "classes", "lr", "iters", "l2",
       "validateEvery", "model", "output", "outputFormat", "stages", "transform")
     val unknown = root.keySet -- known
     if (unknown.nonEmpty) fail(s"unknown config keys: ${unknown.mkString(", ")}")
@@ -240,6 +241,7 @@ object JobConfig {
       source = sourceSpec(root.getOrElse("source", fail("source is required")), "source"),
       validation = root.get("validation").map(sourceSpec(_, "validation")),
       dim = int(root, "dim", 0),
+      classes = int(root, "classes", d.classes),
       lr = dbl(root, "lr", d.lr),
       iters = int(root, "iters", d.iters),
       l2 = dbl(root, "l2", d.l2),
@@ -286,6 +288,8 @@ object JobConfig {
     if (cfg.stages.isEmpty && cfg.dim <= 0)
       fail(s"dim must be a positive integer, got ${cfg.dim}")
     if (cfg.dim < 0) fail(s"dim must not be negative, got ${cfg.dim}")
+    // 2 = the binary sigmoid head; > 2 = the multi-output softmax head
+    if (cfg.classes < 2) fail(s"classes must be >= 2, got ${cfg.classes}")
     if (cfg.iters <= 0) fail(s"iters must be positive, got ${cfg.iters}")
     if (cfg.lr <= 0d) fail(s"lr must be positive, got ${cfg.lr}")
     if (cfg.l2 < 0d) fail(s"l2 must be non-negative, got ${cfg.l2}")

@@ -132,7 +132,8 @@ object JobRunner {
     // lazy: a curate-only job has no model dimensionality to declare
     lazy val g = new Graft(spark, cfg.dim,
       TrainConfig(lr = cfg.lr, iters = cfg.iters, l2 = cfg.l2,
-        validateEvery = cfg.validateEvery))
+        validateEvery = cfg.validateEvery),
+      numClasses = cfg.classes)
     val src = cfg.source
 
     if (inv.curate) {

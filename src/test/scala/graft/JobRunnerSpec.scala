@@ -73,6 +73,57 @@ class JobRunnerSpec extends SparkSpec {
       .loadWeights(spark, s"$work/model2").length == 64)
   }
 
+  test("declared multi-class lifecycle: classes=3 routes the whole chain to the softmax head") {
+    val work = java.nio.file.Files.createTempDirectory("jobsm").toString
+    Tables(spark, sf, "embeddings")
+      .withColumn("y", expr(
+        "CASE WHEN embedding[0] >= embedding[1] AND embedding[0] >= embedding[2] THEN 0 " +
+          "WHEN embedding[1] >= embedding[2] THEN 1 ELSE 2 END"))
+      .write.mode("overwrite").parquet(s"$work/train")
+    // all-zero held-out features: every logit is exactly 0, so a -test that
+    // truly evaluated it reports ip1 mean [0,0,0] / prob mean [1/3,1/3,1/3]
+    Tables(spark, sf, "embeddings")
+      .withColumn("embedding", expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+      .withColumn("y", lit(0))
+      .write.mode("overwrite").parquet(s"$work/val")
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$work/train", "labelCol": "y"},
+         |  "validation": {"path": "$work/val", "labelCol": "y"},
+         |  "dim": 64, "classes": 3, "lr": 2.0, "iters": 20, "validateEvery": 10,
+         |  "model": "$work/model",
+         |  "output": "$work/out",
+         |  "outputFormat": "parquet"
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-train", "-conf", conf)))
+    // the snapshot is the flattened 3x64 matrix through the same K5 writer
+    val w = graft.ml.LogisticRegression.loadWeights(spark, s"$work/model")
+    assert(w.length == 3 * 64 && w.exists(_ != 0d))
+    JobRunner.run(spark,
+      JobRunner.parse(Array("-features", "-test", "-conf", conf)))
+    val feats = spark.read.parquet(s"$work/out/features")
+    assert(feats.columns.toSeq == Seq("SampleID", "ip1", "prob"))
+    // k-wide blobs
+    val r0 = feats.head()
+    assert(r0.getSeq[Float](1).length == 3 && r0.getSeq[Float](2).length == 3)
+    val testJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/out/test_result.json"))
+    assert(testJson.contains("\"ip1\": [0.0, 0.0, 0.0]"), testJson)
+    // zero logits → uniform softmax; the mean is a float-promoted double
+    // sum (not decimal-exact), so compare numerically
+    val probs = testJson.linesIterator.find(_.contains("\"prob\""))
+      .get.split("[\\[\\]]")(1).split(",").map(_.trim.toDouble)
+    assert(probs.length == 3 && probs.forall(p => math.abs(p - 1.0 / 3) < 1e-6),
+      testJson)
+    // a classes=1 declaration is refused at parse time
+    val bad = writeConf(
+      s"""{"source": {"path": "$work/train"}, "dim": 64, "classes": 1,
+         |"model": "$work/m"}""".stripMargin)
+    intercept[IllegalArgumentException] {
+      JobRunner.parse(Array("-train", "-conf", bad))
+    }
+  }
+
   test("declared transform block: corpus mean computed at train, applied by features (P10 normalize)") {
     val work = java.nio.file.Files.createTempDirectory("jobnorm").toString
     Tables(spark, sf, "embeddings")

@@ -154,6 +154,90 @@ class MlSpec extends SparkSpec {
     assert(nullErr.getMessage != null)
   }
 
+  /** 3-class separable target: argmax of the first three embedding
+    * elements — same determinism discipline as the binary `labeled` set.
+    */
+  private def labeled3 = {
+    val emb = Tables(spark, sf, "embeddings")
+    emb.select(col("vec_id"), col("embedding")).rdd.map { r =>
+      val x = r.getSeq[Float](1).toArray
+      val y =
+        if (x(0) >= x(1) && x(0) >= x(2)) 0.0
+        else if (x(1) >= x(2)) 1.0 else 2.0
+      (x, y)
+    }
+  }
+
+  test("softmax train converges on a 3-class target, beats untrained") {
+    val sm = new graft.ml.SoftmaxRegression(64, 3, TrainConfig(lr = 2.0, iters = 80))
+    val data = labeled3
+    val (acc0, loss0) = sm.evaluate(data, new Array[Double](3 * 64))
+    val w = sm.fit(data)
+    val (acc, loss) = sm.evaluate(data, w)
+    assert(acc > 0.8, s"accuracy $acc")
+    assert(acc > acc0 && loss < loss0)
+    assert(loss < math.log(3.0)) // below ln k = untrained loss
+  }
+
+  test("softmax trainWithValidation emits metric rows; accuracy non-degrading") {
+    val sm = new graft.ml.SoftmaxRegression(64, 3,
+      TrainConfig(lr = 2.0, iters = 30, validateEvery = 10))
+    val (_, metrics) = sm.fitWithValidation(spark, labeled3, labeled3)
+    val rows = metrics.orderBy("iteration").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20, 30))
+    val accs = rows.map(_.getDouble(1))
+    assert(accs.last >= accs.head)
+  }
+
+  test("softmax features emits k-wide multi-blob columns; test aggregates them") {
+    val sm = new graft.ml.SoftmaxRegression(64, 3)
+    val emb = Tables(spark, sf, "embeddings")
+    val w = Array.tabulate(3 * 64)(j =>
+      (((j % 64) * 37 + (j / 64) * 17) % 21 - 10) / 10.0)
+    val f = sm.features(emb, "vec_id", "embedding", w)
+    assert(f.columns.toSeq == Seq("SampleID", "ip1", "prob"))
+    val row = f.orderBy("SampleID").head()
+    assert(row.getSeq[Float](1).length == 3 && row.getSeq[Float](2).length == 3)
+    // probabilities form a distribution
+    val p = row.getSeq[Float](2)
+    assert(p.forall(x => x >= 0f && x <= 1f) && math.abs(p.sum - 1f) < 1e-5)
+    val m = sm.test(emb, "vec_id", "embedding", w)
+    assert(m.keySet == Set("ip1", "prob"))
+    assert(m("prob").length == 3 && math.abs(m("prob").sum - 1.0) < 1e-6)
+    // flattened-matrix snapshot rides the K5 parquet round-trip unchanged
+    val path = java.nio.file.Files.createTempDirectory("smw").toString + "/w"
+    LogisticRegression.saveWeights(spark, w, path)
+    assert(LogisticRegression.loadWeights(spark, path).toSeq == w.toSeq)
+  }
+
+  test("q87 prob_n9 quantization sits safely off every flip boundary (both SFs)") {
+    // exp()'s last-ulp rounding is not pinned cross-engine; the oracle
+    // compares floor(p*1e9 + 0.5), which is stable iff no value lands
+    // within cross-engine error (~1e-6 relative worst case here) of a
+    // half-integer. Assert the corpus-wide margin, so a regenerated
+    // corpus that violates it fails HERE, not as an opaque hash mismatch.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      // recompute the raw products and their boundary distances from the
+      // exact logits (ip1 is unquantized — the same doubles both engines
+      // derive prob from)
+      val dists = queries.MlOps.q87SoftmaxFeatures.fn(spark, dir)
+        .select(col("ip1"))
+        .collect().flatMap { r =>
+          val z = r.getSeq[Double](0)
+          val m = z.max
+          val es = z.map(x => math.exp(x - m))
+          val den = es.reduce(_ + _)
+          es.map { e =>
+            val x = e / den * 1e9 + 0.5
+            math.abs(x - math.round(x))
+          }
+        }
+      val worst = dists.min
+      assert(worst > 1e-4,
+        f"prob_n9 margin $worst%.2e too tight at $dir — quantization at risk")
+    }
+  }
+
   test("weight snapshot round-trips through parquet") {
     val w = Array.tabulate(64)(_ * 0.5)
     val path = java.nio.file.Files.createTempDirectory("wts").toString + "/w"
