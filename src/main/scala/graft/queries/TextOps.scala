@@ -177,7 +177,7 @@ object TextOps {
     * dropped from BOTH the intersection and the set sizes — mirrored in the
     * oracle SQL so the query stays bit-exact.
     */
-  private val DfCap = 50
+  private[graft] val DfCap = 50
 
   /** Q21 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted-
     * index self-join, |∩|/|∪| over exact ints (LLM-pipeline n-gram dedup).
@@ -234,6 +234,21 @@ object TextOps {
     // the identical integer results through the window-cap + self-join
     // formulation — q21's outputs are int counts and int-ratio doubles,
     // so plan shape is free.
+    pairsFromPostings(postingsFrame(docs).filter(size(col("ds")) <= DfCap))
+  }
+
+  /** The capped posting-list relation (fp, ds) over a documents-shaped
+    * frame — q21's intermediate, exposed because it is ALSO the
+    * incrementally-refreshable layout ([[graft.sources.ShinglePostings]]):
+    * appending docs to a corpus only ever APPENDS members to lists, so a
+    * refresh merges delta members instead of re-shingling the old corpus.
+    * Lists here are capped at DfCap+1: a size-(DfCap+1) row is the
+    * "dropped, membership no longer tracked" marker (df can only grow, so
+    * a dropped shingle never returns), sizes ≤ DfCap carry EXACT sorted
+    * membership.
+    */
+  private[graft] def postingsFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val sh = docs
       // fused ShingleHashes: bigram fingerprints straight from the token
       // array — no bigram strings allocated, one char pass per document.
@@ -243,15 +258,23 @@ object TextOps {
         org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks))).as("fp"))
     // capped posting lists feed BOTH the pair expansion and the per-doc
     // set sizes (df=1 shingles count toward sizes, hence the cap-only
-    // filter here and the ≥2 filter only where pairs are made).
+    // filter at the consumer and the ≥2 filter only where pairs are made).
     // collect_long_list_capped bounds every aggregation buffer to
     // DfCap+1 longs: groups within the cap collect exactly; a mega-hot
     // shingle surfaces DfCap+1 elements (never its full group) and the
     // size filter drops it as before — no multi-GB buffer at 100 TB skew
-    val postings = sh.groupBy("fp")
+    sh.groupBy("fp")
       .agg(sort_array(org.apache.spark.sql.graft.AggExpressions
         .collect_long_list_capped(col("doc_id"), DfCap + 1)).as("ds"))
-      .filter(size(col("ds")) <= DfCap)
+  }
+
+  /** q21's jaccard relation from an already-capped postings frame (every
+    * `ds` ≤ DfCap, exact membership): pair expansion inside each bounded
+    * list, sizes from the same frame, exact-int jaccard.
+    */
+  private[graft] def pairsFromPostings(capped: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val postings = capped
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = postings
       .filter(size(col("ds")) >= 2)

@@ -42,4 +42,26 @@ object BucketedEmbeddings {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
+
+  /** Append-only refresh: build the NEW corpus dir's stamped layout from
+    * the OLD layout's rows plus the vec_id-anti-join delta — the 16
+    * plane dots run only over delta vectors (the plane family is fixed,
+    * so old buckets are already correct; at 100 TB the production form
+    * appends delta files into the existing partition directories, and
+    * this is that move under the stamp discipline). Lands at the same
+    * stamped path a full rebuild would — consumers can't observe the
+    * build path; DerivedRefreshSpec pins row-set equality with a rebuild.
+    */
+  def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
+    DerivedLayout(spark, layoutPath(newDir)) { tmp =>
+      val old = apply(spark, oldDir)
+      val delta = graft.Tables(spark, newDir, "embeddings")
+        .join(old.select("vec_id"), Seq("vec_id"), "left_anti")
+        .withColumn("bucket", graft.queries.VectorOps.lshBucket)
+        // read-back partition values are INT; match before the union
+        .withColumn("bucket", col("bucket").cast("int"))
+      old.unionByName(delta.select(old.columns.map(col): _*))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
 }

@@ -63,6 +63,17 @@ object IvfCentroids {
   def scaled(spark: SparkSession, dir: String): (Table, Table) =
     load(spark, dir)._2
 
+  /** Append-delta assignment: delta vectors assigned to THIS corpus's
+    * existing c1 cells — the production IVF delta path (the codebook is
+    * trained at ingest and HELD FIXED across appends; re-training it
+    * would silently re-shape every stored cell, so that is an explicit
+    * rebuild via the stamp, never a refresh). Map-only over the broadcast
+    * codebook: (vec_id, label, embedding, cell).
+    */
+  def assignDelta(spark: SparkSession, dir: String,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ml.KMeans.assignWith(delta, apply(spark, dir)._2)
+
   private def load(spark: SparkSession, dir: String)
       : ((Table, Table), (Table, Table)) = {
     val target = layoutPath(dir)

@@ -25,15 +25,23 @@ object PairGraph {
   /** Encodes the pair-relation semantics (word-bigram shingles, DfCap 50,
     * jaccard floor 0.06). Bump when
     * [[graft.queries.TextOps.ngramJaccardPairs]] changes behavior.
+    * v2: builds from the [[ShinglePostings]] layout (identical values; the
+    * postings layer is where append-only refresh lives).
     */
-  private val Version = "v1"
+  private val Version = "v2"
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("pairs", Version, dir, Seq(s"$dir/documents.parquet"))
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     DerivedLayout(spark, layoutPath(dir)) { tmp =>
-      graft.queries.TextOps.ngramJaccardPairs(graft.Tables(spark, dir, "documents"))
+      // build from the persisted postings (shingling happens ONCE per
+      // corpus, in the postings layout — and a postings layout produced
+      // by ShinglePostings.refreshed feeds this identically)
+      import org.apache.spark.sql.functions.{col, size}
+      graft.queries.TextOps.pairsFromPostings(
+          ShinglePostings(spark, dir)
+            .filter(size(col("ds")) <= graft.queries.TextOps.DfCap))
         .write.mode("overwrite").parquet(tmp)
     }
 }

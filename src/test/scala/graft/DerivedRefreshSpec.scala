@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Append-only refresh of the derived layouts: a 100 TB lake ingests
+  * deltas, and the refresh path must produce EXACTLY the layout a full
+  * rebuild of the grown corpus would — including the df-cap crossings an
+  * append can cause in the shingle postings. These specs construct a
+  * v1 corpus, an append delta engineered to cross the cap, and pin
+  * refresh ≡ rebuild at each layer (postings, pair graph, bucketed
+  * embeddings, IVF delta assignment).
+  */
+class DerivedRefreshSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val cap = queries.TextOps.DfCap // 50
+
+  /** v1: 150 docs. Docs 0..39 share the bigram "hot zz" (df 40 ≤ cap —
+    * kept in v1). Docs 100..101 are near-dups of each other. The rest are
+    * unique filler. Delta: docs 1000..1019 ALSO carry "hot zz" → its df
+    * becomes 60 > cap in v2 (a crossing), plus two fresh near-dups.
+    */
+  private def docRow(id: Long, text: String) = (id, text)
+
+  private lazy val v1Docs: Seq[(Long, String)] = {
+    val hot = (0L until 40L).map(i =>
+      docRow(i, s"hot zz carrier $i filler${i}a filler${i}b filler${i}c"))
+    val nd = Seq(
+      docRow(100L, "the quick brown fox jumps over the lazy dog again and again"),
+      docRow(101L, "the quick brown fox jumps over the lazy dog again and often"))
+    val filler = (200L until 308L).map(i =>
+      docRow(i, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"))
+    hot ++ nd ++ filler
+  }
+
+  private lazy val deltaDocs: Seq[(Long, String)] = {
+    val hot = (1000L until 1020L).map(i =>
+      docRow(i, s"hot zz carrier $i dfill${i}a dfill${i}b dfill${i}c"))
+    val nd = Seq(
+      docRow(2000L, "pack my box with five dozen liquor jugs for the winter trip"),
+      docRow(2001L, "pack my box with five dozen liquor jugs for the winter haul"))
+    hot ++ nd
+  }
+
+  private def writeCorpus(rows: Seq[(Long, String)], tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"refresh-$tag").toString
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val v1Dir = writeCorpus(v1Docs, "v1")
+  private lazy val v2Dir = writeCorpus(v1Docs ++ deltaDocs, "v2")
+
+  private def keyedLists(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("postings refresh == full rebuild: kept lists exact, crossings become markers") {
+    val rebuilt = queries.TextOps
+      .postingsFrame(Tables(spark, v2Dir, "documents"))
+    val refreshed = sources.ShinglePostings.refreshFrom(
+      sources.ShinglePostings(spark, v1Dir),
+      Tables(spark, v2Dir, "documents")
+        .join(Tables(spark, v1Dir, "documents").select("doc_id"),
+          Seq("doc_id"), "left_anti"))
+    val rb = keyedLists(rebuilt)
+    val rf = keyedLists(refreshed)
+    assert(rb.keySet == rf.keySet, "shingle universes diverged")
+    // kept lists (≤ cap) must match exactly; markers must agree AS markers
+    // (their stored subset is explicitly untracked)
+    var keptChecked = 0
+    var markers = 0
+    rb.foreach { case (fp, dsRebuild) =>
+      val dsRefresh = rf(fp)
+      if (dsRebuild.length > cap || dsRefresh.length > cap) {
+        assert(dsRebuild.length > cap && dsRefresh.length > cap,
+          s"fp=$fp kept/dropped disagreement: ${dsRebuild.length} vs ${dsRefresh.length}")
+        markers += 1
+      } else {
+        assert(dsRebuild == dsRefresh, s"fp=$fp kept membership diverged")
+        keptChecked += 1
+      }
+    }
+    assert(keptChecked > 100, s"too few kept lists exercised: $keptChecked")
+    // the constructed crossing actually happened: "hot zz" is a marker in
+    // v2 but was kept (df 40) in v1
+    assert(markers >= 1, "no cap crossing exercised — the hard case is untested")
+    val v1Markers = keyedLists(sources.ShinglePostings(spark, v1Dir))
+      .count(_._2.length > cap)
+    assert(v1Markers == 0, "v1 should have no markers (df 40 design)")
+  }
+
+  test("pair graph from refreshed postings == pair graph rebuilt from scratch") {
+    val rebuilt = queries.TextOps
+      .ngramJaccardPairs(Tables(spark, v2Dir, "documents"))
+      .orderBy("a", "b").collect()
+    val viaRefresh = queries.TextOps.pairsFromPostings(
+        sources.ShinglePostings.refreshFrom(
+          sources.ShinglePostings(spark, v1Dir),
+          Tables(spark, v2Dir, "documents")
+            .join(Tables(spark, v1Dir, "documents").select("doc_id"),
+              Seq("doc_id"), "left_anti"))
+          .filter(size(col("ds")) <= cap))
+      .orderBy("a", "b").collect()
+    assert(rebuilt.length == viaRefresh.length && rebuilt.length >= 2,
+      s"pair counts diverged: ${rebuilt.length} vs ${viaRefresh.length}")
+    rebuilt.zip(viaRefresh).foreach { case (x, y) => assert(x == y) }
+    // both near-dup pairs (old and delta) are present
+    val keys = rebuilt.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((100L, 101L)) && keys.contains((2000L, 2001L)))
+  }
+
+  test("refreshed() lands the stamped layout a rebuild would have") {
+    val viaRefresh = sources.ShinglePostings.refreshed(spark, v2Dir, v1Dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      sources.ShinglePostings.layoutPath(v2Dir), "_SUCCESS")))
+    // the layout now serves ALL consumers: reading via the normal path
+    // returns the refreshed rows (same stamped dir, no rebuild)
+    val viaApply = sources.ShinglePostings(spark, v2Dir)
+    assert(keyedLists(viaApply) == keyedLists(viaRefresh))
+  }
+
+  test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
+    // v1 = first 400 embeddings, v2 = all: construct append-only dirs
+    val emb = Tables(spark, sf, "embeddings")
+    val e1 = java.nio.file.Files.createTempDirectory("refresh-e1").toString
+    val e2 = java.nio.file.Files.createTempDirectory("refresh-e2").toString
+    emb.filter(col("vec_id") < 400).coalesce(1)
+      .write.mode("overwrite").parquet(s"$e1/embeddings.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(s"$e2/embeddings.parquet")
+    val refreshed = sources.BucketedEmbeddings.refreshed(spark, e2, e1)
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rebuild comparison: recompute buckets directly from the source
+    val expect = Tables(spark, e2, "embeddings")
+      .select(col("vec_id"), queries.VectorOps.lshBucket.as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refreshed == expect)
+    assert(refreshed.size == emb.count())
+  }
+
+  test("IVF delta assignment: held codebook, assignments equal the map-only rule") {
+    val emb = Tables(spark, sf, "embeddings")
+    val delta = emb.filter(col("vec_id") >= 450)
+    val got = sources.IvfCentroids.assignDelta(spark, sf, delta)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (_, c1) = sources.IvfCentroids(spark, sf)
+    val expect = graft.ml.KMeans.assignWith(delta, c1)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect && got.size == delta.count())
+  }
+}
