@@ -394,7 +394,16 @@ object DedupOps {
     */
   private[graft] def spanDeduped(docs: org.apache.spark.sql.DataFrame,
       k: Int = 8): org.apache.spark.sql.DataFrame = {
-    val t = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // explicit-width spread before the k-wide span explode: a small
+    // single-file corpus scans as ONE partition and the whole occ/dup
+    // chain inherits it (measured 13 tasks across 8 stages at sf0.1);
+    // the explode multiplies rows ~|tokens|×, so parallelism must be
+    // pinned BEFORE it, and an explicit count is AQE-coalesce-proof.
+    // At real corpus scale the scan already has thousands of partitions
+    // and this hash exchange on doc_id is noise against the span stage.
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val t = docs.repartition(par, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
     // sequence(1, n-(k-1)) would generate DESCENDING for n < k — guard first.
     // occ feeds two consumers (duplicate-discovery build, removal probe) but
     // is deliberately NOT persisted: it is O(corpus tokens × k) wide — the
