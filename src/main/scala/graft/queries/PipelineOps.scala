@@ -155,8 +155,15 @@ object PipelineOps {
       isTest: org.apache.spark.sql.Column,
       isTrain: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     // array_distinct before the explode = the (doc, fp) DISTINCT done
-    // map-side inside each row — no dedup exchange
+    // map-side inside each row — no dedup exchange. The explicit-width
+    // doc_id spread BEFORE the gram explode pins parallelism on the
+    // compute-bound hash/explode stage (a small single-file corpus scans
+    // as one partition and AQE's size-based coalescing would keep the
+    // whole chain there — the q67/q86 lesson); at real scale the scan is
+    // already wide and this exchange is noise.
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
     val grams = docs.filter(isTest || isTrain)
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"), isTest.as("__t"), explode(array_distinct(
         org.apache.spark.sql.graft.TextExpressions.ngram_hashes(toks, 4))).as("fp"))
     // bounded buffers (see q21): each list caps at DfCap+1, and any group
@@ -219,8 +226,12 @@ object PipelineOps {
     val w = Window.partitionBy("fp")
     // here the DISTINCT is cross-document (same fp from two docs of one
     // source must collapse), so the exchange stays — but array_distinct
-    // first shrinks what enters it to per-doc-unique rows
-    val grams = Tables(s, dir, "documents")
+    // first shrinks what enters it to per-doc-unique rows. The explicit
+    // doc_id spread before the gram explode is the q51 parallelism pin.
+    val docs0 = Tables(s, dir, "documents")
+    val grams = docs0
+      .repartition(docs0.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("source"),
         expr("CAST(substring(source, 4) AS BIGINT)").as("ord"),
         explode(array_distinct(org.apache.spark.sql.graft.TextExpressions

@@ -250,6 +250,11 @@ object TextOps {
   private[graft] def postingsFrame(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val sh = docs
+      // explicit-width doc_id spread before the shingle explode: pins
+      // parallelism on the hash/explode stage when the corpus scans as
+      // one partition (the q67/q51 lesson); noise at real scan widths
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       // fused ShingleHashes: bigram fingerprints straight from the token
       // array — no bigram strings allocated, one char pass per document.
       // array_distinct BEFORE the explode is the (doc, fp) DISTINCT done
