@@ -77,7 +77,7 @@ object CurationStages {
     "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
     "stratified_sample" -> Set("rates", "default"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
-    "assign_split" -> Set("trainPct", "valPct", "threshold"),
+    "assign_split" -> Set("trainPct", "valPct", "threshold", "splitFrom"),
     "chunk" -> Set("chunkTokens", "stride"),
     "pack" -> Set("tokenBudget"),
     "bpe_annotate" -> Set("mergesFrom"))
@@ -350,25 +350,51 @@ object CurationStages {
     // same q21 machinery near_dedup uses), and the 80/10/10 gate hashes
     // the salted CLUSTER id, so near-duplicates that both survived can
     // never straddle train and test. Schema-additive (adds `split`);
-    // row-preserving.
+    // row-preserving. `splitFrom: "corpus"` instead JOINS the persisted
+    // SplitAssignment layout of the job's source table (ingest-time
+    // assignment preserved through curation — the production default
+    // when the corpus-level split is the contract; requires default
+    // trainPct/valPct/threshold, which are the layout's own), while the
+    // flow mode re-derives clusters on the surviving frame.
     case "assign_split" =>
       val trainPct = stage.int("trainPct", 80)
       val valPct = stage.int("valPct", 10)
       require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
         s"assign_split: trainPct=$trainPct valPct=$valPct must fit in 100")
-      val pairs = graft.queries.TextOps.ngramJaccardPairs(docs)
-        .filter(col("jaccard") >= stage.dbl("threshold", 0.5))
-        .select("a", "b")
-      val cc = graft.operators.Components.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("component"))
-      val h = graft.functions.TextFunctions
-        .fingerprint("concat('s', CAST(__cluster AS STRING))") % 100
-      docs.join(cc, Seq("doc_id"), "left")
-        .withColumn("__cluster", coalesce(col("component"), col("doc_id")))
-        .withColumn("split",
-          when(h < trainPct, "train")
-            .when(h < trainPct + valPct, "val").otherwise("test"))
-        .drop("component", "__cluster")
+      stage.strOr("splitFrom", "flow") match {
+        case "corpus" =>
+          val dir = sourceDirDefault.getOrElse(throw new IllegalArgumentException(
+            "assign_split: splitFrom=corpus needs a table-dir job source " +
+              "to locate the corpus split layout"))
+          require(trainPct == 80 && valPct == 10 &&
+            stage.dbl("threshold", 0.5) == 0.5,
+            "assign_split: splitFrom=corpus serves the layout's own " +
+              "80/10/10 @ threshold 0.5 gate — declare flow mode to " +
+              "re-derive with other parameters")
+          docs.join(
+            graft.sources.SplitAssignment(docs.sparkSession, dir)
+              .select("doc_id", "split"),
+            Seq("doc_id"), "left")
+            // a doc absent from the layout (source mutated mid-chain)
+            // fails loudly downstream as a null split rather than
+            // silently re-gating under different cluster ids
+        case "flow" =>
+          val pairs = graft.queries.TextOps.ngramJaccardPairs(docs)
+            .filter(col("jaccard") >= stage.dbl("threshold", 0.5))
+            .select("a", "b")
+          val cc = graft.operators.Components.connectedComponents(pairs)
+            .select(col("id").as("doc_id"), col("component"))
+          val h = graft.functions.TextFunctions
+            .fingerprint("concat('s', CAST(__cluster AS STRING))") % 100
+          docs.join(cc, Seq("doc_id"), "left")
+            .withColumn("__cluster", coalesce(col("component"), col("doc_id")))
+            .withColumn("split",
+              when(h < trainPct, "train")
+                .when(h < trainPct + valPct, "val").otherwise("test"))
+            .drop("component", "__cluster")
+        case other => throw new IllegalArgumentException(
+          s"assign_split: splitFrom must be 'flow' or 'corpus', got '$other'")
+      }
 
     // q69's tail-covering sliding windows — a TERMINAL stage like pack:
     // the flow changes granularity from documents to training sequences

@@ -230,6 +230,20 @@ object JobConfig {
             }
           case "pack" =>
             num("tokenBudget")(n => n.isWhole && n >= 1, "must be a positive integer")
+          case "assign_split" =>
+            num("trainPct")(n => n.isWhole && n > 0 && n <= 100, "must be an integer 1..100")
+            num("valPct")(n => n.isWhole && n >= 0 && n < 100, "must be an integer 0..99")
+            params.get("splitFrom").foreach {
+              case "flow" | "corpus" => ()
+              case other => fail(
+                s"stages[$idx] ($op): splitFrom must be 'flow' or 'corpus', got $other")
+            }
+          case "bpe_annotate" =>
+            params.get("mergesFrom").foreach {
+              case "flow" | "corpus" => ()
+              case other => fail(
+                s"stages[$idx] ($op): mergesFrom must be 'flow' or 'corpus', got $other")
+            }
           case _ => () // exact_dedup / pii_scrub: no parameters
         }
         StageSpec(op, params)

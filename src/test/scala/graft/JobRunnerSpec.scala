@@ -398,6 +398,42 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("assign_split splitFrom=corpus: ingest-time layout split preserved through curation") {
+    val work = java.nio.file.Files.createTempDirectory("jobsplit").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "exact_dedup"},
+         |             {"op": "assign_split", "splitFrom": "corpus"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    val layout = sources.SplitAssignment(spark, sf)
+      .select(col("doc_id"), col("split").as("layout_split"))
+    val j = out.join(layout, "doc_id")
+    assert(j.count() == out.count(), "a surviving doc missed the layout")
+    assert(j.filter(col("split") =!= col("layout_split")).count() == 0,
+      "curation re-gated a doc differently from its ingest-time split")
+    // non-default parameters are refused in corpus mode (the layout owns
+    // its gate), and a bad splitFrom fails at parse time
+    val bad = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out2", "outputFormat": "parquet",
+         |  "stages": [{"op": "assign_split", "splitFrom": "corpus", "trainPct": 70}]
+         |}""".stripMargin)
+    intercept[IllegalArgumentException] {
+      JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", bad)))
+    }
+    intercept[IllegalArgumentException] {
+      JobConfig.fromJson(
+        s"""{"source": {"path": "$sf", "table": "documents"},
+           |"output": "x", "stages": [{"op": "assign_split", "splitFrom": "nope"}]}"""
+          .stripMargin)
+    }
+  }
+
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
     val work = java.nio.file.Files.createTempDirectory("jobchunk").toString
     val conf = writeConf(

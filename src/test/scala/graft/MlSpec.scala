@@ -179,6 +179,47 @@ class MlSpec extends SparkSpec {
     assert(loss < math.log(3.0)) // below ln k = untrained loss
   }
 
+  test("softmax gradient is the true loss gradient (finite-difference check)") {
+    // one full-batch iteration from w=0 must step along -grad of the mean
+    // cross-entropy + L2 objective; verify the implied gradient against a
+    // central finite difference of an independently-computed loss on a
+    // tiny deterministic set. Catches sign/indexing/normalization bugs
+    // that convergence tests can absorb silently.
+    val dim = 4
+    val k = 3
+    val data = Seq(
+      (Array(0.9f, -0.2f, 0.1f, 0.4f), 0.0),
+      (Array(-0.5f, 0.8f, -0.3f, 0.2f), 1.0),
+      (Array(0.1f, -0.6f, 0.7f, -0.8f), 2.0),
+      (Array(0.3f, 0.3f, -0.9f, 0.5f), 1.0),
+      (Array(-0.7f, -0.1f, 0.2f, 0.6f), 0.0))
+    val lr0 = 1.0
+    val l2 = 1e-3
+    val sm = new graft.ml.SoftmaxRegression(dim, k,
+      TrainConfig(lr = lr0, iters = 1, l2 = l2))
+    val rdd = spark.sparkContext.parallelize(data, 2)
+    val w1 = sm.fit(rdd) // w1 = -lr * grad(0)  (since w0 = 0)
+    // mean cross-entropy only: at w=0 the implemented step is
+    // -lr*(grad_ce/n + l2*0), so the L2 term drops out of the comparison
+    def loss(w: Array[Double]): Double =
+      data.map { case (x, y) =>
+        val z = (0 until k).map(c =>
+          (0 until dim).map(i => w(c * dim + i) * x(i)).sum)
+        val m = z.max
+        val es = z.map(v => math.exp(v - m))
+        -math.log(es(y.toInt) / es.sum)
+      }.sum / data.size
+    val eps = 1e-6
+    (0 until k * dim).foreach { j =>
+      val wp = new Array[Double](k * dim); wp(j) = eps
+      val wm = new Array[Double](k * dim); wm(j) = -eps
+      val g = (loss(wp) - loss(wm)) / (2 * eps)
+      val gImpl = -w1(j) / lr0
+      assert(math.abs(g - gImpl) < 1e-6,
+        f"grad[$j]: finite-diff $g%.8f vs implemented $gImpl%.8f")
+    }
+  }
+
   test("softmax trainWithValidation emits metric rows; accuracy non-degrading") {
     val sm = new graft.ml.SoftmaxRegression(64, 3,
       TrainConfig(lr = 2.0, iters = 30, validateEvery = 10))
