@@ -298,6 +298,46 @@ class StreamingSpec extends SparkSpec {
       s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
   }
 
+  test("streaming featurization equals batch features row-for-row (both heads)") {
+    import graft.streaming.MlStreams
+    import scala.jdk.CollectionConverters._
+    val emb = Tables(spark, sf, "embeddings")
+    val mid = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("emb_feats")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("feats_part")
+      part.select("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, emb.filter(col("vec_id") <= mid))
+    writePart("b.parquet", 20000L, emb.filter(col("vec_id") > mid))
+    val stream = spark.readStream.schema(MlStreams.embeddingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Seq[Float], Seq[Float])] =
+      df.collect().map(r =>
+        (r.getString(0), r.getSeq[Float](1), r.getSeq[Float](2))).toSet
+    // softmax head: a fixed deterministic 3x64 matrix
+    val wSm = Array.tabulate(3 * 64)(j =>
+      (((j % 64) * 37 + (j / 64) * 17) % 21 - 10) / 10.0)
+    val gotSm = rows(EventStreams.runToMemory(
+      MlStreams.softmaxFeatures(stream, 64, 3, wSm), "sm_feats_t"))
+    val batchSm = rows(new graft.ml.SoftmaxRegression(64, 3)
+      .features(emb, "vec_id", "embedding", wSm))
+    assert(gotSm == batchSm, "streamed softmax features diverge from batch")
+    // binary head over the same stream source
+    val wLr = Array.tabulate(64)(i => ((i * 37) % 21 - 10) / 10.0)
+    val gotLr = rows(EventStreams.runToMemory(
+      MlStreams.features(stream, 64, wLr), "lr_feats_t"))
+    val batchLr = rows(new graft.ml.LogisticRegression(64)
+      .features(emb, "vec_id", "embedding", wLr))
+    assert(gotLr == batchLr, "streamed binary features diverge from batch")
+  }
+
   test("streaming video shot stats equal batch q79 row-for-row (stateless twin)") {
     import graft.streaming.DocumentStreams
     import scala.jdk.CollectionConverters._
