@@ -371,7 +371,10 @@ class PlanSpec extends SparkSpec {
     val allowed = Set("q10_distinct", "q27_dot_topk", "q53_ann_recall",
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
-      "q81_split_drift") // 1-row split totals onto the 10-bucket dimension
+      "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
+      "q89_band_recall") // the meter's DELIBERATE O(S²) exact ground truth
+                         // over the fixed-modulus audit sample + 1-row
+                         // count crosses — S is the bounded knob
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = planOf(df)

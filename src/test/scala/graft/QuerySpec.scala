@@ -634,6 +634,23 @@ class QuerySpec extends SparkSpec {
     assert(nPairs >= expectPairs, "audit must cover at least the surviving near-dup pairs")
   }
 
+  test("q89 band-recall meter: counts cohere, recall floor holds at the floor geometry") {
+    val r = queries.VectorOps.q89BandRecall.fn(spark, sf).head()
+    val (nSample, nTrue, nCaught, recall, nCand, candFrac) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))
+    assert(nSample > 0 && nTrue > 0)
+    // caught pairs are the intersection: bounded by both sides
+    assert(nCaught <= nTrue && nCaught <= nCand)
+    assert(recall == nCaught.toDouble / nTrue)
+    assert(candFrac > 0 && candFrac < 1, s"selectivity $candFrac out of band")
+    // the floor (4x4) geometry's documented operating point on this
+    // weak-similarity corpus: ~44% recall examining ~25% of pairs —
+    // floors leave headroom but catch a silent recall collapse
+    assert(recall >= 0.3, s"recall $recall collapsed at the floor geometry")
+    assert(candFrac <= 0.35, s"candidate fraction $candFrac — blocking stopped selecting")
+  }
+
   test("q53 recall floors: pq mean ≥ 0.4, ivf mean ≥ 0.3 (refactors can't trade recall for speed)") {
     val rows = queries.VectorOps.q53AnnRecall.fn(spark, sf).collect()
     def meanRecall(m: String): Double = {
