@@ -279,6 +279,43 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("Jacobi eigensolver: A v = lambda v on a constructed symmetric matrix") {
+    import graft.ml.Whitening
+    val rnd = new scala.util.Random(7)
+    val d = 8
+    val m = Array.tabulate(d, d)((_, _) => rnd.nextGaussian())
+    // symmetrize: A = M + Mt
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j) + m(j)(i))
+    val (vals, vecs) = Whitening.symmetricEigen(a)
+    // descending order, orthonormal rows, and the eigen equation itself
+    assert(vals.zip(vals.tail).forall { case (x, y) => x >= y })
+    vecs.zipWithIndex.foreach { case (v, k) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+      val av = (0 until d).map(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      av.zip(v).foreach { case (x, vx) =>
+        assert(math.abs(x - vals(k) * vx) < 1e-7, s"eigpair $k broken")
+      }
+    }
+  }
+
+  test("whitening: transformed corpus has ~identity covariance (batch pipeline end-to-end)") {
+    import graft.ml.Whitening
+    val emb = Tables(spark, sf, "embeddings")
+    val (mean, cov) = Whitening.meanAndCovariance(emb)
+    assert(cov.indices.forall(i => cov(i)(i) > 0), "degenerate dimension")
+    val w = Whitening.whiteningMatrix(cov)
+    val white = Whitening.whiten(emb, mean, w).select(col("white").as("embedding"))
+    val (wMean, wCov) = Whitening.meanAndCovariance(white)
+    // mean ~0, covariance ~I — tolerances absorb the float32 output cast
+    assert(wMean.forall(m => math.abs(m) < 1e-3), "whitened mean off zero")
+    wCov.indices.foreach { i =>
+      assert(math.abs(wCov(i)(i) - 1.0) < 1e-2, s"var[$i]=${wCov(i)(i)}")
+      (i + 1 until wCov.length).foreach { j =>
+        assert(math.abs(wCov(i)(j)) < 1e-2, s"cov[$i][$j]=${wCov(i)(j)}")
+      }
+    }
+  }
+
   test("weight snapshot round-trips through parquet") {
     val w = Array.tabulate(64)(_ * 0.5)
     val path = java.nio.file.Files.createTempDirectory("wts").toString + "/w"
