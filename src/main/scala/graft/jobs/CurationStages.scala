@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions._
   * windows (terminal: documents → training sequences); pack = q50's
   * shard-keyed window packer; multimodal_join = reference J1's
   * image×caption equi-join (media side joined onto the flowing corpus by
-  * id, provenance columns riding through); image_near_dedup = q71's
+  * id, provenance columns riding through); whiten = ml.Whitening's PCA
+  * decorrelation over the joined embedding column (q90's second-moment
+  * pass + driver eigensolve + map-only rotation); image_near_dedup = q71's
   * dHash-banded pairs → the same components/canonicalize (duplication in
   * pixel-space); semantic_dedup = q74's SemDeDup (k-means cells →
   * within-cell pair dots → drop the higher-centroid-similarity member —
@@ -71,6 +73,7 @@ object CurationStages {
       "clusters", "minDot"),
     "multimodal_join" -> Set("embeddings", "idCol", "embeddingCol", "how",
       "broadcast"),
+    "whiten" -> Set("embeddingCol"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
@@ -260,6 +263,28 @@ object CurationStages {
         .select(col(idCol).as("doc_id"), col(embCol).as("embedding"))
       docs.join(if (stage.bool("broadcast", false)) broadcast(media) else media,
         Seq("doc_id"), how)
+
+    // PCA whitening of the flowing frame's embedding column (typically
+    // after multimodal_join): two corpus passes (exact mean + q90's
+    // second-moment aggregate), the d×d eigensolve on the driver, then a
+    // map-only rotated projection — the decorrelation step that makes
+    // downstream rotation-sensitive quantization (PQ/SQ8) and
+    // semantic_dedup's cosine geometry behave. REPLACES the column in
+    // place (float32), schema otherwise untouched; rows without an
+    // embedding are left null as they arrived.
+    case "whiten" =>
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      require(docs.columns.contains(embCol),
+        s"whiten: no '$embCol' column on the flow — join embeddings first " +
+          "(multimodal_join) or declare embeddingCol")
+      import graft.ml.Whitening
+      val present = docs.filter(col(embCol).isNotNull)
+      val (mean, cov) = Whitening.meanAndCovariance(present, embCol)
+      val w = Whitening.whiteningMatrix(cov)
+      val whitened = Whitening.whiten(docs.filter(col(embCol).isNotNull),
+          mean, w, embCol, "__white")
+        .withColumn(embCol, col("__white")).drop("__white")
+      docs.filter(col(embCol).isNull).unionByName(whitened)
 
     // q51 shape: drop the held-out source itself AND every training
     // document sharing >= minShared distinct 4-grams with it

@@ -238,6 +238,8 @@ object JobConfig {
               case other => fail(
                 s"stages[$idx] ($op): splitFrom must be 'flow' or 'corpus', got $other")
             }
+          case "whiten" =>
+            optStr("embeddingCol")
           case "bpe_annotate" =>
             params.get("mergesFrom").foreach {
               case "flow" | "corpus" => ()

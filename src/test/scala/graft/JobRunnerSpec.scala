@@ -434,6 +434,27 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("whiten stage: declared join+whiten chain emits a decorrelated embedding column") {
+    val work = java.nio.file.Files.createTempDirectory("jobwhiten").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "multimodal_join", "how": "inner"},
+         |             {"op": "whiten"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    assert(out.columns.contains("embedding") && out.count() > 0)
+    val (m, c) = graft.ml.Whitening.meanAndCovariance(out)
+    assert(m.forall(x => math.abs(x) < 1e-3), "whitened mean off zero")
+    c.indices.foreach { i =>
+      assert(math.abs(c(i)(i) - 1.0) < 1e-2, s"var[$i]=${c(i)(i)}")
+      (i + 1 until c.length).foreach(j =>
+        assert(math.abs(c(i)(j)) < 1e-2, s"cov[$i][$j]=${c(i)(j)}"))
+    }
+  }
+
   test("declared chain to training sequences: dedup -> split -> chunk from JSON alone") {
     val work = java.nio.file.Files.createTempDirectory("jobchunk").toString
     val conf = writeConf(
