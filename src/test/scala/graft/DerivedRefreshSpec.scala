@@ -121,6 +121,39 @@ class DerivedRefreshSpec extends SparkSpec {
     assert(keyedLists(viaApply) == keyedLists(viaRefresh))
   }
 
+  test("refresh flows through the layout chain: SplitAssignment over refreshed postings == from-scratch") {
+    // ShinglePostings.refreshed landed v2's stamped postings (previous
+    // test); PairGraph and SplitAssignment build on top of that SAME
+    // stamped dir — so the whole consumer chain of an appended corpus
+    // derives from the delta merge, and must equal a from-scratch
+    // computation of the split
+    sources.ShinglePostings.refreshed(spark, v2Dir, v1Dir)
+    val viaChain = sources.SplitAssignment(spark, v2Dir)
+      .orderBy("doc_id").collect()
+    // genuinely layout-free reference: the q68 semantics recomputed
+    // directly from the corpus (ngramJaccardPairs, not PairGraph — the
+    // layout path IS what is under test)
+    val docs = Tables(spark, v2Dir, "documents")
+    val pairs = queries.TextOps.ngramJaccardPairs(docs)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val cc = operators.Components.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+    val h = functions.TextFunctions
+      .fingerprint("concat('s', CAST(cluster_id AS STRING))") % 100
+    val scratch = docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .orderBy("doc_id").collect()
+    assert(viaChain.length == scratch.length && viaChain.length ==
+      (v1Docs.length + deltaDocs.length))
+    viaChain.zip(scratch).foreach { case (a, b) => assert(a == b) }
+    // the delta near-dup pair (2000, 2001) is leakage-safe: one split
+    val sp = viaChain.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp(2000L) == sp(2001L), "appended near-dups straddled the split")
+  }
+
   test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
     // v1 = first 400 embeddings, v2 = all: construct append-only dirs
     val emb = Tables(spark, sf, "embeddings")
