@@ -92,7 +92,8 @@ final case class JobConfig(
     output: String = "",
     outputFormat: String = "json",
     stages: Seq[StageSpec] = Nil,
-    transform: Option[TransformSpec] = None)
+    transform: Option[TransformSpec] = None,
+    featureBlobs: Seq[String] = Nil)
 
 object JobConfig {
 
@@ -108,7 +109,8 @@ object JobConfig {
       case other => fail(s"config root must be a JSON object, got $other")
     }
     val known = Set("source", "validation", "dim", "classes", "lr", "iters", "l2",
-      "validateEvery", "model", "output", "outputFormat", "stages", "transform")
+      "validateEvery", "model", "output", "outputFormat", "stages", "transform",
+      "featureBlobs")
     val unknown = root.keySet -- known
     if (unknown.nonEmpty) fail(s"unknown config keys: ${unknown.mkString(", ")}")
 
@@ -269,6 +271,19 @@ object JobConfig {
         case Some(l: List[Any @unchecked]) =>
           l.zipWithIndex.map { case (v, i) => stageSpec(v, i) }
         case Some(other) => fail(s"stages must be a JSON array, got $other")
+        case None => Nil
+      },
+      // the reference's features-mode blob-name list (CLI `-features
+      // accuracy,ip1,ip2` → here a declared subset of the net's outputs;
+      // empty = all blobs, the historical behavior)
+      featureBlobs = root.get("featureBlobs") match {
+        case Some(l: List[Any @unchecked]) => l.map {
+          case s: String if Set("ip1", "prob")(s) => s
+          case other => fail(
+            s"featureBlobs entries must be 'ip1' or 'prob' (the linear head's " +
+              s"output blobs), got $other")
+        }
+        case Some(other) => fail(s"featureBlobs must be a JSON array, got $other")
         case None => Nil
       },
       transform = root.get("transform").map {

@@ -42,6 +42,7 @@ object JobRunner {
     var model: Option[String] = None
     var output: Option[String] = None
     var outputFormat: Option[String] = None
+    var featureBlobs: Option[Seq[String]] = None
     var i = 0
     def optValue(flag: String): String = {
       i += 1
@@ -58,6 +59,11 @@ object JobRunner {
         case "-model" => model = Some(optValue("-model"))
         case "-output" => output = Some(optValue("-output"))
         case "-outputFormat" => outputFormat = Some(optValue("-outputFormat"))
+        case "-featureBlobs" =>
+          // the reference passes blob names with its -features flag;
+          // values re-validate through the config's rule below
+          featureBlobs = Some(optValue("-featureBlobs").split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty))
         case other => usage(s"unknown argument '$other'")
       }
       i += 1
@@ -69,6 +75,11 @@ object JobRunner {
     model.foreach(m => cfg = cfg.copy(model = m))
     output.foreach(o => cfg = cfg.copy(output = o))
     outputFormat.foreach(f => cfg = cfg.copy(outputFormat = f))
+    featureBlobs.foreach { bs =>
+      bs.find(b => !Set("ip1", "prob")(b)).foreach(b =>
+        usage(s"-featureBlobs: unknown blob '$b' (the linear head emits ip1, prob)"))
+      cfg = cfg.copy(featureBlobs = bs)
+    }
     if ((train || features || test) && cfg.model.isEmpty)
       usage("a model path is required (config 'model' or CLI -model)")
     if ((train || features || test) && cfg.dim <= 0)
@@ -197,9 +208,15 @@ object JobRunner {
 
     if (inv.features) {
       val w = g.load(cfg.model)
-      g.features(applyTransform(readSource(spark, src), src.featureCol),
-          w, src.idCol, src.featureCol)
-        .write.mode("overwrite").format(cfg.outputFormat)
+      val full = g.features(applyTransform(readSource(spark, src), src.featureCol),
+        w, src.idCol, src.featureCol)
+      // declared blob subset (the reference's `-features ip1,ip2` list):
+      // SampleID always rides; empty declaration = all blobs
+      val out =
+        if (cfg.featureBlobs.isEmpty) full
+        else full.select(("SampleID" +: cfg.featureBlobs).map(
+          org.apache.spark.sql.functions.col): _*)
+      out.write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/features")
     }
 

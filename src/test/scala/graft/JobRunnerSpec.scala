@@ -71,6 +71,18 @@ class JobRunnerSpec extends SparkSpec {
       Array("-train", "-conf", conf, "-model", s"$work/model2")))
     assert(graft.ml.LogisticRegression
       .loadWeights(spark, s"$work/model2").length == 64)
+
+    // declared blob subset (the reference's -features blob-name list):
+    // only the named output columns ride, SampleID always present
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-features", "-conf", conf, "-featureBlobs", "prob",
+        "-output", s"$work/out_sel")))
+    val sel = spark.read.parquet(s"$work/out_sel/features")
+    assert(sel.columns.toSeq == Seq("SampleID", "prob"))
+    // an unknown blob name fails at parse time
+    intercept[IllegalArgumentException] {
+      JobRunner.parse(Array("-features", "-conf", conf, "-featureBlobs", "ip9"))
+    }
   }
 
   test("declared multi-class lifecycle: classes=3 routes the whole chain to the softmax head") {
