@@ -121,6 +121,45 @@ class DerivedRefreshSpec extends SparkSpec {
     assert(keyedLists(viaApply) == keyedLists(viaRefresh))
   }
 
+  test("randomized appends: refresh == rebuild across seeded corpus/split draws") {
+    // a SMALL vocabulary forces heavy shingle sharing, so random draws
+    // land df values all around the cap — markers, crossings, kept lists
+    // and delta-only shingles all occur without construction. Seeded:
+    // deterministic across runs.
+    val vocab = Vector("red", "blue", "ash", "oak")
+    val rnd = new scala.util.Random(421)
+    (1 to 3).foreach { draw =>
+      // sized so common bigrams' df straddles the cap (16 possible
+      // bigrams, ~60% presence per doc, 110–170 docs → df ≈ 65–100)
+      val n = 110 + rnd.nextInt(60)
+      val rows = (0L until n.toLong).map { id =>
+        val len = 8 + rnd.nextInt(10)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val cutIdx = (n * (0.6 + 0.3 * rnd.nextDouble())).toInt
+      val a = writeCorpus(rows.take(cutIdx), s"rnd$draw-v1")
+      val b = writeCorpus(rows, s"rnd$draw-v2")
+      val rebuilt = keyedLists(queries.TextOps
+        .postingsFrame(Tables(spark, b, "documents")))
+      val refreshed = keyedLists(sources.ShinglePostings.refreshFrom(
+        sources.ShinglePostings(spark, a),
+        Tables(spark, b, "documents")
+          .join(Tables(spark, a, "documents").select("doc_id"),
+            Seq("doc_id"), "left_anti")))
+      assert(rebuilt.keySet == refreshed.keySet, s"draw $draw: universes diverged")
+      var markers = 0
+      rebuilt.foreach { case (fp, rb) =>
+        val rf = refreshed(fp)
+        if (rb.length > cap || rf.length > cap) {
+          assert(rb.length > cap && rf.length > cap,
+            s"draw $draw fp=$fp kept/dropped disagreement")
+          markers += 1
+        } else assert(rb == rf, s"draw $draw fp=$fp membership diverged")
+      }
+      assert(markers > 0, s"draw $draw produced no markers — vocab too wide to drill the cap")
+    }
+  }
+
   test("refresh flows through the layout chain: SplitAssignment over refreshed postings == from-scratch") {
     // ShinglePostings.refreshed landed v2's stamped postings (previous
     // test); PairGraph and SplitAssignment build on top of that SAME
