@@ -34,4 +34,23 @@ object MlStreams {
       featCol: String = "embedding"): DataFrame =
     new graft.ml.SoftmaxRegression(dim, numClasses)
       .features(stream, idCol, featCol, weights)
+
+  /** Streaming maintenance of q90's second-moment cells — the whitening/
+    * PCA statistics kept CURRENT as vectors land, instead of a periodic
+    * batch pass: per-row upper-triangle terms (exact nano-quantized
+    * longs, so merges are order-free integer adds), one grouped
+    * aggregate in complete mode. State is the d·(d+1)/2 cell table —
+    * O(d²) regardless of stream length, the count-min/heavy-hitter
+    * discipline applied to model statistics. After any micro-batch the
+    * cells equal the batch q90 over everything ingested (StreamingSpec
+    * pins it), so a whitening matrix derived from them is the one the
+    * batch pipeline would compute.
+    */
+  def momentCells(stream: DataFrame, featCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .select(graft.queries.VectorOps.momentTerms(featCol).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s_n9"))
+  }
 }

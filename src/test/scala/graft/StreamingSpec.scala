@@ -338,6 +338,37 @@ class StreamingSpec extends SparkSpec {
     assert(gotLr == batchLr, "streamed binary features diverge from batch")
   }
 
+  test("streaming moment cells equal batch q90 after the last micro-batch") {
+    import graft.streaming.MlStreams
+    import scala.jdk.CollectionConverters._
+    val emb = Tables(spark, sf, "embeddings")
+    val mid = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("emb_moments")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("mom_part")
+      part.select("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, emb.filter(col("vec_id") <= mid))
+    writePart("b.parquet", 20000L, emb.filter(col("vec_id") > mid))
+    val stream = spark.readStream.schema(MlStreams.embeddingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // complete-mode state: the final table reflects BOTH micro-batches
+    val got = EventStreams.runToMemory(
+        MlStreams.momentCells(stream), "moments_t", outputMode = "complete")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val batch = queries.VectorOps.q90EmbeddingMoments.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch,
+      s"streamed moment cells diverge: ${(got.keySet -- batch.keySet).take(3)}")
+  }
+
   test("streaming video shot stats equal batch q79 row-for-row (stateless twin)") {
     import graft.streaming.DocumentStreams
     import scala.jdk.CollectionConverters._
