@@ -31,21 +31,15 @@ object Whitening {
     val d = emb.select(size(col(featCol))).head().getInt(0)
     val vm = udaf(new graft.agg.VectorMean(d))
     val mean = emb.agg(vm(col(featCol))).head().getSeq[Double](0).toArray
+    // q90's shared term generator — one implementation of the moment pass
     val cells = emb
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size($featCol) - 1), i ->
-           |  transform(sequence(i, size($featCol) - 1), j ->
-           |    named_struct('i', i, 'j', j,
-           |      'p', CAST(floor(CAST($featCol[i] AS DOUBLE) *
-           |                      CAST($featCol[j] AS DOUBLE) *
-           |                      1000000000D + 0.5D) AS BIGINT)))))"""
-          .stripMargin)).as("t"))
+      .select(graft.queries.VectorOps.momentTerms(featCol).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s"))
       .collect()
     val cov = Array.ofDim[Double](d, d)
     cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
       val m = r.getLong(3).toDouble / 1e9 / r.getLong(2)
       val c = m - mean(i) * mean(j)
       cov(i)(j) = c
