@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tools/selfcheck.py + tools/drivergate.py):
   *   - output dtypes are DOUBLE/BIGINT/TIMESTAMP/STRING/BOOLEAN — never
   *     DECIMAL, HUGEINT or DATE, which pandas renders differently per
-  *     engine (see .claude/skills/verify/SKILL.md gotchas);
+  *     engine;
   *   - order-FIXED float arithmetic (per-row dots, scores, window prefix
   *     sums) runs as sequential double folds — bit-deterministic in any
   *     IEEE engine, no decimals needed;
