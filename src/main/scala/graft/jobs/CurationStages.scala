@@ -44,7 +44,9 @@ import org.apache.spark.sql.functions._
   * image×caption equi-join (media side joined onto the flowing corpus by
   * id, provenance columns riding through); whiten = ml.Whitening's PCA
   * decorrelation over the joined embedding column (q90's second-moment
-  * pass + driver eigensolve + map-only rotation); image_near_dedup = q71's
+  * pass + driver eigensolve + map-only rotation); quantize = q85's SQ8
+  * scalar quantization persisting (codes, qscale) in the embedding
+  * column's place — the storage tier q86 audits; image_near_dedup = q71's
   * dHash-banded pairs → the same components/canonicalize (duplication in
   * pixel-space); semantic_dedup = q74's SemDeDup (k-means cells →
   * within-cell pair dots → drop the higher-centroid-similarity member —
@@ -74,6 +76,7 @@ object CurationStages {
     "multimodal_join" -> Set("embeddings", "idCol", "embeddingCol", "how",
       "broadcast"),
     "whiten" -> Set("embeddingCol"),
+    "quantize" -> Set("embeddingCol"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
@@ -285,6 +288,29 @@ object CurationStages {
           mean, w, embCol, "__white")
         .withColumn(embCol, col("__white")).drop("__white")
       docs.filter(col(embCol).isNull).unionByName(whitened)
+
+    // q85's SQ8 scalar quantization as a declared stage (typically after
+    // whiten — rotation first, then coding): the embedding column is
+    // REPLACED by (codes: int8-representable longs, qscale: the
+    // per-vector symmetric scale) — the storage form a quantized lake
+    // tier persists; q86 is the rollout audit that gates pointing dedup
+    // at it. Map-only; rows without an embedding keep null codes/scale.
+    case "quantize" =>
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      require(docs.columns.contains(embCol),
+        s"quantize: no '$embCol' column on the flow — join embeddings " +
+          "first (multimodal_join) or declare embeddingCol")
+      def xd(c: Column) = c.cast("double")
+      val mx = array_max(transform(col(embCol), x => abs(xd(x))))
+      docs
+        .withColumn("__mx", mx)
+        .withColumn("qscale", col("__mx") / lit(127))
+        .withColumn("codes",
+          when(col(embCol).isNull, lit(null))
+            .when(col("__mx") === 0.0, transform(col(embCol), _ => lit(0L)))
+            .otherwise(transform(col(embCol),
+              x => floor(xd(x) / col("qscale") + lit(0.5)).cast("long"))))
+        .drop(embCol, "__mx")
 
     // q51 shape: drop the held-out source itself AND every training
     // document sharing >= minShared distinct 4-grams with it

@@ -242,6 +242,8 @@ object JobConfig {
             }
           case "whiten" =>
             optStr("embeddingCol")
+          case "quantize" =>
+            optStr("embeddingCol")
           case "bpe_annotate" =>
             params.get("mergesFrom").foreach {
               case "flow" | "corpus" => ()

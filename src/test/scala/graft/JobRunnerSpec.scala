@@ -410,6 +410,36 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("quantize stage: SQ8 codes/scale match q85 row-for-row through the declared chain") {
+    val work = java.nio.file.Files.createTempDirectory("jobquant").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "multimodal_join", "how": "inner"},
+         |             {"op": "quantize"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    assert(!out.columns.contains("embedding") &&
+      out.columns.contains("codes") && out.columns.contains("qscale"))
+    // the stage's codes/scale are EXACTLY q85's audit projection values
+    val q85 = queries.VectorOps.q85EmbedQuant.fn(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("qscale").as("qs85"),
+        col("code_sum").as("cs85"))
+    val j = out
+      .select(col("doc_id"), col("qscale"),
+        aggregate(col("codes"), lit(0L), (a, b) => a + b).as("code_sum"))
+      .join(q85, "doc_id")
+    assert(j.count() == out.count() && out.count() > 0)
+    assert(j.filter(col("qscale") =!= col("qs85") ||
+      col("code_sum") =!= col("cs85")).count() == 0,
+      "stage quantization diverged from q85")
+    // int8-representable by construction
+    assert(out.filter(exists(col("codes"),
+      c => c < -127 || c > 127)).count() == 0)
+  }
+
   test("assign_split splitFrom=corpus: ingest-time layout split preserved through curation") {
     val work = java.nio.file.Files.createTempDirectory("jobsplit").toString
     val conf = writeConf(
