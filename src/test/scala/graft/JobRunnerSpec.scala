@@ -410,6 +410,44 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("-ingest builds every derived layout; -from refreshes the append-aware layers") {
+    import java.nio.file.{Files, Paths}
+    val docs = Tables(spark, sf, "documents")
+    val emb = Tables(spark, sf, "embeddings")
+    def corpus(tag: String, docFilter: org.apache.spark.sql.Column,
+        embFilter: org.apache.spark.sql.Column): String = {
+      val d = Files.createTempDirectory(s"ingest-$tag").toString
+      docs.filter(docFilter).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      emb.filter(embFilter).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val v1 = corpus("v1", col("doc_id") < 400, col("vec_id") < 400)
+    val v2 = corpus("v2", lit(true), lit(true))
+    def conf(dir: String): String = writeConf(
+      s"""{"source": {"path": "$dir", "table": "documents", "idCol": "doc_id"},
+         |"dim": 64}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-ingest", "-conf", conf(v1))))
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-ingest", "-conf", conf(v2), "-from", v1)))
+    for (dir <- Seq(v1, v2);
+         p <- Seq(sources.ShinglePostings.layoutPath(dir),
+           sources.PairGraph.layoutPath(dir),
+           sources.SplitAssignment.layoutPath(dir),
+           sources.IvfCentroids.layoutPath(dir),
+           sources.BucketedEmbeddings.layoutPath(dir),
+           sources.BpeMerges.layoutPath(dir)))
+      assert(Files.exists(Paths.get(p, "_SUCCESS")), s"missing layout $p")
+    // the refreshed corpus's split covers every v2 document
+    assert(sources.SplitAssignment(spark, v2).count() ==
+      spark.read.parquet(s"$v2/documents.parquet").count())
+    // -from without -ingest is refused
+    intercept[IllegalArgumentException] {
+      JobRunner.parse(Array("-curate", "-conf", conf(v2), "-from", v1))
+    }
+  }
+
   test("quantize stage: SQ8 codes/scale match q85 row-for-row through the declared chain") {
     val work = java.nio.file.Files.createTempDirectory("jobquant").toString
     val conf = writeConf(
