@@ -556,8 +556,39 @@ object PipelineOps {
       .orderBy("source", "lang")
   }
 
+  /** Q91 — the split token budget: per train/val/test split, document,
+    * character and whitespace-token totals — the number every training
+    * run is planned against ("how many training tokens do I have"), and
+    * the q83 datasheet sliced along the q68 split instead of source×lang.
+    * Reads the persisted SplitAssignment layout (the ingest-time
+    * assignment all split consumers share) and makes one counting pass:
+    * 3 output rows, exact longs, partial aggregation all the way.
+    */
+  val q91SplitBudget: QueryDef = QueryDef.sql(
+    "q91_split_budget",
+    s"""WITH sp AS (
+       |${graft.queries.DedupOps.q68LeakageSafeSplit.oracle.get}
+       |)
+       |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(len(list_filter(string_split_regex(d.text, ' +'), x -> x <> ''))) AS BIGINT)
+       |    AS total_ws_tokens
+       |FROM sp JOIN documents d USING (doc_id)
+       |GROUP BY sp.split
+       |ORDER BY sp.split""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .join(graft.sources.SplitAssignment(s, dir).select("doc_id", "split"),
+        Seq("doc_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(org.apache.spark.sql.graft.TextExpressions.ws_token_count(col("text"))
+          .cast("long")).as("total_ws_tokens"))
+      .orderBy("split")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
     q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination,
-    q81SplitDrift, q83Datasheet)
+    q81SplitDrift, q83Datasheet, q91SplitBudget)
 }
