@@ -634,6 +634,19 @@ class QuerySpec extends SparkSpec {
     assert(nPairs >= expectPairs, "audit must cover at least the surviving near-dup pairs")
   }
 
+  test("q91 split budget: the three splits exactly partition the corpus totals") {
+    val rows = queries.PipelineOps.q91SplitBudget.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    val docs = Tables(spark, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // the 80/10/10 gate's realized shares (hash-gate noise allowed)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byName.values.sum.toDouble
+    assert(byName("train") / n > 0.7 && byName("val") / n < 0.2)
+  }
+
   test("q89 band-recall meter: counts cohere, recall floor holds at the floor geometry") {
     val r = queries.VectorOps.q89BandRecall.fn(spark, sf).head()
     val (nSample, nTrue, nCaught, recall, nCand, candFrac) =
