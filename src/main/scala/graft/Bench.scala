@@ -120,6 +120,7 @@ object Bench {
     // honest too). Build failures fall through to the measured path —
     // the query that needs the layout will surface the error attributed.
     Seq[() => Any](
+      () => graft.sources.CorpusStats.rowCount(spark, sfDir),
       () => graft.sources.ShinglePostings(spark, sfDir),
       () => graft.sources.PairGraph(spark, sfDir),
       () => graft.sources.SplitAssignment(spark, sfDir),

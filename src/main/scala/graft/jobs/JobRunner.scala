@@ -178,6 +178,7 @@ object JobRunner {
           graft.sources.ShinglePostings(spark, dir)
           graft.sources.BucketedEmbeddings(spark, dir)
       }
+      graft.sources.CorpusStats.rowCount(spark, dir)
       graft.sources.PairGraph(spark, dir)
       graft.sources.SplitAssignment(spark, dir)
       graft.sources.IvfCentroids(spark, dir)

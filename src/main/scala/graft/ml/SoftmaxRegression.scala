@@ -61,6 +61,14 @@ class SoftmaxRegression(dim: Int, numClasses: Int,
         seqOp = { case ((g, l), (x, y)) =>
           val p = probs(bw.value, x)
           val yi = y.toInt
+          // label-domain check in the hot path (two comparisons against
+          // the k·dim gradient loop — negligible): an out-of-range label
+          // must fail as a CONFIG error naming the value, not as an
+          // opaque ArrayIndexOutOfBounds inside an executor task
+          // (JobConfig validates 'classes' but cannot see the data)
+          if (yi < 0 || yi >= k) throw new IllegalArgumentException(
+            s"softmax label $y out of range [0, $k) — check the 'classes' " +
+              "config against the data's label domain")
           var c = 0
           while (c < k) {
             val err = p(c) - (if (c == yi) 1.0 else 0.0)
@@ -152,6 +160,9 @@ class SoftmaxRegression(dim: Int, numClasses: Int,
   def evaluate(data: RDD[(Array[Float], Double)], w: Array[Double]): (Double, Double) = {
     val (correct, loss, n) = data.map { case (x, y) =>
       val p = probs(w, x)
+      if (y.toInt < 0 || y.toInt >= k) throw new IllegalArgumentException(
+        s"softmax label $y out of range [0, $k) — check the 'classes' " +
+          "config against the data's label domain")
       var best = 0
       var c = 1
       while (c < k) { if (p(c) > p(best)) best = c; c += 1 }

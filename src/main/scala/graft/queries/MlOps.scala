@@ -104,19 +104,28 @@ object MlOps {
     s"CASE WHEN ${z(0)} >= ${z(1)} AND ${z(0)} >= ${z(2)} THEN 0 " +
       s"WHEN ${z(1)} >= ${z(2)} THEN 1 ELSE 2 END"
 
-  /** Q87 — multi-output `features` forward pass: per sample the k-logit
-    * blob (`ip1`, exact doubles), the argmax prediction, and the k-way
-    * softmax blob nano-quantized (`prob_n9`). Map-only; the weight MATRIX
+  /** Q87 — multi-output `features` forward pass: per sample the k logits
+    * (`z0..z2`, exact doubles), the argmax prediction, and the k-way
+    * softmax nano-quantized (`p0_n9..p2_n9`). Map-only; the weight MATRIX
     * rides into the plan as k array literals (broadcast-equivalent), the
     * softmax is the numerically-stable exp(z−max) form in both engines.
+    *
+    * ORACLE SHAPE: the driver's correctness gate hashes results through
+    * pandas, which cannot sort/hash array cells — so the oracle-facing
+    * schema is one SCALAR column per (blob, class), the q26/q88
+    * discipline. The k-blob ArrayType form the reference emits
+    * (CaffeOnSpark.scala:479) lives on the `Graft.features` /
+    * MlStreams API surface, where no pandas gate sits; QuerySpec's
+    * registry guard asserts no oracle-checked query ever reintroduces a
+    * complex-typed output column.
     */
   val q87SoftmaxFeatures: QueryDef = QueryDef.sql(
     "q87_softmax_features",
-    s"""SELECT sample_id, label, [z0, z1, z2] AS ip1,
+    s"""SELECT sample_id, label, z0, z1, z2,
        |  ${argmax3(i => s"z$i")} AS pred,
-       |  [CAST(floor(exp(z0 - m) / den * 1000000000 + 0.5) AS BIGINT),
-       |   CAST(floor(exp(z1 - m) / den * 1000000000 + 0.5) AS BIGINT),
-       |   CAST(floor(exp(z2 - m) / den * 1000000000 + 0.5) AS BIGINT)] AS prob_n9
+       |  CAST(floor(exp(z0 - m) / den * 1000000000 + 0.5) AS BIGINT) AS p0_n9,
+       |  CAST(floor(exp(z1 - m) / den * 1000000000 + 0.5) AS BIGINT) AS p1_n9,
+       |  CAST(floor(exp(z2 - m) / den * 1000000000 + 0.5) AS BIGINT) AS p2_n9
        |FROM (
        |  SELECT sample_id, label, z0, z1, z2, m,
        |    exp(z0 - m) + exp(z1 - m) + exp(z2 - m) AS den
@@ -140,9 +149,9 @@ object MlOps {
       floor(exp(col(s"z$c") - col("m")) / col("den") * lit(1000000000L) + lit(0.5))
         .cast("long")
     base.select(col("sample_id"), col("label"),
-      array(col("z0"), col("z1"), col("z2")).as("ip1"),
+      col("z0"), col("z1"), col("z2"),
       expr(argmax3(i => s"z$i")).as("pred"),
-      array(pn9(0), pn9(1), pn9(2)).as("prob_n9"))
+      pn9(0).as("p0_n9"), pn9(1).as("p1_n9"), pn9(2).as("p2_n9"))
       .orderBy("sample_id")
   }
 
@@ -209,7 +218,7 @@ object MlOps {
   val all: Seq[QueryDef] =
     Seq(q29Features, q30TestMetrics, q87SoftmaxFeatures, q88SoftmaxTest)
 
-  /** Test access for MlSpec's boundary-distance pin (the prob_n9
+  /** Test access for MlSpec's boundary-distance pin (the p*_n9
     * quantization's safety margin is an asserted property, not luck).
     */
   private[graft] def softmaxWeights: Seq[Seq[Double]] = wMatrix

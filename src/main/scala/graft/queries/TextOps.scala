@@ -267,11 +267,26 @@ object TextOps {
     // collect_long_list_capped bounds every aggregation buffer to
     // DfCap+1 longs: groups within the cap collect exactly; a mega-hot
     // shingle surfaces DfCap+1 elements (never its full group) and the
-    // size filter drops it as before — no multi-GB buffer at 100 TB skew
+    // size filter drops it as before — no multi-GB buffer at 100 TB skew.
+    // Marker rows normalize to the canonical sentinel (markerList): the
+    // capped aggregate's DfCap+1 members are an ARBITRARY subset, so
+    // leaving them in place invites a future consumer to read meaningless
+    // membership — and makes refresh-vs-rebuild equality content-exact
+    // instead of size-only (ShinglePostings contract).
     sh.groupBy("fp")
       .agg(sort_array(org.apache.spark.sql.graft.AggExpressions
         .collect_long_list_capped(col("doc_id"), DfCap + 1)).as("ds"))
+      .withColumn("ds",
+        when(size(col("ds")) > DfCap, markerList).otherwise(col("ds")))
   }
+
+  /** The canonical "dropped, membership untracked" marker: DfCap+1 copies
+    * of −1 (doc_ids are non-negative, so the sentinel can never be read as
+    * real membership). SIZE is the whole contract — consumers detect
+    * markers via `size(ds) > DfCap` and must never read marker elements.
+    */
+  private[graft] def markerList: org.apache.spark.sql.Column =
+    array_repeat(lit(-1L), DfCap + 1)
 
   /** q21's jaccard relation from an already-capped postings frame (every
     * `ds` ≤ DfCap, exact membership): pair expansion inside each bounded

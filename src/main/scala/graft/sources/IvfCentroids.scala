@@ -81,7 +81,7 @@ object IvfCentroids {
       import graft.ml.KMeans
       val df = DerivedLayout(spark, target) { tmp =>
         val emb = graft.Tables(spark, dir, "embeddings")
-        val k = scaleK(emb.count())
+        val k = scaleK(CorpusStats.rowCount(spark, dir))
         val c0df = KMeans.centroids(emb.withColumn("__k", col("label")), "__k")
         val c0 = KMeans.collectCentroids(c0df)
         val c0sdf = KMeans.centroids(

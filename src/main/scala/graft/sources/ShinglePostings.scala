@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   *
   * List semantics (graft.queries.TextOps.postingsFrame): size ≤ DfCap
   * rows carry EXACT sorted membership; size DfCap+1 rows are the
-  * "dropped" marker — membership no longer tracked, and since appending
-  * can only GROW a shingle's df, a dropped shingle never returns. That
-  * monotonicity is what makes the delta merge exact:
+  * "dropped" marker — the canonical −1-fill sentinel
+  * (TextOps.markerList), whose SIZE is the entire contract: membership
+  * is untracked and the sentinel makes it unreadable by construction.
+  * Since appending can only GROW a shingle's df, a dropped shingle never
+  * returns. That monotonicity is what makes the delta merge exact:
   *
   *   - old kept + delta members → sorted union; crosses the cap → marker
   *   - old marker + anything → stays a marker
   *   - delta-only shingle → its own (capped) list
   *
   * so refresh([[apply]](v1), delta) ≡ [[apply]](v1 ++ delta) row-for-row
-  * on kept lists and marker-for-marker on dropped ones
-  * (DerivedRefreshSpec pins both, including a constructed cap crossing).
+  * — kept lists AND markers content-exact, because both paths emit the
+  * same sentinel (DerivedRefreshSpec pins both, including a constructed
+  * cap crossing).
   *
   * Stamp semantics: [[refreshed]] writes the SAME stamped path a full
   * rebuild of the new corpus would, so consumers cannot observe which
@@ -36,8 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object ShinglePostings {
 
-  /** Bump when the shingle grammar, cap, or list encoding changes. */
-  private val Version = "v1"
+  /** Bump when the shingle grammar, cap, or list encoding changes.
+    * v2: marker rows carry the canonical −1 sentinel, not an arbitrary
+    * capped subset.
+    */
+  private val Version = "v2"
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("post", Version, dir, Seq(s"$dir/documents.parquet"))
@@ -58,7 +64,7 @@ object ShinglePostings {
     val cap = graft.queries.TextOps.DfCap
     val delta = graft.queries.TextOps.postingsFrame(deltaDocs)
       .withColumnRenamed("ds", "dds")
-    oldPostings.join(delta, Seq("fp"), "full_outer")
+    val merged = oldPostings.join(delta, Seq("fp"), "full_outer")
       .select(col("fp"),
         when(col("dds").isNull, col("ds"))
           .when(col("ds").isNull, col("dds"))
@@ -69,6 +75,12 @@ object ShinglePostings {
           .otherwise(slice(sort_array(concat(col("ds"), col("dds"))),
             1, cap + 1))
           .as("ds"))
+    // cap crossings normalize to the SAME canonical sentinel a rebuild
+    // emits (TextOps.markerList) — refresh ≡ rebuild content-exactly,
+    // and marker membership is unreadable on either path
+    merged.withColumn("ds",
+      when(size(col("ds")) > cap, graft.queries.TextOps.markerList)
+        .otherwise(col("ds")))
   }
 
   /** Build the NEW corpus dir's stamped postings layout from the OLD

@@ -179,6 +179,22 @@ class MlSpec extends SparkSpec {
     assert(loss < math.log(3.0)) // below ln k = untrained loss
   }
 
+  test("softmax out-of-range label fails loudly as a config error, not an index crash") {
+    val sm = new graft.ml.SoftmaxRegression(64, 3, TrainConfig(lr = 2.0, iters = 1))
+    val bad = labeled3.map { case (x, y) => (x, if (y == 2.0) 7.0 else y) }
+    def rootMessage(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val trainErr = intercept[Exception] { sm.fit(bad) }
+    assert(rootMessage(trainErr).contains("out of range [0, 3)"),
+      s"train error should name the label domain: ${rootMessage(trainErr)}")
+    val evalErr = intercept[Exception] { sm.evaluate(bad, new Array[Double](3 * 64)) }
+    assert(rootMessage(evalErr).contains("out of range [0, 3)"),
+      s"evaluate error should name the label domain: ${rootMessage(evalErr)}")
+  }
+
   test("softmax gradient is the true loss gradient (finite-difference check)") {
     // one full-batch iteration from w=0 must step along -grad of the mean
     // cross-entropy + L2 objective; verify the implied gradient against a
@@ -259,12 +275,12 @@ class MlSpec extends SparkSpec {
     // corpus that violates it fails HERE, not as an opaque hash mismatch.
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       // recompute the raw products and their boundary distances from the
-      // exact logits (ip1 is unquantized — the same doubles both engines
-      // derive prob from)
+      // exact logits (z0..z2 are unquantized — the same doubles both
+      // engines derive the probabilities from)
       val dists = queries.MlOps.q87SoftmaxFeatures.fn(spark, dir)
-        .select(col("ip1"))
+        .select(col("z0"), col("z1"), col("z2"))
         .collect().flatMap { r =>
-          val z = r.getSeq[Double](0)
+          val z = Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2))
           val m = z.max
           val es = z.map(x => math.exp(x - m))
           val den = es.reduce(_ + _)

@@ -36,6 +36,26 @@ class QuerySpec extends SparkSpec {
     assert(offenders.isEmpty, s"driver-gate-hostile output dtypes: $offenders")
   }
 
+  test("no oracle-checked query outputs complex-typed columns (pandas hash gate rule)") {
+    // the driver gate loads both engines' results into pandas and
+    // sort_values/hashes every column; an ArrayType cell arrives as an
+    // ndarray, which pandas cannot factorize (unhashable) — the whole
+    // query ERRs regardless of value equality (q87's round-14 failure
+    // mode; q26 explodes its vector for exactly this reason). Map and
+    // Struct cells fail the same way. Complex-typed results belong on
+    // the un-gated API surfaces (Graft.features, streaming sinks).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.defs.filter(_.oracle.isDefined).flatMap { d =>
+      d.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"${d.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"complex-typed oracle-checked outputs: $offenders")
+  }
+
   test("cents() floor(v*100+0.5) equals round(v*100) on every money value (no-tie invariant)") {
     // cents() uses floor(x+0.5) in pure double codegen while the DuckDB
     // oracle keeps round(); they agree only while no money double lands on
