@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.FloatType
   *     codegen'd FloatVectorDot rows against literal matrix rows, the
   *     same broadcast-as-literal shape as the softmax head — so it runs
   *     unchanged over batch or streaming frames.
+  *
+  * Measured payoff (tools/WhitenPqAb, round 15): with q58's 10-entry
+  * label-centroid sub-codebooks, whitening before PQ is NOT a
+  * systematic win on this corpus — recall@10 +0.14 at sf0.01 but −0.09
+  * at sf0.1 at equal read budget (full numbers in SCALE.md). The
+  * textbook payoff assumes sub-codebooks retrained in the whitened
+  * space; treat `whiten` as opt-in preprocessing, not a default stage
+  * before `quantize`.
   */
 object Whitening {
 

@@ -63,7 +63,10 @@ object DocumentStreams {
     val bf = trainDocs
       .select(explode(array_distinct(ngram_hashes(tokens("text"), 4))).as("fp"))
       .stat.bloomFilter("fp", expectedGrams, fpp)
-    val hits = udf((fps: Seq[Long]) => fps.count(bf.mightContain(_)).toLong)
+    // codegen'd one-pass membership count (bloom_hits) — the Scala-UDF
+    // form boxed every fingerprint per row and pushed this map-only
+    // flagger out of whole-stage codegen
+    val hits = org.apache.spark.sql.graft.SketchExpressions.bloom_hits(_, bf)
     stream
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(ngram_hashes(tokens("text"), 4)).as("fps"))
@@ -144,7 +147,7 @@ object DocumentStreams {
     val bf = graft.queries.DedupOps.minhashBandKeys(corpus)
       .select(explode(col("band_keys")).as("k"))
       .stat.bloomFilter("k", expectedBandKeys, fpp)
-    val hits = udf((ks: Seq[Long]) => ks.count(bf.mightContain(_)).toLong)
+    val hits = org.apache.spark.sql.graft.SketchExpressions.bloom_hits(_, bf)
     graft.queries.DedupOps.minhashBandKeys(stream)
       .select(col("doc_id"), hits(col("band_keys")).as("n_band_hits"))
       .filter(col("n_band_hits") >= 1)
@@ -165,7 +168,7 @@ object DocumentStreams {
     val bf = graft.queries.MultimodalOps.dhashBandKeys(corpus)
       .select(explode(col("band_keys")).as("k"))
       .stat.bloomFilter("k", expectedBandKeys, fpp)
-    val hits = udf((ks: Seq[Long]) => ks.count(bf.mightContain(_)).toLong)
+    val hits = org.apache.spark.sql.graft.SketchExpressions.bloom_hits(_, bf)
     graft.queries.MultimodalOps.dhashBandKeys(stream)
       .select(col("doc_id"), hits(col("band_keys")).as("n_band_hits"))
       .filter(col("n_band_hits") >= 1)

@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.Whitening
+
+/** Round-15 A/B: does PCA whitening actually buy the rotation-sensitive
+  * compression tier anything on THIS corpus? `ml.Whitening` exists and the
+  * `whiten` curation stage chains, but nothing had measured the claimed
+  * payoff — PQ distortion/recall on whitened vs raw vectors at equal read
+  * budget. This tool runs q53's pq-arm shape twice in one JVM:
+  *
+  *   RAW:      codes = per-subspace nearest label-centroid of x;
+  *             ADC approximates x·q from the raw sub-codebooks.
+  *   WHITENED: codes = per-subspace nearest whitened-centroid of
+  *             x' = W(x − μ); the query transforms COVARIANTLY as
+  *             q' = Λ^(1/2)·Eᵀ·q, so x'·q' = (x − μ)·q exactly — same
+  *             ranking target, quantization error paid in the
+  *             decorrelated space (the standard OPQ/whitening argument).
+  *             Label centroids are affine-equivariant (mean of W(x−μ)
+  *             per label = W(c_label − μ)), so the whitened codebook is
+  *             driver math over the raw one — no extra corpus pass.
+  *
+  * Both arms: ADC top-100 → exact re-rank (recall@10 counts candidates
+  * intersecting the true top-10) — identical read budget (100 full
+  * vectors per query), so any recall delta is the transform's alone.
+  * Also reports mean |ADC − true dot| distortion per arm.
+  *
+  * Not registered in the driver contract; output is read by a human and
+  * recorded in SCALE.md (honest-negative discipline: the measured result
+  * lands there whichever way it points).
+  */
+object WhitenPqAb {
+
+  private val NumQueries = 8
+  private val M = 8 // subspaces
+  private val D = 8 // dims per subspace
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val dim = M * D
+    val qvs = emb.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+
+    // exact ground truth: top-10 per query by float dot over the corpus
+    val queries = spark.createDataFrame(qvs.map { case (q, v) => (q, v.toSeq) })
+      .toDF("qid", "qv")
+    val corpus = emb.filter(col("vec_id") >= NumQueries)
+    val exactTop = topkIds(corpus.crossJoin(broadcast(queries)),
+      org.apache.spark.sql.graft.VectorExpressions
+        .float_dot(col("embedding"), col("qv")), 10)
+
+    // raw codebook: the per-label centroid table (q58's sub-codebook source)
+    val (c0, _) = graft.sources.IvfCentroids(spark, dir)
+    require(c0.forall(_._2.length == dim), "codebook dim mismatch")
+
+    // whitening transform from the corpus moments
+    val (mean, cov) = Whitening.meanAndCovariance(emb)
+    val (vals, vecs) = Whitening.symmetricEigen(cov)
+    val floor = 1e-9
+    val w = vals.zip(vecs).map { case (l, row) =>
+      val s = 1.0 / math.sqrt(math.max(l, floor)); row.map(_ * s) }
+    // whitened codebook: affine image of the raw label centroids
+    val c0w = c0.map { case (l, c) =>
+      (l, w.map(_.lazyZip(c.lazyZip(mean).map(_ - _)).map(_ * _).sum).toSeq)
+    }
+    // covariant query transform: q' = Lambda^(1/2) E^T q
+    def qWhiten(q: Array[Float]): Array[Double] =
+      vals.zip(vecs).map { case (l, e) =>
+        math.sqrt(math.max(l, floor)) *
+          e.lazyZip(q).map((a, b) => a * b.toDouble).sum
+      }
+
+    val whitened = Whitening.whiten(corpus, mean, w.map(_.toArray))
+
+    def arm(name: String, df: DataFrame, codeCol: String,
+        cb: Seq[(Long, Seq[Double])],
+        qSide: Long => Array[Double]): Unit = {
+      val cbSub = (0 until M).map(sub =>
+        cb.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
+      val labels = cbSub.head.map(_._1)
+      val luts = qvs.map { case (qid, _) =>
+        (qid, (0 until M).map { sub =>
+          cbSub(sub).map { case (_, c) =>
+            val qq = qSide(qid)
+            var acc = 0.0; var i = 0
+            while (i < D) { acc += qq(sub * D + i) * c(i); i += 1 }
+            acc
+          }
+        })
+      }
+      val adcMaps = (0 until M).map { sub =>
+        map_from_arrays(
+          lit(luts.flatMap { case (qid, _) => labels.map(l => qid * 16 + l) }.toArray),
+          lit(luts.flatMap { case (_, ls) => ls(sub) }.toArray))
+      }
+      val coded = df.select(Seq(col("vec_id"), col("embedding")) ++
+        (0 until M).map(sub => org.apache.spark.sql.graft.VectorExpressions
+          .nearest_centroid(col(codeCol), cbSub(sub), offset = sub * D)
+          .as(s"code_$sub")): _*)
+      val qidDf = spark.createDataFrame(qvs.map(q => Tuple1(q._1))).toDF("qid")
+      val adcCol = (0 until M).foldLeft(lit(0.0)) { (acc, sub) =>
+        acc + element_at(adcMaps(sub), col("qid") * 16 + col(s"code_$sub")) }
+      val ranked = coded.crossJoin(broadcast(qidDf)).withColumn("adc", adcCol)
+      val cand100 = topkIds(ranked, col("adc"), 100)
+      val recalls = qvs.map { case (qid, _) =>
+        exactTop(qid).count(cand100(qid).toSet).toDouble / 10 }
+      // ADC distortion vs each arm's own ranking target (raw: x·q;
+      // whitened: (x−μ)·q — the μ·q shift is constant per query and
+      // cancels in ranking), measured on a deterministic row sample
+      val qvMap = qvs.toMap
+      val sample = ranked.filter(col("vec_id") % 7 === 0)
+        .select("vec_id", "qid", "adc", "embedding").collect()
+      val muDotQ = qvs.map { case (qid, q) =>
+        (qid, mean.lazyZip(q).map((a, b) => a * b.toDouble).sum) }.toMap
+      val errs = sample.map { r =>
+        val q = qvMap(r.getLong(1))
+        val x = r.getSeq[Float](3)
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += x(i).toDouble * q(i); i += 1 }
+        val target = if (name == "whitened") dot - muDotQ(r.getLong(1)) else dot
+        math.abs(r.getDouble(2) - target)
+      }
+      println(f"[whitenpq] $name%-8s recall@10 mean=${recalls.sum / recalls.size}%.4f " +
+        f"per-q=${recalls.map(r => f"$r%.2f").mkString(",")} " +
+        f"|adc-dot| mean=${errs.sum / errs.length}%.5f max=${errs.max}%.5f n=${errs.length}")
+    }
+
+    arm("raw", corpus, "embedding", c0, qid => qvs.toMap.apply(qid).map(_.toDouble))
+    arm("whitened", whitened, "white", c0w, qid => qWhiten(qvs.toMap.apply(qid)))
+    spark.stop()
+  }
+
+  /** Per-query top-k ids by `score` desc (vec_id asc ties), collected. */
+  private def topkIds(cands: DataFrame, score: Column, k: Int)
+      : Map[Long, Seq[Long]] =
+    cands.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopK
+        .topk_by_score(score, col("vec_id"), k).as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getAs[Long]("id")).toSeq).toMap
+}

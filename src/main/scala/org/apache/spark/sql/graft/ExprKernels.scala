@@ -146,6 +146,22 @@ object ExprKernels {
     hits
   }
 
+  /** Count of array elements that test positive against a Bloom filter
+    * (see BloomHits) — the streaming flaggers' membership probe as one
+    * pass over the long array, no per-element Scala-UDF boxing.
+    */
+  def bloomHits(keys: ArrayData,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Long = {
+    val n = keys.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      if (bloom.mightContainLong(keys.getLong(i))) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
   /** Per-word occurrence counts (see TfCounts): counts of each element of
     * `words` in `toks`, one traversal of `toks` against a |words|-sized
     * hash map. Duplicate words copy the first occurrence's count.

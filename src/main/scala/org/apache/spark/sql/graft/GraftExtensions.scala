@@ -78,6 +78,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "tokens_in_set(tokens, array('a', 'b', ...))")
       }),
+    ("bloom_hits", classOf[BloomHits].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(keys, bytes) =>
+          // the serialized filter must be a literal; evaluated once
+          BloomHits(keys, bytes.eval().asInstanceOf[Array[Byte]])
+        case _ => throw new IllegalArgumentException(
+          "bloom_hits(keys, filter_bytes)")
+      }),
     ("linear_count_buckets", classOf[LinearCountBuckets].getName,
       (c: Seq[Expression]) => c match {
         case Seq(child, m) => LinearCountBuckets(child,

@@ -122,9 +122,63 @@ case class TokenHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of a long array's elements testing positive against a serialized
+  * Bloom filter — the streaming flaggers' membership probe
+  * (DocumentStreams contamination / near-dup / image near-dup) as a
+  * codegen'd expression. The Scala-UDF form it replaces boxed every key
+  * into a Seq per row AND pushed the map-only flagger projection out of
+  * whole-stage codegen. The filter travels as its serialized bytes (the
+  * expression is shipped to executors with the plan — broadcast-
+  * equivalent, like the banded queries' plane literals) and deserializes
+  * once per JVM via the transient lazy; generated code probes the shared
+  * [[ExprKernels.bloomHits]] kernel through a class reference.
+  *
+  * Bloom semantics are the caller's contract: no false negatives, `fpp`
+  * inflates counts slightly (see the flaggers' scaladocs).
+  */
+case class BloomHits(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hits"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      ExprKernels.bloomHits(input.asInstanceOf[ArrayData], bloom))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.bloomHits($c, $bfRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomHits {
+  /** Serialize a built filter for the expression's plan-embedded form. */
+  def serialize(bloom: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+}
+
 object SketchExpressions {
   def minhash_signature(fps: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(fps), a, b, p))
+
+  /** One-pass Bloom-membership count over an array<long> column. */
+  def bloom_hits(keys: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(BloomHits(ExpressionUtils.expression(keys),
+      BloomHits.serialize(bloom)))
 
   def simhash32(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHash32(ExpressionUtils.expression(tokenHashes)))

@@ -77,6 +77,21 @@ class CodegenGuardSpec extends SparkSpec {
       "ExprKernels.rollingHash", "ExprKernels.simhash", "ExprKernels.minhash")
   }
 
+  test("bloom_hits: generated stage compiles and counts exactly") {
+    // a small filter over known longs: the expression must compile into
+    // the fused stage AND agree with a direct membership count (no false
+    // negatives: all inserted keys hit)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    Seq(1L, 2L, 3L).foreach(bf.putLong)
+    val df = base.select(col("doc_id"),
+      SketchExpressions.bloom_hits(
+        array(lit(1L), lit(2L), col("doc_id") + lit(1000000L)), bf).as("h"))
+    assertCodegen(df, "ExprKernels.bloomHits")
+    // inserted keys always hit; the shifted doc_id almost surely misses,
+    // but Bloom fpp means >= is the only sound lower assertion
+    df.collect().foreach(r => assert(r.getLong(1) >= 2L))
+  }
+
   test("vector expressions: generated stage compiles") {
     val codebook = Seq(0L -> Seq(0.0, 0.1, 0.2, 0.3), 1L -> Seq(1.0, 1.1, 1.2, 1.3))
     val df = base.select(
