@@ -125,6 +125,7 @@ object Bench {
       () => graft.sources.PairGraph(spark, sfDir),
       () => graft.sources.SplitAssignment(spark, sfDir),
       () => graft.sources.IvfCentroids(spark, sfDir),
+      () => graft.sources.PqCodebooks(spark, sfDir),
       () => graft.sources.BucketedEmbeddings(spark, sfDir),
       () => graft.sources.BpeMerges(spark, sfDir)
     ).foreach(b => try b() catch { case _: Throwable => () })

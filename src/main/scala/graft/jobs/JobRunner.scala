@@ -182,6 +182,7 @@ object JobRunner {
       graft.sources.PairGraph(spark, dir)
       graft.sources.SplitAssignment(spark, dir)
       graft.sources.IvfCentroids(spark, dir)
+      graft.sources.PqCodebooks(spark, dir)
       graft.sources.BpeMerges(spark, dir)
     }
 

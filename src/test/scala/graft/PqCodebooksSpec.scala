@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The trained PQ sub-codebook layout (sources/PqCodebooks) and its q92
+  * consumer: the Lloyd-step payoff is THEORY-guaranteed (recentering
+  * minimizes within-cell SSE for a fixed assignment, reassignment can only
+  * lower it further), so the spec pins it as an invariant — a refactor
+  * that breaks the refinement cannot pass by luck.
+  */
+class PqCodebooksSpec extends SparkSpec {
+
+  private val M = graft.sources.PqCodebooks.M
+  private val D = graft.sources.PqCodebooks.D
+
+  private def sliceSse(vecs: Array[Array[Float]],
+      cb: Seq[Seq[(Long, Seq[Double])]]): Double = {
+    var total = 0.0
+    for (v <- vecs; sub <- 0 until M) {
+      var best = Double.MaxValue
+      for ((_, c) <- cb(sub)) {
+        var d = 0.0
+        var i = 0
+        while (i < D) {
+          val x = v(sub * D + i).toDouble - c(i)
+          d += x * x
+          i += 1
+        }
+        if (d < best) best = d
+      }
+      total += best
+    }
+    total
+  }
+
+  test("refined sub-codebooks strictly improve quantization SSE over sliced warm start") {
+    val emb = Tables(spark, sf, "embeddings")
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val (c0, _) = graft.sources.IvfCentroids(spark, sf)
+    val warm = (0 until M).map(sub =>
+      c0.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
+    val refined = graft.sources.PqCodebooks(spark, sf)
+    val sseWarm = sliceSse(vecs, warm)
+    val sseRefined = sliceSse(vecs, refined)
+    assert(sseRefined <= sseWarm,
+      s"Lloyd monotonicity violated: refined $sseRefined > warm $sseWarm")
+    // and the improvement is material on this corpus, not an epsilon
+    assert(sseRefined < sseWarm * 0.999,
+      s"refinement changed nothing: $sseRefined vs $sseWarm")
+  }
+
+  test("each refined centroid is the mean of its warm-assigned members' slices") {
+    val emb = Tables(spark, sf, "embeddings")
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val (c0, _) = graft.sources.IvfCentroids(spark, sf)
+    val warm = (0 until M).map(sub =>
+      c0.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
+    val refined = graft.sources.PqCodebooks(spark, sf)
+    for (sub <- Seq(0, 3, 7)) {
+      // warm assignment, same argmin/tie rules as NearestCentroid
+      val members = vecs.groupBy { v =>
+        warm(sub).minBy { case (l, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < D) {
+            val x = v(sub * D + i).toDouble - c(i)
+            d += x * x
+            i += 1
+          }
+          (d, l)
+        }._1
+      }
+      for ((lab, cen) <- refined(sub)) {
+        val mem = members(lab)
+        for (i <- 0 until D) {
+          val mean = mem.map(_(sub * D + i).toDouble).sum / mem.length
+          assert(math.abs(cen(i) - mean) < 1e-6,
+            s"sub=$sub cell=$lab dim=$i: centroid ${cen(i)} vs member mean $mean")
+        }
+      }
+    }
+  }
+
+  test("q92: 10 rows, pq_code in 8×4-bit range, exact-dot ordered") {
+    val rows = graft.queries.VectorOps.q92AnnPqTrained.fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val dots = rows.map(_.getDouble(rows.head.fieldIndex("dot")))
+    assert(dots.sameElements(dots.sortBy(-_)), "re-rank order must be by exact dot desc")
+    rows.foreach { r =>
+      val code = r.getLong(r.fieldIndex("pq_code"))
+      assert(code >= 0L && code < (1L << 32), s"pq_code $code out of range")
+    }
+  }
+}
