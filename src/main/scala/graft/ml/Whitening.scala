@@ -20,13 +20,14 @@ import org.apache.spark.sql.types.FloatType
   *     same broadcast-as-literal shape as the softmax head — so it runs
   *     unchanged over batch or streaming frames.
   *
-  * Measured payoff (tools/WhitenPqAb, round 15): with q58's 10-entry
-  * label-centroid sub-codebooks, whitening before PQ is NOT a
-  * systematic win on this corpus — recall@10 +0.14 at sf0.01 but −0.09
-  * at sf0.1 at equal read budget (full numbers in SCALE.md). The
-  * textbook payoff assumes sub-codebooks retrained in the whitened
-  * space; treat `whiten` as opt-in preprocessing, not a default stage
-  * before `quantize`.
+  * Measured payoff (tools/WhitenPqAb, round 15, both warm and
+  * RETRAINED sub-codebooks): whitening before PQ is NOT a systematic
+  * win on this corpus — with retrained codebooks in both spaces,
+  * sf0.01 whitened-trained wins (0.8625 vs 0.6875 recall@10) but
+  * sf0.1 loses (0.3625 vs 0.4875) at equal read budget (full numbers
+  * in SCALE.md). Retraining itself pays in every arm — that path is
+  * [[graft.sources.PqCodebooks]]/q92; treat `whiten` as opt-in
+  * preprocessing, not a default stage before `quantize`.
   */
 object Whitening {
 

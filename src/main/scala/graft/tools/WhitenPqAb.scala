@@ -8,20 +8,27 @@ import graft.ml.Whitening
   * compression tier anything on THIS corpus? `ml.Whitening` exists and the
   * `whiten` curation stage chains, but nothing had measured the claimed
   * payoff — PQ distortion/recall on whitened vs raw vectors at equal read
-  * budget. This tool runs q53's pq-arm shape twice in one JVM:
+  * budget. This tool runs q53's pq-arm shape per arm, in one JVM:
   *
-  *   RAW:      codes = per-subspace nearest label-centroid of x;
-  *             ADC approximates x·q from the raw sub-codebooks.
-  *   WHITENED: codes = per-subspace nearest whitened-centroid of
-  *             x' = W(x − μ); the query transforms COVARIANTLY as
-  *             q' = Λ^(1/2)·Eᵀ·q, so x'·q' = (x − μ)·q exactly — same
-  *             ranking target, quantization error paid in the
-  *             decorrelated space (the standard OPQ/whitening argument).
-  *             Label centroids are affine-equivariant (mean of W(x−μ)
-  *             per label = W(c_label − μ)), so the whitened codebook is
-  *             driver math over the raw one — no extra corpus pass.
+  *   raw:       codes = per-subspace nearest label-centroid of x;
+  *              ADC approximates x·q from the raw sub-codebooks.
+  *   whitened:  codes = per-subspace nearest whitened-centroid of
+  *              x' = W(x − μ); the query transforms COVARIANTLY as
+  *              q' = Λ^(1/2)·Eᵀ·q, so x'·q' = (x − μ)·q exactly — same
+  *              ranking target, quantization error paid in the
+  *              decorrelated space (the standard OPQ/whitening argument).
+  *              Label centroids are affine-equivariant (mean of W(x−μ)
+  *              per label = W(c_label − μ)), so the whitened codebook is
+  *              driver math over the raw one — no extra corpus pass.
+  *   *-trained: the same two spaces with sub-codebooks RETRAINED in that
+  *              space (one per-subspace Lloyd step from the space's own
+  *              label-centroid warm start — PqCodebooks' derivation, run
+  *              here per arm). The round-15 first cut measured the warm
+  *              arms only and found whitening does NOT pay with affine-
+  *              image codebooks; the textbook claim assumes retraining,
+  *              which these two arms test directly.
   *
-  * Both arms: ADC top-100 → exact re-rank (recall@10 counts candidates
+  * All arms: ADC top-100 → exact re-rank (recall@10 counts candidates
   * intersecting the true top-10) — identical read budget (100 full
   * vectors per query), so any recall delta is the transform's alone.
   * Also reports mean |ADC − true dot| distortion per arm.
@@ -57,6 +64,7 @@ object WhitenPqAb {
     val queries = spark.createDataFrame(qvs.map { case (q, v) => (q, v.toSeq) })
       .toDF("qid", "qv")
     val corpus = emb.filter(col("vec_id") >= NumQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactTop = topkIds(corpus.crossJoin(broadcast(queries)),
       org.apache.spark.sql.graft.VectorExpressions
         .float_dot(col("embedding"), col("qv")), 10)
@@ -83,13 +91,42 @@ object WhitenPqAb {
       }
 
     val whitened = Whitening.whiten(corpus, mean, w.map(_.toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def slices(cb: Seq[(Long, Seq[Double])]): Seq[Seq[(Long, Seq[Double])]] =
+      (0 until M).map(sub => cb.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
+
+    /** One per-subspace Lloyd step over `df`'s `codeCol` vectors from the
+      * `warm` sub-codebooks — PqCodebooks' derivation (plain avg: no
+      * oracle sits on this tool). Cells with no members drop out.
+      */
+    def refineSub(df: DataFrame, codeCol: String,
+        warm: Seq[Seq[(Long, Seq[Double])]]): Seq[Seq[(Long, Seq[Double])]] = {
+      val rows = df.select(
+          array((0 until M).map(sub => org.apache.spark.sql.graft.VectorExpressions
+            .nearest_centroid(col(codeCol), warm(sub), offset = sub * D)): _*).as("codes"),
+          posexplode(col(codeCol)).as(Seq("pos", "v")))
+        .select((col("pos") / D).cast("int").as("sub"),
+          pmod(col("pos"), lit(D)).cast("long").as("idx"),
+          element_at(col("codes"), (col("pos") / D).cast("int") + 1)
+            .cast("long").as("code"),
+          col("v").cast("double").as("v"))
+        .groupBy(col("sub"), col("code"), col("idx"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      (0 until M).map { sub =>
+        rows.filter(_.getInt(0) == sub)
+          .groupBy(_.getLong(1)).toSeq
+          .map { case (lab, rs) =>
+            (lab, rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq)
+          }
+          .sortBy(_._1)
+      }
+    }
 
     def arm(name: String, df: DataFrame, codeCol: String,
-        cb: Seq[(Long, Seq[Double])],
+        cbSub: Seq[Seq[(Long, Seq[Double])]],
         qSide: Long => Array[Double]): Unit = {
-      val cbSub = (0 until M).map(sub =>
-        cb.map { case (l, c) => (l, c.slice(sub * D, sub * D + D)) })
-      val labels = cbSub.head.map(_._1)
       val luts = qvs.map { case (qid, _) =>
         (qid, (0 until M).map { sub =>
           cbSub(sub).map { case (_, c) =>
@@ -100,7 +137,9 @@ object WhitenPqAb {
           }
         })
       }
+      // per-sub label domains (retrained cells can drop out)
       val adcMaps = (0 until M).map { sub =>
+        val labels = cbSub(sub).map(_._1)
         map_from_arrays(
           lit(luts.flatMap { case (qid, _) => labels.map(l => qid * 16 + l) }.toArray),
           lit(luts.flatMap { case (_, ls) => ls(sub) }.toArray))
@@ -129,16 +168,22 @@ object WhitenPqAb {
         val x = r.getSeq[Float](3)
         var dot = 0.0; var i = 0
         while (i < dim) { dot += x(i).toDouble * q(i); i += 1 }
-        val target = if (name == "whitened") dot - muDotQ(r.getLong(1)) else dot
+        val target = if (name.startsWith("whitened")) dot - muDotQ(r.getLong(1)) else dot
         math.abs(r.getDouble(2) - target)
       }
-      println(f"[whitenpq] $name%-8s recall@10 mean=${recalls.sum / recalls.size}%.4f " +
+      println(f"[whitenpq] $name%-16s recall@10 mean=${recalls.sum / recalls.size}%.4f " +
         f"per-q=${recalls.map(r => f"$r%.2f").mkString(",")} " +
         f"|adc-dot| mean=${errs.sum / errs.length}%.5f max=${errs.max}%.5f n=${errs.length}")
     }
 
-    arm("raw", corpus, "embedding", c0, qid => qvs.toMap.apply(qid).map(_.toDouble))
-    arm("whitened", whitened, "white", c0w, qid => qWhiten(qvs.toMap.apply(qid)))
+    val rawQ = (qid: Long) => qvs.toMap.apply(qid).map(_.toDouble)
+    val whiteQ = (qid: Long) => qWhiten(qvs.toMap.apply(qid))
+    arm("raw", corpus, "embedding", slices(c0), rawQ)
+    arm("whitened", whitened, "white", slices(c0w), whiteQ)
+    arm("raw-trained", corpus, "embedding",
+      refineSub(corpus, "embedding", slices(c0)), rawQ)
+    arm("whitened-trained", whitened, "white",
+      refineSub(whitened, "white", slices(c0w)), whiteQ)
     spark.stop()
   }
 
