@@ -1188,9 +1188,140 @@ object TextOps {
     */
   @volatile private[graft] var BpeDriverVocabMax = 200000
 
+  /** Q93 — DSIR importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select pretraining
+    * documents whose hashed-n-gram distribution looks like a TARGET
+    * corpus. The published recipe, step for step:
+    *
+    *   1. features: word-bigram shingles hashed into B=64 buckets (the
+    *      paper's "hashed n-gram" space; bigrams per the repo-wide rule —
+    *      the synthetic corpus's unigram DF is ~78%, so unigram features
+    *      are vacuous). Counts keep multiplicity: a doc's bucket counts
+    *      ARE its bag-of-ngrams vector.
+    *   2. two bucket unigram-LMs, Laplace-smoothed: p̂(b) = (cnt_b + 1) /
+    *      (total + B), one over the target slice (sources src1–src3, the
+    *      declared reference subset), one over the full raw corpus.
+    *   3. per-doc log importance weight: logw = Σ_b cnt_doc[b] ·
+    *      (ln p̂_t(b) − ln p̂_c(b)) — summed in bucket order (ordered
+    *      fold) so both engines add the same doubles in the same order.
+    *   4. sampling WITHOUT replacement ∝ exp(logw) via Gumbel top-k
+    *      (the paper's sampler), derandomized cross-engine: the Gumbel
+    *      noise g = −ln(−ln(u)) draws u from the doc's own rolling-hash
+    *      fingerprint, u = (fp(doc_id)+1)/(P+2) ∈ (0,1) — deterministic,
+    *      identical in both engines, and independent of logw.
+    *
+    * Docs with no bigram (<2 tokens) carry no evidence and are excluded
+    * (no feature rows). Published scores are micro-quantized (q66's
+    * discipline — ln is the one transcendental; margins spec-pinned).
+    *
+    * Plan shape at 100 TB: ONE corpus pass builds per-(doc, bucket)
+    * counts (map-side combine; ≤B=64 rows per doc by construction); the
+    * two LMs are 64-row aggregates + a one-row total, broadcast back; the
+    * per-doc fold groups bounded lists; selection is
+    * TakeOrderedAndProject(100). No shuffle ever carries more than
+    * (docs × min(64, distinct buckets)) rows; nothing is quadratic.
+    */
+  private[graft] val DsirBuckets = 64
+  private[graft] val DsirTargets = Seq("src1", "src2", "src3")
+
+  val q93ImportanceResample: QueryDef = {
+    val B = DsirBuckets
+    val targetsIn = DsirTargets.map(s => s"'$s'").mkString(", ")
+    // u's denominator: P+2 keeps u in (0,1) for fp ∈ [0, P)
+    val UDen = 1000000009L
+    QueryDef.sql(
+      "q93_importance_resample",
+      s"""WITH bg AS (
+         |  SELECT doc_id, source, ${FingerprintSql("s")} % $B AS bucket
+         |  FROM (SELECT doc_id, source, $WordBigramsOverT AS b
+         |        FROM (SELECT doc_id, source, $ToksSql AS t FROM documents)) x,
+         |    unnest(x.b) AS u(s)),
+         |dbc AS (
+         |  SELECT doc_id, source, bucket, count(*) AS cnt
+         |  FROM bg GROUP BY doc_id, source, bucket),
+         |cs AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cc FROM dbc GROUP BY bucket),
+         |ts AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM dbc
+         |       WHERE source IN ($targetsIn) GROUP BY bucket),
+         |tot AS (SELECT
+         |  (SELECT CAST(sum(cnt) AS BIGINT) FROM dbc) AS tc,
+         |  (SELECT CAST(sum(cnt) AS BIGINT) FROM dbc WHERE source IN ($targetsIn)) AS tt),
+         |lr AS (
+         |  SELECT c.bucket,
+         |    ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(tot.tt + $B AS DOUBLE)) -
+         |    ln(CAST(c.cc + 1 AS DOUBLE) / CAST(tot.tc + $B AS DOUBLE)) AS lr
+         |  FROM cs c LEFT JOIN ts t ON c.bucket = t.bucket, tot),
+         |dw AS (
+         |  SELECT d.doc_id, min(d.source) AS source,
+         |    CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+         |    list_reduce(list_prepend(0.0,
+         |      list(CAST(d.cnt AS DOUBLE) * l.lr ORDER BY d.bucket)),
+         |      (a, b) -> a + b) AS logw
+         |  FROM dbc d JOIN lr l ON d.bucket = l.bucket
+         |  GROUP BY d.doc_id),
+         |g AS (
+         |  SELECT doc_id, source, n_bigrams, logw,
+         |    logw - ln(-ln(
+         |      CAST(${FingerprintSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |        / CAST($UDen AS DOUBLE))) AS k
+         |  FROM dw)
+         |SELECT doc_id, source, n_bigrams,
+         |  CAST(floor(logw * 1000000 + 0.5) AS BIGINT) AS logw_n6,
+         |  CAST(floor(k * 1000000 + 0.5) AS BIGINT) AS key_n6
+         |FROM g
+         |ORDER BY key_n6 DESC, doc_id
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      importanceScored(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          floor(col("logw") * 1000000 + lit(0.5)).cast("long").as("logw_n6"),
+          floor(col("gkey") * 1000000 + lit(0.5)).cast("long").as("key_n6"))
+        .orderBy(col("key_n6").desc, col("doc_id"))
+        .limit(100)
+    }
+  }
+
+  /** q93's raw score frame — (doc_id, source, n_bigrams, logw, gkey)
+    * before quantization/selection, factored out so the margin spec can
+    * pin every doc's distance from the ×1e6 flip boundaries (q66's
+    * discipline).
+    */
+  private[graft] def importanceScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val B = DsirBuckets
+    // one corpus pass → per-(doc, bucket) counts, ≤B rows per doc
+    val dbc = docs
+      .select(col("doc_id"), col("source"),
+        explode(org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(toks)).as("fp"))
+      .select(col("doc_id"), col("source"), (col("fp") % B).as("bucket"))
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTarget = col("source").isin(DsirTargets: _*)
+    val cs = dbc.groupBy("bucket").agg(sum("cnt").as("cc"))
+    val ts = dbc.filter(isTarget).groupBy("bucket").agg(sum("cnt").as("ct"))
+    val tot = dbc.agg(sum("cnt").as("tc"),
+      sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("tt"))
+    // the 64-row log-ratio dimension, broadcast back to the doc counts
+    val lr = cs.join(ts, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("tt") + B).cast("double")) -
+          log((col("cc") + 1).cast("double") /
+            (col("tc") + B).cast("double"))).as("lr"))
+    val dw = dbc.join(broadcast(lr), "bucket")
+      .withColumn("term", col("cnt").cast("double") * col("lr"))
+      .groupBy("doc_id")
+      .agg(min("source").as("source"), sum("cnt").as("n_bigrams"),
+        expr("aggregate(transform(array_sort(collect_list(struct(bucket, term)))," +
+          " s -> s.term), 0D, (a, b) -> a + b)").as("logw"))
+    // derandomized Gumbel key from the doc's own fingerprint
+    val u = (fingerprint("cast(doc_id as string)") + 1).cast("double") /
+      lit(1000000009L).cast("double")
+    dw.withColumn("gkey", col("logw") - log(-log(u)))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
-    q84BpeApply)
+    q84BpeApply, q93ImportanceResample)
 }

@@ -235,6 +235,38 @@ class QuerySpec extends SparkSpec {
     assert(counts("head") <= rows.length / 2 && counts("tail") <= rows.length / 2)
   }
 
+  test("q93 DSIR: flip margins, estimator discriminates, sampling up-weights target") {
+    // margin discipline (q66's): logw and the Gumbel key are ln-derived,
+    // cross-engine skew is ulp-scale; every doc must keep raw-space
+    // margin > 1e-12 from the ×1e6 floor boundary on BOTH published scores
+    val raw = queries.TextOps.importanceScored(Tables(spark, sf, "documents"))
+      .select(col("logw"), col("gkey"), col("source")).collect()
+    assert(raw.nonEmpty)
+    for (r <- raw; v <- Seq(r.getDouble(0), r.getDouble(1))) {
+      val x = v * 1e6 + 0.5
+      val dist = math.abs(x - math.rint(x)) / 1e6
+      assert(dist > 1e-12, s"score $v within $dist (raw) of a flip boundary")
+    }
+    // the importance estimator discriminates: docs FROM the target slice
+    // score higher on average than the rest (sf0.001 measures +0.37 vs
+    // −0.49; a broken feature hash or inverted ratio flips the sign)
+    val (tgt, rest) = raw.partition(r =>
+      queries.TextOps.DsirTargets.contains(r.getString(2)))
+    def meanLogw(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(0)).sum / rs.length
+    assert(meanLogw(tgt) > meanLogw(rest) + 0.2,
+      s"target mean ${meanLogw(tgt)} vs rest ${meanLogw(rest)}")
+    // Gumbel top-100 up-weights target-like docs: selected target share
+    // must beat the corpus base rate (15% → measured 34%)
+    val sel = queries.TextOps.q93ImportanceResample.fn(spark, sf).collect()
+    assert(sel.length == 100)
+    val selTgt = sel.count(r =>
+      queries.TextOps.DsirTargets.contains(r.getString(1))).toDouble / sel.length
+    val baseTgt = tgt.length.toDouble / raw.length
+    assert(selTgt > baseTgt * 1.5,
+      s"selected target share $selTgt vs base rate $baseTgt")
+  }
+
   test("q67 span dedup: keep-first semantics, coverage removal, short docs untouched") {
     import spark.implicits._
     // doc 1 holds the FIRST occurrence of the 8-token span (kept whole);
