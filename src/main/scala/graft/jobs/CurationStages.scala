@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   * published linear model; perplexity_filter = q66's corpus-trained
   * unigram-LM scorer, keeping docs at or below a declared perplexity
   * percentile; stratified_sample = q49's consistent-hash
-  * gates; temperature_mix = q57's share^α weights applied as per-language
+  * gates; importance_resample = q93's DSIR selection (hashed-bigram
+  * importance weights vs a declared target slice, derandomized Gumbel
+  * top-budget sampling); temperature_mix = q57's share^α weights applied as per-language
   * consistent-hash keep rates; assign_split = q68's cluster-keyed
   * leakage-safe train/val/test gate; chunk = q69's tail-covering sliding
   * windows (terminal: documents → training sequences); pack = q50's
@@ -82,6 +84,7 @@ object CurationStages {
     "quality_filter" -> Set("minScore"),
     "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
     "stratified_sample" -> Set("rates", "default"),
+    "importance_resample" -> Set("budgetDocs", "targetSources"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
     "assign_split" -> Set("trainPct", "valPct", "threshold", "splitFrom"),
     "chunk" -> Set("chunkTokens", "stride"),
@@ -368,6 +371,25 @@ object CurationStages {
       val default = stage.int("default", 80)
       val rates = stage.ratesMap
       docs.filter(hashBucket < rateFor(rates, default))
+
+    // q93's DSIR selection over the FLOWING frame: hashed-bigram
+    // importance weights against the declared target slice, Gumbel
+    // top-budget sampling without replacement (derandomized — the noise
+    // draws from each doc's own fingerprint, so the stage is replayable).
+    // Selection is TakeOrderedAndProject(budget) + a left-semi join back:
+    // no document rows ever reach the driver. budgetDocs is an absolute
+    // sample size — at 100 TB the budget is the training-token contract,
+    // not a fraction, which is why the knob mirrors temperature_mix's.
+    case "importance_resample" =>
+      val budget = stage.int("budgetDocs", 100)
+      val targets = stage.strOr("targetSources",
+        graft.queries.TextOps.DsirTargets.mkString(","))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val keep = graft.queries.TextOps.importanceScored(docs, targets)
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(budget)
+        .select("doc_id")
+      docs.join(keep, Seq("doc_id"), "left_semi")
 
     // q57's share^alpha mixing weights, applied as per-language keep
     // RATES through the same consistent hash — map-only (an exact

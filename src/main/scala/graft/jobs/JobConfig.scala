@@ -223,6 +223,13 @@ object JobConfig {
               }
               case other => fail(s"stages[$idx] ($op): rates must be an object, got $other")
             }
+          case "importance_resample" =>
+            num("budgetDocs")(n => n.isWhole && n >= 1, "must be a positive integer")
+            params.get("targetSources").foreach {
+              case s: String if s.split(",").exists(_.trim.nonEmpty) => ()
+              case other => fail(s"stages[$idx] ($op): targetSources must be a " +
+                s"non-empty comma-separated string, got $other")
+            }
           case "temperature_mix" =>
             num("alpha")(_ > 0d, "must be positive")
             params.get("budgetDocs") match {

@@ -1284,29 +1284,60 @@ object TextOps {
     * pin every doc's distance from the ×1e6 flip boundaries (q66's
     * discipline).
     */
-  private[graft] def importanceScored(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val B = DsirBuckets
-    // one corpus pass → per-(doc, bucket) counts, ≤B rows per doc
-    val dbc = docs
+  /** One corpus pass → per-(doc, source, bucket) bigram-bucket counts —
+    * ≤[[DsirBuckets]] rows per doc by construction.
+    */
+  private def dsirBucketCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         explode(org.apache.spark.sql.graft.TextExpressions
           .shingle_hashes(toks)).as("fp"))
-      .select(col("doc_id"), col("source"), (col("fp") % B).as("bucket"))
+      .select(col("doc_id"), col("source"), (col("fp") % DsirBuckets).as("bucket"))
       .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val isTarget = col("source").isin(DsirTargets: _*)
+
+  /** The B-row Laplace-smoothed log-ratio dimension from a bucket-count
+    * frame: lr(b) = ln p̂_target(b) − ln p̂_corpus(b). Total over ALL B
+    * buckets (a spine fills never-seen ones with the pure-smoothing
+    * value) so a consumer scoring UNSEEN documents — the streaming
+    * flagger — has a ratio for every bucket; batch scoring never reads
+    * the spine rows (a doc only carries buckets it has).
+    */
+  private[graft] def dsirLogRatiosFrom(dbc: org.apache.spark.sql.DataFrame,
+      targets: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val B = DsirBuckets
+    val isTarget = col("source").isin(targets: _*)
+    val spine = dbc.sparkSession.range(B).select(col("id").as("bucket"))
     val cs = dbc.groupBy("bucket").agg(sum("cnt").as("cc"))
     val ts = dbc.filter(isTarget).groupBy("bucket").agg(sum("cnt").as("ct"))
     val tot = dbc.agg(sum("cnt").as("tc"),
       sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("tt"))
-    // the 64-row log-ratio dimension, broadcast back to the doc counts
-    val lr = cs.join(ts, Seq("bucket"), "left").crossJoin(tot)
+    spine.join(cs, Seq("bucket"), "left").join(ts, Seq("bucket"), "left")
+      .crossJoin(tot)
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
           (col("tt") + B).cast("double")) -
-          log((col("cc") + 1).cast("double") /
+          log((coalesce(col("cc"), lit(0L)) + 1).cast("double") /
             (col("tc") + B).cast("double"))).as("lr"))
+  }
+
+  /** The corpus-trained DSIR log-ratio table collected for broadcast-style
+    * consumption (streaming flaggers): lr indexed by bucket 0..B−1.
+    */
+  private[graft] def dsirLogRatioArray(docs: org.apache.spark.sql.DataFrame,
+      targets: Seq[String] = DsirTargets): Array[Double] = {
+    val rows = dsirLogRatiosFrom(dsirBucketCounts(docs), targets)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val arr = Array.ofDim[Double](DsirBuckets)
+    rows.foreach { case (b, v) => arr(b.toInt) = v }
+    arr
+  }
+
+  private[graft] def importanceScored(docs: org.apache.spark.sql.DataFrame,
+      targets: Seq[String] = DsirTargets): org.apache.spark.sql.DataFrame = {
+    val dbc = dsirBucketCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lr = dsirLogRatiosFrom(dbc, targets)
     val dw = dbc.join(broadcast(lr), "bucket")
       .withColumn("term", col("cnt").cast("double") * col("lr"))
       .groupBy("doc_id")

@@ -75,6 +75,41 @@ object DocumentStreams {
       .filter(col("n_hits") >= minShared)
   }
 
+  /** Streaming DSIR importance flags — the incremental twin of batch
+    * q93's scorer: arriving documents score their hashed-bigram bucket
+    * counts against the CORPUS-TRAINED log-ratio table (built once batch
+    * side, riding into the stream plan as a 64-double literal), and docs
+    * at or above `minLogwN6` flag as target-like. MAP-ONLY on the stream
+    * side (no state, no shuffle): per row the B=64 bucket counts come
+    * from B filter passes over the doc's own fingerprint array, and the
+    * sum runs in bucket order with zero-count terms contributing ±0.0 —
+    * exact identities under IEEE addition — so a streamed doc's logw_n6
+    * is BIT-IDENTICAL to the batch scorer's (StreamingSpec pins the
+    * equality). Selection semantics differ by design: batch q93 draws a
+    * Gumbel top-k SAMPLE; a stream cannot hold a top-k of the future, so
+    * the online form is the standard threshold gate on the same weight.
+    */
+  def importanceFlags(stream: DataFrame, corpus: DataFrame,
+      targets: Seq[String] = graft.queries.TextOps.DsirTargets,
+      minLogwN6: Long = 0L): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val B = graft.queries.TextOps.DsirBuckets
+    val lrLit = lit(graft.queries.TextOps.dsirLogRatioArray(corpus, targets))
+    val logw = aggregate(
+      transform(sequence(lit(0), lit(B - 1)),
+        b => size(filter(col("fps"), f => f % B === b)).cast("double") *
+          element_at(lrLit, b + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    stream
+      .select(col("doc_id"), col("lang"), col("source"),
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")).as("fps"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("fps")).cast("long").as("n_bigrams"),
+        floor(logw * 1000000 + lit(0.5)).cast("long").as("logw_n6"))
+      .filter(col("logw_n6") >= minLogwN6)
+  }
+
   /** One packed document: the running token count and bin assignment the
     * batch q50 computes with a window.
     */

@@ -115,6 +115,27 @@ class CurationSpec extends SparkSpec {
       "the 0.4%-rate minority language was dropped entirely")
   }
 
+  test("importance_resample stage: keeps exactly the Gumbel top-budget, rows intact") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    val out = CurationStages(docs,
+      StageSpec("importance_resample", Map("budgetDocs" -> 50.0)))
+    assert(out.count() == 50, "budget not honored")
+    // schema passes through untouched (a selection, not a projection)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    // the kept set IS the top-50 by the derandomized Gumbel key
+    val expected = queries.TextOps.importanceScored(docs)
+      .orderBy(col("gkey").desc, col("doc_id")).limit(50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // a declared target slice changes the selection (the knob is live)
+    val other = CurationStages(docs, StageSpec("importance_resample",
+      Map("budgetDocs" -> 50.0, "targetSources" -> "src18,src19")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != got, "targetSources knob had no effect")
+  }
+
   test("span_dedup stage: rewrites duplicated spans, drops emptied docs, recomputes n_chars") {
     import graft.jobs.{CurationStages, StageSpec}
     import spark.implicits._

@@ -441,6 +441,40 @@ class StreamingSpec extends SparkSpec {
       "count-min estimate fell below an exact document frequency")
   }
 
+  test("streaming importance flags: logw_n6 bit-identical to the batch DSIR scorer") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_dsir")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    // flag-everything threshold so every doc's score crosses the wire
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.importanceFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        docs, minLogwN6 = Long.MinValue), "dsir_t")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val batch = queries.TextOps.importanceScored(docs)
+      .select(col("doc_id"),
+        floor(col("logw") * 1000000 + lit(0.5)).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    // every batch-scored doc streams to the IDENTICAL quantized weight
+    batch.foreach { case (id, n6) =>
+      assert(streamed.get(id).contains(n6),
+        s"doc $id: batch logw_n6 $n6 vs streamed ${streamed.get(id)}")
+    }
+    // streamed extras can only be bigram-less docs (batch excludes them)
+    val extras = streamed.keySet -- batch.keySet
+    assert(extras.forall(id => streamed(id) == 0L),
+      s"non-trivial streamed docs missing from batch: $extras")
+    // the threshold gate actually gates
+    val gated = EventStreams.runToMemory(
+      DocumentStreams.importanceFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        docs, minLogwN6 = 1L), "dsir_gate_t")
+      .collect().map(_.getLong(4))
+    assert(gated.nonEmpty && gated.forall(_ >= 1L))
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
