@@ -48,7 +48,9 @@ import org.apache.spark.sql.functions._
   * decorrelation over the joined embedding column (q90's second-moment
   * pass + driver eigensolve + map-only rotation); quantize = q85's SQ8
   * scalar quantization persisting (codes, qscale) in the embedding
-  * column's place — the storage tier q86 audits; image_near_dedup = q71's
+  * column's place — the storage tier q86 audits; pq_encode = q92's
+  * trained-codebook PQ packing the vector into one 32-bit pq_code
+  * against the persisted per-corpus sub-codebooks; image_near_dedup = q71's
   * dHash-banded pairs → the same components/canonicalize (duplication in
   * pixel-space); semantic_dedup = q74's SemDeDup (k-means cells →
   * within-cell pair dots → drop the higher-centroid-similarity member —
@@ -79,6 +81,7 @@ object CurationStages {
       "broadcast"),
     "whiten" -> Set("embeddingCol"),
     "quantize" -> Set("embeddingCol"),
+    "pq_encode" -> Set("embeddingCol"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
@@ -314,6 +317,37 @@ object CurationStages {
             .otherwise(transform(col(embCol),
               x => floor(xd(x) / col("qscale") + lit(0.5)).cast("long"))))
         .drop(embCol, "__mx")
+
+    // q92's trained-codebook PQ encoding as a declared stage — the
+    // compression tier's ingest map (quantize's PQ sibling: SQ8 keeps
+    // one code PER DIMENSION; PQ packs the whole vector into one 32-bit
+    // code against the corpus-trained sub-codebooks, the 30× read
+    // reduction the ANN tier scans). Codebooks come from the persisted
+    // per-corpus PqCodebooks layout (trained at -ingest and HELD FIXED
+    // across appends — encoding against anything else would silently
+    // re-shape every stored code), so the stage requires a table-dir
+    // source. The embedding column is REPLACED by pq_code; rows without
+    // an embedding keep a null code.
+    case "pq_encode" =>
+      val embCol = stage.strOr("embeddingCol", "embedding")
+      require(docs.columns.contains(embCol),
+        s"pq_encode: no '$embCol' column on the flow — join embeddings " +
+          "first (multimodal_join) or declare embeddingCol")
+      val srcDir = sourceDirDefault.getOrElse(
+        throw new IllegalArgumentException(
+          "pq_encode: the job source is not a table directory — the stage " +
+            "encodes against the corpus's persisted PqCodebooks layout"))
+      val cb = graft.sources.PqCodebooks(docs.sparkSession, srcDir)
+      val m = graft.sources.PqCodebooks.M
+      val d = graft.sources.PqCodebooks.D
+      val pqCode = (0 until m).map { sub =>
+        org.apache.spark.sql.graft.VectorExpressions
+          .nearest_centroid(col(embCol), cb(sub), offset = sub * d) *
+          lit(1L << (4 * sub))
+      }.reduce(_ + _)
+      docs.withColumn("pq_code",
+        when(col(embCol).isNull, lit(null)).otherwise(pqCode).cast("long"))
+        .drop(embCol)
 
     // q51 shape: drop the held-out source itself AND every training
     // document sharing >= minShared distinct 4-grams with it

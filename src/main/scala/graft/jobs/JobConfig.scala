@@ -251,6 +251,8 @@ object JobConfig {
             optStr("embeddingCol")
           case "quantize" =>
             optStr("embeddingCol")
+          case "pq_encode" =>
+            optStr("embeddingCol")
           case "bpe_annotate" =>
             params.get("mergesFrom").foreach {
               case "flow" | "corpus" => ()

@@ -136,6 +136,29 @@ class CurationSpec extends SparkSpec {
     assert(other != got, "targetSources knob had no effect")
   }
 
+  test("pq_encode stage: codes match q92's encoder, embedding replaced, nulls ride") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val withNull = emb.unionByName(
+      spark.range(1).select(lit(-1L).as("doc_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val out = CurationStages(withNull, StageSpec("pq_encode"),
+      sourceDirDefault = Some(sf))
+    assert(!out.columns.contains("embedding") && out.columns.contains("pq_code"))
+    val codes = out.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(codes(-1L).isEmpty, "null embedding must keep a null code")
+    // cross-check against q92's independently-derived pq_code column
+    val q92 = queries.VectorOps.q92AnnPqTrained.fn(spark, sf).collect()
+    assert(q92.nonEmpty)
+    q92.foreach { r =>
+      val id = r.getLong(r.fieldIndex("vec_id"))
+      assert(codes(id).contains(r.getLong(r.fieldIndex("pq_code"))),
+        s"stage code for vec $id diverges from q92")
+    }
+  }
+
   test("span_dedup stage: rewrites duplicated spans, drops emptied docs, recomputes n_chars") {
     import graft.jobs.{CurationStages, StageSpec}
     import spark.implicits._
