@@ -730,6 +730,18 @@ class QuerySpec extends SparkSpec {
     // show up here, not in a silently lower meter row.
     assert(meanRecall("pq") >= 0.4, s"pq recall ${meanRecall("pq")}")
     assert(meanRecall("ivf") >= 0.3, s"ivf recall ${meanRecall("ivf")}")
+    // the trained-codebook arm must keep the retraining payoff: at the
+    // identical 100-row read budget, pqt ≥ pq (sf0.001: 0.6875 vs 0.65;
+    // sf0.01: 0.70 vs 0.625) — a PqCodebooks refactor that silently
+    // degrades the refinement shows up here
+    assert(meanRecall("pqt") >= meanRecall("pq"),
+      s"pqt ${meanRecall("pqt")} fell below pq ${meanRecall("pq")}")
+    val readFrac = (m: String) => {
+      val rs = rows.filter(_.getString(0) == m)
+      rs.map(_.getDouble(4)).sum / rs.length
+    }
+    assert(readFrac("pqt") == readFrac("pq"),
+      "pqt/pq read budgets diverged — the comparison is no longer like-for-like")
   }
 
   test("q53 window-knob twin produces identical rows to the topk-agg default") {
