@@ -1308,11 +1308,12 @@ object TextOps {
     val B = DsirBuckets
     val isTarget = col("source").isin(targets: _*)
     val spine = dbc.sparkSession.range(B).select(col("id").as("bucket"))
-    val cs = dbc.groupBy("bucket").agg(sum("cnt").as("cc"))
-    val ts = dbc.filter(isTarget).groupBy("bucket").agg(sum("cnt").as("ct"))
-    val tot = dbc.agg(sum("cnt").as("tc"),
-      sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("tt"))
-    spine.join(cs, Seq("bucket"), "left").join(ts, Seq("bucket"), "left")
+    // ONE pass over the counts computes both LMs' numerators; the totals
+    // re-aggregate the resulting B-row frame (trivial), not the corpus
+    val cs = dbc.groupBy("bucket").agg(sum("cnt").as("cc"),
+      sum(when(isTarget, col("cnt")).otherwise(lit(0L))).as("ct"))
+    val tot = cs.agg(sum("cc").as("tc"), sum("ct").as("tt"))
+    spine.join(cs, Seq("bucket"), "left")
       .crossJoin(tot)
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
