@@ -61,6 +61,25 @@ object PqCodebooks {
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("pqcb", Version, dir, Seq(s"$dir/embeddings.parquet"))
 
+  /** Append-delta encoding: delta vectors packed against THIS corpus's
+    * HELD-FIXED sub-codebooks — the PQ complement of
+    * [[IvfCentroids.assignDelta]] (re-training on the grown corpus would
+    * silently re-shape every stored code, so that is an explicit rebuild
+    * via the stamp, never a refresh). Map-only over the broadcast-sized
+    * codebooks: the input frame plus a packed `pq_code` long.
+    */
+  def encodeDelta(spark: SparkSession, dir: String,
+      delta: org.apache.spark.sql.DataFrame,
+      embCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val cb = apply(spark, dir)
+    val pqCode = (0 until M).map { sub =>
+      org.apache.spark.sql.graft.VectorExpressions
+        .nearest_centroid(col(embCol), cb(sub), offset = sub * D) *
+        lit(1L << (4 * sub))
+    }.reduce(_ + _)
+    delta.withColumn("pq_code", pqCode.cast("long"))
+  }
+
   def apply(spark: SparkSession, dir: String): SubTable = {
     val target = layoutPath(dir)
     cache.getOrElseUpdate((spark, target), {

@@ -347,6 +347,48 @@ class JobRunnerSpec extends SparkSpec {
         "output by hand; an unintentional move is a stage-interaction bug.")
   }
 
+  test("round-15 chain e2e: importance_resample -> multimodal_join -> pq_encode from JSON alone") {
+    // the DSIR sample gates the corpus, the join attaches embeddings to
+    // the survivors, and pq_encode compresses them against the persisted
+    // trained codebooks — the declared form of a select-then-compress
+    // curation pass. Determinism comes free (derandomized Gumbel +
+    // held-fixed codebooks), so the whole chain re-runs identically.
+    val work = java.nio.file.Files.createTempDirectory("jobdsir").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [
+         |    {"op": "importance_resample", "budgetDocs": 60,
+         |     "targetSources": "src1,src2,src3"},
+         |    {"op": "multimodal_join"},
+         |    {"op": "pq_encode"}
+         |  ]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val corpus = spark.read.parquet(s"$work/out/corpus")
+    val n = corpus.count()
+    assert(n > 0 && n <= 60, s"expected ≤60 sampled docs, got $n")
+    assert(corpus.columns.contains("pq_code") &&
+      !corpus.columns.contains("embedding"),
+      s"pq_encode must replace the embedding: ${corpus.columns.mkString(",")}")
+    assert(corpus.columns.contains("text"), "doc provenance must ride the join")
+    // selection matches the registered operator's top-60 sample ∩ join
+    val expected = queries.TextOps.importanceScored(Tables(spark, sf, "documents"))
+      .orderBy(col("gkey").desc, col("doc_id")).limit(60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(expected), "chain kept a doc outside the DSIR sample")
+    // identical declaration reproduces the corpus bit-for-bit
+    JobRunner.run(spark, JobRunner.parse(
+      Array("-curate", "-conf", conf, "-output", s"$work/out2")))
+    val again = spark.read.parquet(s"$work/out2/corpus")
+    val fpOf = (df: org.apache.spark.sql.DataFrame) => df.agg(
+      bit_xor(xxhash64(df.columns.sorted.map(col): _*)).as("h"),
+      count(lit(1)).as("n")).head()
+    assert(fpOf(corpus) == fpOf(again), "declared chain is not deterministic")
+  }
+
   test("bpe_annotate stage: post-BPE sequence lengths ride the declared chain (q84 parity)") {
     val work = java.nio.file.Files.createTempDirectory("jobbpe").toString
     // pass-through chain: the stage alone, so the learned tokenizer is

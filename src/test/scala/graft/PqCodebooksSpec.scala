@@ -83,6 +83,23 @@ class PqCodebooksSpec extends SparkSpec {
     }
   }
 
+  test("encodeDelta packs appended vectors identically to the batch encoder") {
+    val emb = Tables(spark, sf, "embeddings").limit(20)
+    val delta = graft.sources.PqCodebooks.encodeDelta(spark, sf, emb)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: the q92/pq_encode construction over the same rows
+    val cb = graft.sources.PqCodebooks(spark, sf)
+    val batch = emb.select(col("vec_id"),
+      (0 until M).map { sub =>
+        org.apache.spark.sql.graft.VectorExpressions
+          .nearest_centroid(col("embedding"), cb(sub), offset = sub * D) *
+          lit(1L << (4 * sub))
+      }.reduce(_ + _).cast("long").as("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == batch)
+  }
+
   test("q92: 10 rows, pq_code in 8×4-bit range, exact-dot ordered") {
     val rows = graft.queries.VectorOps.q92AnnPqTrained.fn(spark, sf).collect()
     assert(rows.length == 10)
