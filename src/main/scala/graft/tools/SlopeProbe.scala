@@ -21,7 +21,7 @@ object SlopeProbe {
     "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh",
     "q67_span_dedup", "q68_leakage_safe_split", "q69_chunk_windows",
     "q70_split_contamination", "q71_image_neardup", "q74_semdedup",
-    "q86_quant_audit")
+    "q86_quant_audit", "q92_ann_pq_trained", "q93_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -48,8 +48,11 @@ object SlopeProbe {
       val embs = graft.Tables(spark, sfDir, "embeddings").count()
       println(s"== corpus @ ${sfDir.split('/').last}: documents=$docs embeddings=$embs")
     }
+    // optional args restrict the run to named queries (re-measuring one
+    // query's slope shouldn't pay the full sweep)
+    val targets = if (args.nonEmpty) Targets.filter(args.contains) else Targets
     for (sfDir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
-         name <- Targets) {
+         name <- targets) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // drive THROUGH df.queryExecution (a write re-plans internally and
       // would leave these metrics untouched); results are small
