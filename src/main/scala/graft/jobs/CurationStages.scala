@@ -55,7 +55,9 @@ import org.apache.spark.sql.functions._
   * pixel-space); semantic_dedup = q74's SemDeDup (k-means cells →
   * within-cell pair dots → drop the higher-centroid-similarity member —
   * duplication in embedding-space, the paraphrase complement to
-  * near_dedup's token-space pass).
+  * near_dedup's token-space pass); blocklist_filter = q94's C4-style
+  * word filter (drop docs hitting a declared term blocklist,
+  * token-exact).
   *
   * Scale notes: every stage keeps its source operator's plan shape —
   * map-only where the operator is map-only (scrub, filters, sampling),
@@ -83,6 +85,7 @@ object CurationStages {
     "quantize" -> Set("embeddingCol"),
     "pq_encode" -> Set("embeddingCol"),
     "decontaminate" -> Set("holdoutSource", "minShared"),
+    "blocklist_filter" -> Set("terms"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
     "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
@@ -361,6 +364,16 @@ object CurationStages {
         .distinct()
       docs.filter(col("source") =!= holdout)
         .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // q94's C4-style word filter: drop any doc whose tokens hit the
+    // declared blocklist (token-level exact matching — the one-pass
+    // native tokens_in_set kernel; map-only)
+    case "blocklist_filter" =>
+      val terms = stage.params.get("terms").map(_.asInstanceOf[String]
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(graft.queries.CurationOps.Blocklist)
+      docs.filter(org.apache.spark.sql.graft.TextExpressions
+        .tokens_in_set(graft.functions.TextFunctions.tokens("text"), terms) === 0)
 
     // q55's fused rule table over the text column (map-only)
     case "pii_scrub" =>

@@ -206,6 +206,12 @@ object JobConfig {
           case "decontaminate" =>
             reqStr("holdoutSource")
             num("minShared")(n => n.isWhole && n >= 1, "must be a positive integer")
+          case "blocklist_filter" =>
+            params.get("terms").foreach {
+              case s: String if s.split(",").exists(_.trim.nonEmpty) => ()
+              case other => fail(s"stages[$idx] ($op): terms must be a " +
+                s"non-empty comma-separated string, got $other")
+            }
           case "quality_filter" =>
             num("minScore")(_ => true, "")
           case "perplexity_filter" =>

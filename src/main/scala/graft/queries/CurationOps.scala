@@ -185,5 +185,45 @@ object CurationOps {
       .orderBy("lang")
   }
 
-  val all: Seq[QueryDef] = Seq(q55PiiScrub, q56QualityFilter, q57TemperatureMix)
+  /** The default blocklist — shared with the blocklist_filter stage so
+    * "the blocklist" is one definition. "dup" is the corpus's one rare
+    * term (DF ≈5%, a meaningful demo gate); the others are deliberately
+    * absent so unseen-term handling is exercised on every run.
+    */
+  private[graft] val Blocklist: Seq[String] = Seq("dup", "slopword", "zzyzx")
+
+  /** Q94 — blocklist filtering (the C4 recipe's word-filter step, Raffel
+    * et al. 2020 §2.2: drop any page containing a term from a fixed
+    * blocklist; token-level exact matching so substrings don't
+    * false-positive). The full-corpus AUDIT view: every doc's hit count
+    * (with multiplicity — the native one-pass `tokens_in_set` kernel)
+    * and the keep verdict, so the gate's effect is reviewable before the
+    * declarative `blocklist_filter` stage applies it as a row filter.
+    *
+    * Map-only; the blocklist rides into the plan as a hash-set literal.
+    * At 100 TB this is one linear pass — the C4 filter's cost is the
+    * tokenizer, already shared with every other text stage.
+    */
+  val q94BlocklistFilter: QueryDef = {
+    val termsIn = Blocklist.map(w => s"'$w'").mkString(", ")
+    QueryDef.sql(
+      "q94_blocklist_filter",
+      s"""SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ($termsIn))) AS BIGINT) AS n_hits,
+         |  len(list_filter(t, x -> x IN ($termsIn))) = 0 AS kept
+         |FROM (SELECT doc_id, source, $ToksSql AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val hits = org.apache.spark.sql.graft.TextExpressions
+        .tokens_in_set(col("t"), Blocklist).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), toks.as("t"))
+        .select(col("doc_id"), col("source"),
+          size(col("t")).cast("long").as("n_tokens"),
+          hits.as("n_hits"), (hits === 0L).as("kept"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q55PiiScrub, q56QualityFilter,
+    q57TemperatureMix, q94BlocklistFilter)
 }

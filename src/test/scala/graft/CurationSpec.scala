@@ -115,6 +115,38 @@ class CurationSpec extends SparkSpec {
       "the 0.4%-rate minority language was dropped entirely")
   }
 
+  test("q94 blocklist: verdict matches a hand check; stage drops exactly the flagged docs") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    val rows = queries.CurationOps.q94BlocklistFilter.fn(spark, sf).collect()
+    assert(rows.length == docs.count())
+    // hand check: kept ⇔ zero hits, and hits count token-exact occurrences
+    val flagged = rows.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "the rare-term blocklist should flag some docs")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) == 0L))
+    }
+    val handFlagged = docs.collect().filter { r =>
+      val toks = r.getAs[String]("text").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.exists(queries.CurationOps.Blocklist.contains)
+    }.map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == handFlagged)
+    // substring safety: "dup" inside a longer token must NOT flag
+    import spark.implicits._
+    val sub = Seq((1L, "deduplication and duplicate are fine"), (2L, "a dup here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = CurationStages(sub, StageSpec("blocklist_filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"token-exact matching violated: kept $kept")
+    // the stage over the corpus drops exactly the flagged set
+    val stageKept = CurationStages(docs, StageSpec("blocklist_filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stageKept == rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet)
+  }
+
   test("importance_resample stage: keeps exactly the Gumbel top-budget, rows intact") {
     import graft.jobs.{CurationStages, StageSpec}
     val docs = Tables(spark, sf, "documents")
