@@ -478,6 +478,7 @@ class JobRunnerSpec extends SparkSpec {
            sources.PairGraph.layoutPath(dir),
            sources.SplitAssignment.layoutPath(dir),
            sources.IvfCentroids.layoutPath(dir),
+           sources.PqCodebooks.layoutPath(dir),
            sources.BucketedEmbeddings.layoutPath(dir),
            sources.BpeMerges.layoutPath(dir)))
       assert(Files.exists(Paths.get(p, "_SUCCESS")), s"missing layout $p")
