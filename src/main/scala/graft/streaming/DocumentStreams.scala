@@ -75,6 +75,23 @@ object DocumentStreams {
       .filter(col("n_hits") >= minShared)
   }
 
+  /** Streaming blocklist flags — q94's C4-style word filter over an
+    * unbounded source: stateless, shuffle-free (the blocklist rides as a
+    * hash-set literal inside the codegen'd `tokens_in_set`), so arriving
+    * docs gate in the same micro-batch they land. Emits the flagged docs
+    * with their token-exact hit counts; the keep-side is the stage form
+    * (`blocklist_filter`), whose filter is this predicate's negation.
+    */
+  def blocklistFlags(stream: DataFrame,
+      terms: Seq[String] = graft.queries.CurationOps.Blocklist): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val hits = org.apache.spark.sql.graft.TextExpressions
+      .tokens_in_set(tokens("text"), terms).cast("long")
+    stream
+      .select(col("doc_id"), col("lang"), col("source"), hits.as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Streaming DSIR importance flags — the incremental twin of batch
     * q93's scorer: arriving documents score their hashed-bigram bucket
     * counts against the CORPUS-TRAINED log-ratio table (built once batch

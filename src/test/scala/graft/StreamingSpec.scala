@@ -475,6 +475,21 @@ class StreamingSpec extends SparkSpec {
     assert(gated.nonEmpty && gated.forall(_ >= 1L))
   }
 
+  test("streaming blocklist flags equal batch q94's flagged set exactly") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_blk")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.blocklistFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s")),
+      "blk_t").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val batch = queries.CurationOps.q94BlocklistFilter.fn(spark, sf)
+      .filter(col("n_hits") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
