@@ -1351,9 +1351,59 @@ object TextOps {
     dw.withColumn("gkey", col("logw") - log(-log(u)))
   }
 
+  /** Q95 — tokenizer fertility by source: characters-per-BPE-symbol and
+    * symbols-per-word under the corpus-trained merge table (q82/q84's
+    * `BpeMerges` artifact). Fertility is the standard tokenizer-fit
+    * diagnostic a curation pipeline reads before fixing a mixture: a
+    * source whose text fragments into many symbols per word pays more
+    * sequence length per character of content (out-of-domain spelling,
+    * encoding noise), and the per-source table is what a temperature/
+    * budget decision consumes. All counts are exact longs; the two
+    * ratios divide already-identical longs — bit-exact cross-engine.
+    *
+    * Plan shape: the vocabulary-sized symbol table (distinct words ×
+    * merge applications) joins the token stream broadcast-style, then
+    * one partial-agg'd groupBy(source) — no corpus shuffle, the q84
+    * application pass re-grouped one level coarser.
+    */
+  val q95BpeFertility: QueryDef = {
+    val K = BpeRounds
+    QueryDef.sql(
+      "q95_bpe_fertility",
+      s"""WITH ${bpeOracleCtes(K)},
+         |wsym AS (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(s, '.'), '..')) AS BIGINT) AS n_sym,
+         |    CAST(len(word) AS BIGINT) AS n_char
+         |  FROM w$K),
+         |d AS (SELECT doc_id, source, unnest($ToksSql) AS word FROM documents)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(w.n_sym) AS BIGINT) AS n_sym,
+         |  CAST(sum(w.n_char) AS BIGINT) AS n_char,
+         |  CAST(sum(w.n_char) AS BIGINT) / CAST(sum(w.n_sym) AS BIGINT) AS chars_per_sym,
+         |  CAST(sum(w.n_sym) AS BIGINT) / CAST(count(*) AS BIGINT) AS syms_per_tok
+         |FROM d JOIN wsym w USING (word)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val merges = graft.sources.BpeMerges(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val symCount = bpeSymCounts(docs,
+        merges.map { case (_, pa, pb, _, _) => (pa, pb) })
+        .withColumn("n_char", length(col("word")).cast("long"))
+      docs.select(col("source"), explode(toks).as("word"))
+        .join(symCount, "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_sym"),
+          sum(col("n_char")).as("n_char"))
+        .withColumn("chars_per_sym", col("n_char") / col("n_sym"))
+        .withColumn("syms_per_tok", col("n_sym") / col("n_tok"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
-    q84BpeApply, q93ImportanceResample)
+    q84BpeApply, q93ImportanceResample, q95BpeFertility)
 }

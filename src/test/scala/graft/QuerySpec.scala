@@ -267,6 +267,21 @@ class QuerySpec extends SparkSpec {
       s"selected target share $selTgt vs base rate $baseTgt")
   }
 
+  test("q95 fertility: merges only compress (n_sym ≤ n_char, strict in aggregate)") {
+    val rows = queries.TextOps.q95BpeFertility.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nSym, nChar) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSym >= nTok, "every word is at least one symbol")
+      assert(nSym <= nChar, s"BPE grew symbols beyond characters: $nSym > $nChar")
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
+    }
+    // the learned merges actually fire somewhere (strictly fewer symbols
+    // than characters corpus-wide)
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum,
+      "no merge fired anywhere — the artifact is not being applied")
+  }
+
   test("q67 span dedup: keep-first semantics, coverage removal, short docs untouched") {
     import spark.implicits._
     // doc 1 holds the FIRST occurrence of the 8-token span (kept whole);
