@@ -1214,12 +1214,16 @@ object TextOps {
     * (no feature rows). Published scores are micro-quantized (q66's
     * discipline — ln is the one transcendental; margins spec-pinned).
     *
-    * Plan shape at 100 TB: ONE corpus pass builds per-(doc, bucket)
-    * counts (map-side combine; ≤B=64 rows per doc by construction); the
-    * two LMs are 64-row aggregates + a one-row total, broadcast back; the
-    * per-doc fold groups bounded lists; selection is
-    * TakeOrderedAndProject(100). No shuffle ever carries more than
-    * (docs × min(64, distinct buckets)) rows; nothing is quadratic.
+    * Plan shape at 100 TB: pass 1 trains the LM (per-(doc, bucket)
+    * counts map-side-combined into 64 cells + a one-row total, collected
+    * as 64 doubles — model-sized driver state like a centroid table);
+    * pass 2 SCORES map-only — per-row `bucket_counts` (one native pass
+    * over the fingerprint array) zip_with-folded against the LM literal,
+    * then TakeOrderedAndProject(budget). No doc-scale shuffle anywhere;
+    * nothing is quadratic. (The round-15 first cut folded a grouped
+    * (doc, bucket) relation instead — one extra doc-keyed shuffle,
+    * measured 2.7× the oracle at sf0.1; the map-only form is 1.8× with
+    * 9 jobs, and is literally the streaming flagger's scorer.)
     */
   private[graft] val DsirBuckets = 64
   private[graft] val DsirTargets = Seq("src1", "src2", "src3")
@@ -1334,21 +1338,42 @@ object TextOps {
     arr
   }
 
+  /** The per-row DSIR log-weight column over a fingerprint array against
+    * the driver-collected LM: counts via the one-pass native
+    * `bucket_counts`, fold via zip_with in bucket index order. Zero-count
+    * buckets contribute `0·lr = ±0.0`, and `x + (±0.0) ≡ x` under IEEE
+    * addition, so the 64-term fold is BIT-IDENTICAL to the oracle's
+    * present-buckets-only ordered fold — the equality the streaming spec
+    * pins. Shared by batch q93 and the streaming flagger (ONE scorer).
+    */
+  private[graft] def dsirLogwCol(fps: org.apache.spark.sql.Column,
+      lrArr: Array[Double]): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(
+        org.apache.spark.sql.graft.SketchExpressions
+          .bucket_counts(fps, DsirBuckets),
+        lit(lrArr), (c, l) => c.cast("double") * l),
+      lit(0.0), (acc, x) => acc + x)
+
   private[graft] def importanceScored(docs: org.apache.spark.sql.DataFrame,
       targets: Seq[String] = DsirTargets): org.apache.spark.sql.DataFrame = {
-    val dbc = dsirBucketCounts(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lr = dsirLogRatiosFrom(dbc, targets)
-    val dw = dbc.join(broadcast(lr), "bucket")
-      .withColumn("term", col("cnt").cast("double") * col("lr"))
-      .groupBy("doc_id")
-      .agg(min("source").as("source"), sum("cnt").as("n_bigrams"),
-        expr("aggregate(transform(array_sort(collect_list(struct(bucket, term)))," +
-          " s -> s.term), 0D, (a, b) -> a + b)").as("logw"))
+    // pass 1 (the LM): bucket counts → 64 log-ratios collected to the
+    // driver (model-sized, like a centroid table). Pass 2 (the scorer):
+    // MAP-ONLY — per-row bucket counts against the LM literal; no
+    // doc-scale shuffle anywhere (the round-15 first cut re-shuffled the
+    // counts on doc_id for an ordered collect_list fold — measured 2.7×
+    // the oracle at sf0.1; this form is the streaming flagger's shape).
+    val lrArr = dsirLogRatioArray(docs, targets)
+    val fps = org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)
     // derandomized Gumbel key from the doc's own fingerprint
     val u = (fingerprint("cast(doc_id as string)") + 1).cast("double") /
       lit(1000000009L).cast("double")
-    dw.withColumn("gkey", col("logw") - log(-log(u)))
+    docs.select(col("doc_id"), col("source"), fps.as("fps"))
+      .filter(size(col("fps")) > 0) // no bigram → no evidence (oracle parity)
+      .select(col("doc_id"), col("source"),
+        size(col("fps")).cast("long").as("n_bigrams"),
+        dsirLogwCol(col("fps"), lrArr).as("logw"))
+      .withColumn("gkey", col("logw") - log(-log(u)))
   }
 
   /** Q95 — tokenizer fertility by source: characters-per-BPE-symbol and

@@ -98,11 +98,13 @@ object DocumentStreams {
     * side, riding into the stream plan as a 64-double literal), and docs
     * at or above `minLogwN6` flag as target-like. MAP-ONLY on the stream
     * side (no state, no shuffle): per row the B=64 bucket counts come
-    * from B filter passes over the doc's own fingerprint array, and the
-    * sum runs in bucket order with zero-count terms contributing ±0.0 —
+    * from ONE pass of the native `bucket_counts` kernel, and the sum
+    * runs in bucket order with zero-count terms contributing ±0.0 —
     * exact identities under IEEE addition — so a streamed doc's logw_n6
     * is BIT-IDENTICAL to the batch scorer's (StreamingSpec pins the
-    * equality). Selection semantics differ by design: batch q93 draws a
+    * equality; since round 15 both sides literally share
+    * [[graft.queries.TextOps.dsirLogwCol]]). Selection semantics differ
+    * by design: batch q93 draws a
     * Gumbel top-k SAMPLE; a stream cannot hold a top-k of the future, so
     * the online form is the standard threshold gate on the same weight.
     */
@@ -110,20 +112,18 @@ object DocumentStreams {
       targets: Seq[String] = graft.queries.TextOps.DsirTargets,
       minLogwN6: Long = 0L): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val B = graft.queries.TextOps.DsirBuckets
-    val lrLit = lit(graft.queries.TextOps.dsirLogRatioArray(corpus, targets))
-    val logw = aggregate(
-      transform(sequence(lit(0), lit(B - 1)),
-        b => size(filter(col("fps"), f => f % B === b)).cast("double") *
-          element_at(lrLit, b + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // ONE scorer: the shared per-row logw column (native bucket_counts +
+    // zip_with fold) over the corpus-trained LM — batch q93 computes the
+    // identical expression, so the bit-equality below is by construction
+    val lrArr = graft.queries.TextOps.dsirLogRatioArray(corpus, targets)
     stream
       .select(col("doc_id"), col("lang"), col("source"),
         org.apache.spark.sql.graft.TextExpressions
           .shingle_hashes(tokens("text")).as("fps"))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("fps")).cast("long").as("n_bigrams"),
-        floor(logw * 1000000 + lit(0.5)).cast("long").as("logw_n6"))
+        floor(graft.queries.TextOps.dsirLogwCol(col("fps"), lrArr) * 1000000 +
+          lit(0.5)).cast("long").as("logw_n6"))
       .filter(col("logw_n6") >= minLogwN6)
   }
 

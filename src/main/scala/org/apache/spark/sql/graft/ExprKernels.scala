@@ -146,6 +146,22 @@ object ExprKernels {
     hits
   }
 
+  /** Per-bucket occurrence counts of a non-negative long array under
+    * `x % m` (see BucketCounts) — one traversal into an m-long counts
+    * array, the DSIR scorer's bag-of-hashed-ngrams vector without 64
+    * filter passes or an explode+shuffle.
+    */
+  def bucketCounts(keys: ArrayData, m: Int): ArrayData = {
+    val out = new Array[Long](m)
+    val n = keys.numElements()
+    var i = 0
+    while (i < n) {
+      out((keys.getLong(i) % m).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of array elements that test positive against a Bloom filter
     * (see BloomHits) — the streaming flaggers' membership probe as one
     * pass over the long array, no per-element Scala-UDF boxing.

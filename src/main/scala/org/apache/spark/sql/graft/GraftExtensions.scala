@@ -78,6 +78,20 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "tokens_in_set(tokens, array('a', 'b', ...))")
       }),
+    ("bucket_counts", classOf[BucketCounts].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(keys, m) =>
+          BucketCounts(keys, m.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case d: java.math.BigDecimal => d.intValueExact()
+            case d: org.apache.spark.sql.types.Decimal => d.toInt
+            case other => throw new IllegalArgumentException(
+              s"bucket_counts: m must be an integer literal, got $other")
+          })
+        case _ => throw new IllegalArgumentException(
+          "bucket_counts(keys, m)")
+      }),
     ("bloom_hits", classOf[BloomHits].getName,
       (c: Seq[Expression]) => c match {
         case Seq(keys, bytes) =>

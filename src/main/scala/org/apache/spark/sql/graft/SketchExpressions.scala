@@ -171,7 +171,38 @@ object BloomHits {
   }
 }
 
+/** Per-bucket counts of a non-negative long array under `x % m` — the
+  * hashed-feature bag vector (DSIR's bucket counts) as one codegen'd
+  * traversal. The compose form (64 `filter`/`size` passes or an
+  * explode + groupBy) either re-scans the array per bucket or pays a
+  * doc-scale shuffle; this is a map-side array op. Inputs must be
+  * non-negative (rolling-hash domain [0, P)) — `%` is used directly.
+  */
+case class BucketCounts(child: Expression, m: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(m > 0, s"bucket_counts: m must be positive, got $m")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.bucketCounts(input.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.bucketCounts($c, $m)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
+
+  /** One-pass per-bucket counts over an array<long> column. */
+  def bucket_counts(keys: Column, m: Int): Column =
+    ExpressionUtils.column(BucketCounts(ExpressionUtils.expression(keys), m))
   def minhash_signature(fps: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(fps), a, b, p))
 

@@ -77,6 +77,20 @@ class CodegenGuardSpec extends SparkSpec {
       "ExprKernels.rollingHash", "ExprKernels.simhash", "ExprKernels.minhash")
   }
 
+  test("bucket_counts: generated stage compiles and counts exactly") {
+    // row-dependent input — an all-literal array constant-folds the whole
+    // expression away at plan time and nothing reaches codegen
+    val df = base.select(col("doc_id"),
+      SketchExpressions.bucket_counts(
+        array(lit(5L), lit(69L), pmod(col("doc_id"), lit(64L))), 64).as("bc"))
+    assertCodegen(df, "ExprKernels.bucketCounts")
+    df.collect().foreach { r =>
+      val bc = r.getSeq[Long](1)
+      assert(bc.length == 64 && bc.sum == 3L && bc(5) >= 2L)
+      assert(bc((r.getLong(0) % 64).toInt) >= 1L)
+    }
+  }
+
   test("bloom_hits: generated stage compiles and counts exactly") {
     // a small filter over known longs: the expression must compile into
     // the fused stage AND agree with a direct membership count (no false
