@@ -83,6 +83,39 @@ class PqCodebooksSpec extends SparkSpec {
     }
   }
 
+  test("a sub-codebook cell that attracts no members drops out; encoding still total") {
+    import spark.implicits._
+    // two labels whose SUBSPACE-0 slices are IDENTICAL: both warm slice
+    // centroids coincide there, the argmin tie breaks to label 0, so
+    // label 1's cell in subspace 0 empties after assignment — the
+    // refined table must simply lack that row (both engines agree by
+    // construction) and every vector must still encode against the
+    // surviving cells.
+    val dim = M * D
+    val rows = (0 until 24).map { i =>
+      val label = i % 2
+      val v = Array.tabulate(dim) { j =>
+        if (j < D) 0.5f // subspace 0: identical for both labels
+        else if (label == 0) (0.1f * ((j + i) % 5)) else (0.9f - 0.1f * ((j + i) % 5))
+      }
+      (i.toLong, label.toLong, v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pq-empty").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cb = graft.sources.PqCodebooks(spark, dir)
+    assert(cb(0).map(_._1) == Seq(0L),
+      s"subspace 0 should keep only cell 0, got ${cb(0).map(_._1)}")
+    assert(cb.drop(1).forall(_.nonEmpty))
+    // encoding is total over the surviving cells (no lookup can miss)
+    val coded = graft.sources.PqCodebooks.encodeDelta(spark, dir,
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select("pq_code").collect().map(_.getLong(0))
+    assert(coded.length == 24 && coded.forall(c => c >= 0 && c < (1L << 32)))
+    // subspace-0 code is 0 for every vector (the only surviving cell)
+    assert(coded.forall(c => (c & 0xf) == 0L))
+  }
+
   test("encodeDelta packs appended vectors identically to the batch encoder") {
     val emb = Tables(spark, sf, "embeddings").limit(20)
     val delta = graft.sources.PqCodebooks.encodeDelta(spark, sf, emb)
