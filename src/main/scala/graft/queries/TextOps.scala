@@ -1323,7 +1323,10 @@ object TextOps {
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
           (col("tt") + B).cast("double")) -
           log((coalesce(col("cc"), lit(0L)) + 1).cast("double") /
-            (col("tc") + B).cast("double"))).as("lr"))
+            (col("tc") + B).cast("double"))).as("lr"),
+        // rides along so the collecting caller can validate the declared
+        // target slice without a second aggregate job (never published)
+        coalesce(col("tt"), lit(0L)).as("tt"))
   }
 
   /** The corpus-trained DSIR log-ratio table collected for broadcast-style
@@ -1332,9 +1335,14 @@ object TextOps {
   private[graft] def dsirLogRatioArray(docs: org.apache.spark.sql.DataFrame,
       targets: Seq[String] = DsirTargets): Array[Double] = {
     val rows = dsirLogRatiosFrom(dsirBucketCounts(docs), targets)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // a typo'd slice would otherwise train a silently-meaningless LM of
+    // pure smoothing mass — fail as a config error, like the softmax
+    // label-domain check
+    require(rows.isEmpty || rows.head._3 > 0L,
+      s"DSIR target slice matched no documents: sources ${targets.mkString(",")}")
     val arr = Array.ofDim[Double](DsirBuckets)
-    rows.foreach { case (b, v) => arr(b.toInt) = v }
+    rows.foreach { case (b, v, _) => arr(b.toInt) = v }
     arr
   }
 

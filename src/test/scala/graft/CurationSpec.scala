@@ -166,6 +166,14 @@ class CurationSpec extends SparkSpec {
       Map("budgetDocs" -> 50.0, "targetSources" -> "src18,src19")))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other != got, "targetSources knob had no effect")
+    // a typo'd slice fails loudly as a config error, not a silent
+    // pure-smoothing LM
+    val ex = intercept[IllegalArgumentException] {
+      CurationStages(docs, StageSpec("importance_resample",
+        Map("budgetDocs" -> 50.0, "targetSources" -> "no_such_source")))
+        .count()
+    }
+    assert(ex.getMessage.contains("no_such_source"))
   }
 
   test("pq_encode stage: codes match q92's encoder, embedding replaced, nulls ride") {
