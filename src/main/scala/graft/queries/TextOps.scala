@@ -1048,11 +1048,15 @@ object TextOps {
     * applying the K learned merges (literal patterns from
     * [[learnBpeMerges]]) to the delimiter-wrapped form — a vocab-sized
     * map-only derivation off the distinct-word aggregate; the corpus pass
-    * explodes tokens and joins that vocab dimension on `word` (a KEYED
-    * join — vocab is unbounded at 100 TB, so no broadcast assumption),
-    * then one groupBy(doc). Same greedy left-to-right merge semantics as
-    * the trainer (delimiter-wrapped replace, see q82); counts are exact
-    * longs — bit-exact cross-engine.
+    * explodes tokens and PRE-AGGREGATES to (doc, word) → cnt (map-side
+    * partial combine bounds the exchange at distinct pairs, never token
+    * occurrences) before joining that vocab dimension on `word` (a KEYED
+    * join — vocab is unbounded at 100 TB, so no broadcast assumption: if
+    * a 10⁸-word vocabulary fails over the broadcast threshold, the SMJ
+    * shuffles the deduplicated pair table, not the raw token stream),
+    * then one groupBy(doc) re-weighting by cnt. Same greedy left-to-right
+    * merge semantics as the trainer (delimiter-wrapped replace, see q82);
+    * counts are exact longs — bit-exact cross-engine.
     */
   val q84BpeApply: QueryDef = {
     val K = BpeRounds
@@ -1077,9 +1081,12 @@ object TextOps {
       val symCount = bpeSymCounts(docs,
         merges.map { case (_, pa, pb, _, _) => (pa, pb) })
       docs.select(col("doc_id"), explode(toks).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
         .join(symCount, "word")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_sym"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          sum(col("n_sym") * col("cnt")).as("n_sym"))
         .orderBy("doc_id")
     }
   }
@@ -1394,10 +1401,14 @@ object TextOps {
     * budget decision consumes. All counts are exact longs; the two
     * ratios divide already-identical longs — bit-exact cross-engine.
     *
-    * Plan shape: the vocabulary-sized symbol table (distinct words ×
-    * merge applications) joins the token stream broadcast-style, then
-    * one partial-agg'd groupBy(source) — no corpus shuffle, the q84
-    * application pass re-grouped one level coarser.
+    * Plan shape: the token stream pre-aggregates to (source, word) → cnt
+    * — map-side partial combine bounds the exchange at |sources × vocab|
+    * rows regardless of corpus size — and THAT vocab-scale table joins
+    * the vocabulary-sized symbol table (distinct words × merge
+    * applications) on `word`: two vocab-sized relations meet, token
+    * occurrences never shuffle even when a 10⁸-word vocabulary makes the
+    * broadcast fail over to a sort-merge join. One final partial-agg'd
+    * groupBy(source) re-weights by cnt.
     */
   val q95BpeFertility: QueryDef = {
     val K = BpeRounds
@@ -1424,10 +1435,13 @@ object TextOps {
         merges.map { case (_, pa, pb, _, _) => (pa, pb) })
         .withColumn("n_char", length(col("word")).cast("long"))
       docs.select(col("source"), explode(toks).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
         .join(symCount, "word")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("n_sym")).as("n_sym"),
-          sum(col("n_char")).as("n_char"))
+        .agg(sum(col("cnt")).as("n_tok"),
+          sum(col("n_sym") * col("cnt")).as("n_sym"),
+          sum(col("n_char") * col("cnt")).as("n_char"))
         .withColumn("chars_per_sym", col("n_char") / col("n_sym"))
         .withColumn("syms_per_tok", col("n_sym") / col("n_tok"))
         .orderBy("source")

@@ -360,6 +360,68 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findFirstIn(p).isDefined, "matrix must partial-agg")
   }
 
+  test("q92: trained-PQ search is a code scan + two TakeOrdered — no join, no doc-keyed exchange") {
+    // the round-15 first-cut shape joined the re-rank set back to the
+    // corpus; the shipped shape carries the embedding through the ADC
+    // TakeOrdered so the exact re-rank needs no join at all (SCALE.md r15
+    // measured the difference) — this pin makes that catch automatic
+    val p = planOf(queries.VectorOps.q92AnnPqTrained.fn(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2,
+      "ADC top-100 and exact top-10 must both be TakeOrderedAndProject: " + p.take(600))
+    assert(!p.contains("Join"), "PQ search must not join anything")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "PQ search must not shuffle the corpus")
+    assert(p.contains("nearest_centroid"), "encode must be the native argmin")
+  }
+
+  test("q93: the DSIR scorer is map-only — native bucket_counts + TakeOrdered, no doc-keyed exchange") {
+    // the round-15 first cut re-shuffled per-doc bucket counts on doc_id
+    // for an ordered collect_list fold — measured 2.7× the oracle at
+    // sf0.1 (12 jobs vs 9). The shipped scorer is one bucket_counts
+    // projection against the LM literal; only pass 1 (the 64-row LM,
+    // collected before this plan exists) may aggregate.
+    val p = planOf(queries.TextOps.q93ImportanceResample.fn(spark, sf))
+    assert(p.contains("bucket_counts"), "scorer must use the native kernel")
+    assert(p.contains("TakeOrderedAndProject"), "selection must be top-k, not a global sort")
+    assert(!p.contains("HashAggregate"), "the scorer itself must not aggregate")
+    assert(!p.contains("Join"), "the scorer must not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no doc-keyed exchange — the first-cut collect_list shape returned")
+  }
+
+  test("q84/q95: the vocab join consumes PRE-AGGREGATED (group, word) pairs, never raw token occurrences") {
+    // at a 10⁸-word vocabulary the symbol-table broadcast fails over to a
+    // sort-merge join; pre-aggregation bounds what that SMJ would shuffle
+    // at distinct (group, word) pairs instead of every token occurrence.
+    // Tree-walk (not string match): every join child must put an
+    // aggregate between itself and any Generate (explode) below it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def rawGenerateUnder(n: SparkPlan): Boolean = unwrap(n) match {
+      case _: BaseAggregateExec => false // an agg below here bounds the rows
+      case _: GenerateExec => true
+      case other => other.children.exists(rawGenerateUnder)
+    }
+    for (q <- Seq(queries.TextOps.q84BpeApply, queries.TextOps.q95BpeFertility)) {
+      val plan = unwrap(q.fn(spark, sf).queryExecution.executedPlan)
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"${q.name}: the vocab join disappeared")
+      joins.foreach { j =>
+        assert(!j.children.exists(rawGenerateUnder),
+          s"${q.name}: a join consumes the raw exploded token stream — " +
+            "pre-aggregate (group, word) → cnt first")
+      }
+    }
+  }
+
   test("no registered query hides a REAL cartesian in a BroadcastNestedLoopJoin") {
     // Sites that intentionally cross-join 1-to-8-row broadcast frames:
     // q27/q53 (8 held-out query vectors), q57 (1-row mix denominator),
