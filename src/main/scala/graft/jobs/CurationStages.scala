@@ -340,14 +340,8 @@ object CurationStages {
         throw new IllegalArgumentException(
           "pq_encode: the job source is not a table directory — the stage " +
             "encodes against the corpus's persisted PqCodebooks layout"))
-      val cb = graft.sources.PqCodebooks(docs.sparkSession, srcDir)
-      val m = graft.sources.PqCodebooks.M
-      val d = graft.sources.PqCodebooks.D
-      val pqCode = (0 until m).map { sub =>
-        org.apache.spark.sql.graft.VectorExpressions
-          .nearest_centroid(col(embCol), cb(sub), offset = sub * d) *
-          lit(1L << (4 * sub))
-      }.reduce(_ + _)
+      val pqCode = graft.sources.PqCodebooks.pqCodeCol(
+        graft.sources.PqCodebooks(docs.sparkSession, srcDir), col(embCol))
       docs.withColumn("pq_code",
         when(col(embCol).isNull, lit(null)).otherwise(pqCode).cast("long"))
         .drop(embCol)
@@ -432,11 +426,22 @@ object CurationStages {
       val targets = stage.strOr("targetSources",
         graft.queries.TextOps.DsirTargets.mkString(","))
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val keep = graft.queries.TextOps.importanceScored(docs, targets)
+      // The stage reads the flowing chain THREE times — the LM-training
+      // collect inside importanceScored, the scored right side of the
+      // semi join, and the left side — so the flow persists for the
+      // stage's duration (perplexity_filter's discipline; released by the
+      // job-level clearCreatedSince sweep). SIDE EFFECT, by design: the
+      // LM collect fires HERE, at stage-COMPOSITION time, materializing
+      // the persisted upstream chain before the job output is written —
+      // the 64-double LM must exist to build the scorer column at all,
+      // and any later consumer of the composed frame re-reads the
+      // persisted blocks instead of re-running corpus-scale stages.
+      val flow = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = graft.queries.TextOps.importanceScored(flow, targets)
         .orderBy(col("gkey").desc, col("doc_id"))
         .limit(budget)
         .select("doc_id")
-      docs.join(keep, Seq("doc_id"), "left_semi")
+      flow.join(keep, Seq("doc_id"), "left_semi")
 
     // q57's share^alpha mixing weights, applied as per-language keep
     // RATES through the same consistent hash — map-only (an exact

@@ -58,6 +58,83 @@ object PqCodebooks {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), SubTable]
 
+  // ---- shared encode / ADC builders -------------------------------------
+  // ONE definition of the packing and tie-break rules for every consumer
+  // (q92, q53's pq/pqt arms, the pq_encode stage, encodeDelta, WhitenPqAb):
+  // a change to the 4-bit field layout, the argmin tie order, or the LUT
+  // fold order edits here, not four hand-copies in lockstep.
+
+  /** Both the 4-bit `pq_code` fields and the `qid·16+label` ADC-map keys
+    * collide silently if any codeword label leaves [0,16).
+    */
+  def requireFourBit(cb: SubTable): Unit =
+    require(cb.forall(_.forall { case (l, _) => l >= 0 && l < 16 }),
+      "pq_code/adc keys pack labels into 4-bit fields; " +
+        "codebook labels must be in [0,16)")
+
+  /** Subspace `sub`'s nearest-codeword label for a vector column — the
+    * native sequential-fold argmin, ties to the smaller label.
+    */
+  def codeCol(cb: SubTable, sub: Int,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .nearest_centroid(emb, cb(sub), offset = sub * D)
+
+  /** Pack already-computed per-sub code columns into the single M×4-bit
+    * long (sub 0 in the low nibble).
+    */
+  def packCodes(code: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until M).map(sub => code(sub) * lit(1L << (4 * sub)))
+      .reduce(_ + _).cast("long")
+
+  /** The packed `pq_code` column straight from a vector column (encode +
+    * pack in one map-only expression tree).
+    */
+  def pqCodeCol(cb: SubTable,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    requireFourBit(cb)
+    packCodes(sub => codeCol(cb, sub, emb))
+  }
+
+  /** Per-sub query LUT: the query slice's dot with every codeword, as a
+    * sequential double fold — bit-identical to the oracle's
+    * list_dot_product over identical doubles.
+    */
+  def queryLut(cb: SubTable, qv: Int => Double): Seq[Seq[Double]] =
+    (0 until M).map { sub =>
+      cb(sub).map { case (_, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < D) { acc += qv(sub * D + i) * c(i); i += 1 }
+        acc
+      }
+    }
+
+  /** Per-sub ADC lookup maps over a query set, keyed `qid·16 + label`
+    * (label domains can differ per sub — a refined cell with no members
+    * has no codeword).
+    */
+  def adcMaps(cb: SubTable,
+      lutsByQ: Seq[(Long, Seq[Seq[Double]])]): Seq[org.apache.spark.sql.Column] = {
+    requireFourBit(cb)
+    (0 until M).map { sub =>
+      val labels = cb(sub).map(_._1)
+      map_from_arrays(
+        lit(lutsByQ.flatMap { case (qid, _) => labels.map(l => qid * 16 + l) }.toArray),
+        lit(lutsByQ.flatMap { case (_, luts) => luts(sub) }.toArray))
+    }
+  }
+
+  /** The ADC score: per-sub map lookups folded in FIXED subspace order
+    * (IEEE-deterministic, mirrors the oracle's ordered sum).
+    */
+  def adcCol(maps: Seq[org.apache.spark.sql.Column],
+      qid: org.apache.spark.sql.Column,
+      code: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until M).foldLeft(lit(0.0)) { (acc, sub) =>
+      acc + element_at(maps(sub), qid * 16 + code(sub))
+    }
+
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("pqcb", Version, dir, Seq(s"$dir/embeddings.parquet"))
 
@@ -70,15 +147,8 @@ object PqCodebooks {
     */
   def encodeDelta(spark: SparkSession, dir: String,
       delta: org.apache.spark.sql.DataFrame,
-      embCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    val cb = apply(spark, dir)
-    val pqCode = (0 until M).map { sub =>
-      org.apache.spark.sql.graft.VectorExpressions
-        .nearest_centroid(col(embCol), cb(sub), offset = sub * D) *
-        lit(1L << (4 * sub))
-    }.reduce(_ + _)
-    delta.withColumn("pq_code", pqCode.cast("long"))
-  }
+      embCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    delta.withColumn("pq_code", pqCodeCol(apply(spark, dir), col(embCol)))
 
   def apply(spark: SparkSession, dir: String): SubTable = {
     val target = layoutPath(dir)

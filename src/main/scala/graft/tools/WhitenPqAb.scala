@@ -127,30 +127,19 @@ object WhitenPqAb {
     def arm(name: String, df: DataFrame, codeCol: String,
         cbSub: Seq[Seq[(Long, Seq[Double])]],
         qSide: Long => Array[Double]): Unit = {
+      // the shared builders on PqCodebooks (per-sub label domains —
+      // retrained cells can drop out)
+      val PQ = graft.sources.PqCodebooks
       val luts = qvs.map { case (qid, _) =>
-        (qid, (0 until M).map { sub =>
-          cbSub(sub).map { case (_, c) =>
-            val qq = qSide(qid)
-            var acc = 0.0; var i = 0
-            while (i < D) { acc += qq(sub * D + i) * c(i); i += 1 }
-            acc
-          }
-        })
+        val qq = qSide(qid)
+        (qid, PQ.queryLut(cbSub, qq(_)))
       }
-      // per-sub label domains (retrained cells can drop out)
-      val adcMaps = (0 until M).map { sub =>
-        val labels = cbSub(sub).map(_._1)
-        map_from_arrays(
-          lit(luts.flatMap { case (qid, _) => labels.map(l => qid * 16 + l) }.toArray),
-          lit(luts.flatMap { case (_, ls) => ls(sub) }.toArray))
-      }
+      val adcMaps = PQ.adcMaps(cbSub, luts)
       val coded = df.select(Seq(col("vec_id"), col("embedding")) ++
-        (0 until M).map(sub => org.apache.spark.sql.graft.VectorExpressions
-          .nearest_centroid(col(codeCol), cbSub(sub), offset = sub * D)
+        (0 until M).map(sub => PQ.codeCol(cbSub, sub, col(codeCol))
           .as(s"code_$sub")): _*)
       val qidDf = spark.createDataFrame(qvs.map(q => Tuple1(q._1))).toDF("qid")
-      val adcCol = (0 until M).foldLeft(lit(0.0)) { (acc, sub) =>
-        acc + element_at(adcMaps(sub), col("qid") * 16 + col(s"code_$sub")) }
+      val adcCol = PQ.adcCol(adcMaps, col("qid"), sub => col(s"code_$sub"))
       val ranked = coded.crossJoin(broadcast(qidDf)).withColumn("adc", adcCol)
       val cand100 = topkIds(ranked, col("adc"), 100)
       val recalls = qvs.map { case (qid, _) =>

@@ -150,13 +150,25 @@ object ExprKernels {
     * `x % m` (see BucketCounts) — one traversal into an m-long counts
     * array, the DSIR scorer's bag-of-hashed-ngrams vector without 64
     * filter passes or an explode+shuffle.
+    *
+    * The non-negative contract is ENFORCED, not assumed: `bucket_counts`
+    * is a registered public SQL function, and a negative key under Java
+    * `%` would either corrupt an index or surface as an opaque
+    * ArrayIndexOutOfBoundsException deep in an executor task. Silently
+    * floorMod-ing instead would diverge from the `x % m` semantics every
+    * SQL consumer (and the DuckDB oracle) computes — so fail loudly with
+    * the offending value, the softmax label-domain discipline.
     */
   def bucketCounts(keys: ArrayData, m: Int): ArrayData = {
     val out = new Array[Long](m)
     val n = keys.numElements()
     var i = 0
     while (i < n) {
-      out((keys.getLong(i) % m).toInt) += 1
+      val k = keys.getLong(i)
+      if (k < 0L) throw new IllegalArgumentException(
+        s"bucket_counts: key $k is negative — keys must be non-negative " +
+          s"(Java % would disagree with SQL's x % $m bucketing)")
+      out((k % m).toInt) += 1
       i += 1
     }
     new GenericArrayData(out)

@@ -176,7 +176,10 @@ object BloomHits {
   * traversal. The compose form (64 `filter`/`size` passes or an
   * explode + groupBy) either re-scans the array per bucket or pays a
   * doc-scale shuffle; this is a map-side array op. Inputs must be
-  * non-negative (rolling-hash domain [0, P)) — `%` is used directly.
+  * non-negative (rolling-hash domain [0, P)) — `%` is used directly, and
+  * the kernel REJECTS negative keys with the offending value (a public
+  * SQL function must not turn a contract breach into an opaque
+  * ArrayIndexOutOfBoundsException or a silently-floorMod'd bucket).
   */
 case class BucketCounts(child: Expression, m: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -91,6 +91,22 @@ class CodegenGuardSpec extends SparkSpec {
     }
   }
 
+  test("bucket_counts: a negative key fails loudly with the offending value") {
+    // public SQL function — the non-negative contract is enforced, not a
+    // comment: Java % on a negative long would otherwise throw an opaque
+    // ArrayIndexOutOfBoundsException inside an executor task (or, with
+    // floorMod, silently disagree with SQL's x % m)
+    val e = intercept[Exception] {
+      base.select(SketchExpressions.bucket_counts(
+        array(lit(5L), lit(-7L) - col("doc_id")), 64).as("bc")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("bucket_counts") && c.getMessage.contains("negative")),
+      s"expected the fail-loud message, got: $e")
+  }
+
   test("bloom_hits: generated stage compiles and counts exactly") {
     // a small filter over known longs: the expression must compile into
     // the fused stage AND agree with a direct membership count (no false
