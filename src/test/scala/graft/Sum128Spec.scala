@@ -91,6 +91,25 @@ class Sum128Spec extends SparkSpec {
     assert(rows == 0L)
   }
 
+  test("q90's forced Sum128 escalation is output-identical to the long path") {
+    // The >9.2e9-row corpus that AUTO-selects the wide accumulator can't
+    // exist at test SF, so force it: both widths over the same embeddings
+    // must agree cell-for-cell (i, j, n, s_n9) — the escalation changes
+    // only the accumulator's intermediate exactness, never the value.
+    val emb = Tables(spark, sf, "embeddings")
+    val narrow = queries.VectorOps.q90MomentsPlan(emb, wide = false).collect()
+    val wide = queries.VectorOps.q90MomentsPlan(emb, wide = true).collect()
+    assert(narrow.nonEmpty)
+    assert(narrow.length == wide.length)
+    narrow.zip(wide).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // and the wide plan keeps the narrow plan's aggregate physicality:
+    // primitive-buffer HashAggregate, no ObjectHashAggregate fallback
+    val plan = queries.VectorOps.q90MomentsPlan(emb, wide = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("registered as a SQL function and stays inside whole-stage codegen") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
