@@ -35,6 +35,33 @@ object MlStreams {
     new graft.ml.SoftmaxRegression(dim, numClasses)
       .features(stream, idCol, featCol, weights)
 
+  /** Streaming twin of the `pq_encode` curation stage: arriving vectors
+    * compress to their packed M×4-bit PQ code against the corpus's
+    * persisted [[graft.sources.PqCodebooks]] layout — trained once at
+    * ingest, HELD FIXED here exactly as the batch stage and
+    * [[graft.sources.PqCodebooks.encodeDelta]] hold it (codes stay
+    * comparable across the whole corpus; drift is an explicit re-train +
+    * rebuild, never an online update). MAP-ONLY on the stream side: the
+    * codebooks ride the plan as literals inside the codegen'd
+    * nearest-centroid fold, so there is no state, no watermark, no
+    * shuffle, and a streamed row's `pq_code` is BIT-IDENTICAL to the
+    * batch stage's for the same embedding (StreamingSpec pins streamed ≡
+    * batch over the full test corpus). Same output contract as the
+    * stage: the embedding column is REPLACED by the 8-byte code — the
+    * compress-on-ingest shape that makes the downstream store d·4/64×
+    * smaller than raw floats.
+    */
+  def pqEncode(stream: DataFrame, corpusDir: String,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cb = graft.sources.PqCodebooks(stream.sparkSession, corpusDir)
+    stream.withColumn("pq_code",
+      when(col(embCol).isNull, lit(null))
+        .otherwise(graft.sources.PqCodebooks.pqCodeCol(cb, col(embCol)))
+        .cast("long"))
+      .drop(embCol)
+  }
+
   /** Streaming maintenance of q90's second-moment cells — the whitening/
     * PCA statistics kept CURRENT as vectors land, instead of a periodic
     * batch pass: per-row upper-triangle terms (exact nano-quantized

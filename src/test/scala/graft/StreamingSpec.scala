@@ -475,6 +475,25 @@ class StreamingSpec extends SparkSpec {
     assert(gated.nonEmpty && gated.forall(_ >= 1L))
   }
 
+  test("streaming pq_encode: pq_code bit-identical to the batch encode") {
+    import graft.streaming.MlStreams
+    val emb = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("emb_pqenc")
+    emb.write.mode("overwrite").parquet(dir.toString + "/s")
+    val out = EventStreams.runToMemory(
+      MlStreams.pqEncode(
+        spark.readStream.schema(MlStreams.embeddingSchema)
+          .parquet(dir.toString + "/s"), sf), "pqenc_t")
+    // same output contract as the batch stage: embedding REPLACED by code
+    assert(!out.columns.contains("embedding"))
+    val streamed = out.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.PqCodebooks.encodeDelta(spark, sf, emb)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming blocklist flags equal batch q94's flagged set exactly") {
     import graft.streaming.DocumentStreams
     val docs = Tables(spark, sf, "documents")
