@@ -369,6 +369,18 @@ object CurationStages {
       docs.filter(org.apache.spark.sql.graft.TextExpressions
         .tokens_in_set(graft.functions.TextFunctions.tokens("text"), terms) === 0)
 
+    // q96's Gopher repetition rules: drop docs dominated by repeated
+    // n-grams (top-2-gram / duplicate-3-gram token fractions over the
+    // shared thresholds — one definition with the audit query and the
+    // stream twin; map-only via the native dup_run_stats kernel)
+    case "repetition_filter" =>
+      val (_, _, _, _, kept) = graft.queries.CurationOps
+        .repetitionColumns(col("__t"))
+      docs
+        .withColumn("__t", graft.functions.TextFunctions.tokens("text"))
+        .filter(kept)
+        .drop("__t")
+
     // q55's fused rule table over the text column (map-only)
     case "pii_scrub" =>
       docs.withColumn("text",

@@ -224,6 +224,106 @@ object CurationOps {
     }
   }
 
+  /** q96's thresholds — shared with the `repetition_filter` stage and the
+    * streaming twin so "the repetition rule" is one definition. The rule
+    * STRUCTURE is Gopher's (Rae 2021 table A1: a top-2-gram fraction cap
+    * and a duplicate-n-gram fraction cap); the CUTOFFS are recalibrated
+    * to this corpus like q94's blocklist term — the paper's 0.20/0.30
+    * web-text values are vacuous here (measured max top-2-gram fraction
+    * ≈ 0.031, every doc passes), so the shipped gate caps top-2-gram at
+    * 1/25 (4%) and duplicate-3-gram at 1/50 (2%), which drops 102/500
+    * sf0.001 docs with BOTH arms binding (76 top2 + 26 dup3-only).
+    * Applied as exact integer comparisons — `top2·25 ≤ n_bigrams`,
+    * `dup3·50 ≤ n_trigrams` — no floating division anywhere, so the
+    * verdict is bit-stable across engines by construction.
+    *
+    * Docs under [[RepMinTokens]] tokens pass the gate unexamined
+    * (Gopher's own discipline — its repetition rules apply above a
+    * word-count floor): below ~1/cap grams, a SINGLE repeated gram
+    * already exceeds the fraction cap, so the rule would degenerate
+    * into a length filter — which is a different rule's job.
+    */
+  private[graft] val RepTop2Den = 25L
+  private[graft] val RepDup3Den = 50L
+  private[graft] val RepMinTokens = 26L
+
+  /** The repetition verdict columns over a token-array column `t`:
+    * (top2, n_bigrams, dup3, n_trigrams, kept). Shared by q96, the
+    * curation stage and the stream twin.
+    */
+  private[graft] def repetitionColumns(t: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{SketchExpressions, TextExpressions}
+    val st2 = SketchExpressions.dup_run_stats(TextExpressions.ngram_hashes(t, 2))
+    val st3 = SketchExpressions.dup_run_stats(TextExpressions.ngram_hashes(t, 3))
+    val top2 = element_at(st2, 1)
+    val nbg = size(TextExpressions.ngram_hashes(t, 2)).cast("long")
+    val dup3 = element_at(st3, 2)
+    val ntg = size(TextExpressions.ngram_hashes(t, 3)).cast("long")
+    val kept = size(t).cast("long") < lit(RepMinTokens) ||
+      (top2 * lit(RepTop2Den) <= nbg && dup3 * lit(RepDup3Den) <= ntg)
+    (top2, nbg, dup3, ntg, kept)
+  }
+
+  /** Q96 — intra-document repetition filtering (the Gopher quality-rule
+    * family, Rae et al. 2021 §A1.1): drop documents dominated by repeated
+    * n-grams — boilerplate, scraped navigation, degenerate generations.
+    * Two of the paper's rules over word n-grams: the TOP-2-GRAM fraction
+    * (occurrences of the single most common bigram / all bigram
+    * occurrences) and the DUPLICATE-3-GRAM fraction (occurrences
+    * belonging to trigrams seen ≥ 2× in the doc / all trigram
+    * occurrences), capped at the corpus-calibrated thresholds above.
+    * Full-corpus AUDIT view like q94: every doc's numerators,
+    * denominators and verdict, reviewable before the `repetition_filter`
+    * stage applies the gate.
+    *
+    * Plan shape: repetition is a PER-DOCUMENT property, so this is
+    * MAP-ONLY at any corpus size — the native `dup_run_stats` kernel
+    * (one sort + run-length pass over the doc's gram fingerprints)
+    * replaces the explode → groupBy(doc, gram) → re-join shape, which
+    * would shuffle every gram occurrence in the corpus twice. The
+    * verdict is exact integer arithmetic (thresholds as multiplications,
+    * never a float division), so both engines agree bit-for-bit.
+    */
+  val q96RepetitionFilter: QueryDef = QueryDef.sql(
+    "q96_repetition_filter",
+    s"""WITH tk AS (SELECT doc_id, source, $ToksSql AS t FROM documents),
+       |b2 AS (SELECT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, ${WordNgramsOverT(2)} AS bg FROM tk) x,
+       |       unnest(bg) AS u(s)),
+       |c2 AS (SELECT doc_id, fp, count(*) AS c FROM b2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS nbg FROM c2 GROUP BY 1),
+       |b3 AS (SELECT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, ${WordNgramsOverT(3)} AS bg FROM tk) x,
+       |       unnest(bg) AS u(s)),
+       |c3 AS (SELECT doc_id, fp, count(*) AS c FROM b3 GROUP BY 1, 2),
+       |s3 AS (SELECT doc_id,
+       |  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3, sum(c) AS ntg
+       |  FROM c3 GROUP BY 1)
+       |SELECT tk.doc_id, tk.source, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(s2.top2, 0) AS BIGINT) AS top2,
+       |  CAST(coalesce(s2.nbg, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(s3.dup3, 0) AS BIGINT) AS dup3,
+       |  CAST(coalesce(s3.ntg, 0) AS BIGINT) AS n_trigrams,
+       |  (len(tk.t) < $RepMinTokens OR
+       |   (coalesce(s2.top2, 0) * $RepTop2Den <= coalesce(s2.nbg, 0)
+       |    AND coalesce(s3.dup3, 0) * $RepDup3Den <= coalesce(s3.ntg, 0)))
+       |    AS kept
+       |FROM tk LEFT JOIN s2 ON tk.doc_id = s2.doc_id
+       |       LEFT JOIN s3 ON tk.doc_id = s3.doc_id
+       |ORDER BY tk.doc_id""".stripMargin) { (s, dir) =>
+    val (top2, nbg, dup3, ntg, kept) = repetitionColumns(col("t"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tokens"),
+        top2.as("top2"), nbg.as("n_bigrams"),
+        dup3.as("dup3"), ntg.as("n_trigrams"), kept.as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q55PiiScrub, q56QualityFilter,
-    q57TemperatureMix, q94BlocklistFilter)
+    q57TemperatureMix, q94BlocklistFilter, q96RepetitionFilter)
 }

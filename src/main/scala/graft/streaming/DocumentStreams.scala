@@ -92,6 +92,30 @@ object DocumentStreams {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming repetition flags — q96's Gopher-rule gate over an
+    * unbounded source: stateless and shuffle-free (repetition is a
+    * per-document property; the native `dup_run_stats` kernel computes
+    * both numerators in one pass over the doc's own gram fingerprints),
+    * so arriving docs gate in the micro-batch they land in. Emits the
+    * DROPPED docs with their numerators/denominators — the review queue —
+    * with verdicts identical to batch q96 row-for-row (the thresholds and
+    * columns are the shared `repetitionColumns` definition; StreamingSpec
+    * pins the equality). The keep-side is the `repetition_filter` stage.
+    */
+  def repetitionFlags(stream: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val (top2, nbg, dup3, ntg, kept) =
+      graft.queries.CurationOps.repetitionColumns(col("__t"))
+    stream
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokens("text").as("__t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        top2.as("top2"), nbg.as("n_bigrams"),
+        dup3.as("dup3"), ntg.as("n_trigrams"), kept.as("kept"))
+      .filter(!col("kept"))
+      .drop("kept")
+  }
+
   /** Streaming DSIR importance flags — the incremental twin of batch
     * q93's scorer: arriving documents score their hashed-bigram bucket
     * counts against the CORPUS-TRAINED log-ratio table (built once batch

@@ -174,6 +174,34 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Intra-document repetition statistics over an n-gram fingerprint
+    * array (see DupRunStats): `[top, dup]` where `top` is the highest
+    * multiplicity of any single fingerprint and `dup` the number of
+    * occurrences belonging to fingerprints that appear ≥ 2 times. One
+    * sort + one run-length pass per row (O(n log n) in the DOCUMENT's
+    * gram count — map-only, no explode, no per-doc shuffle), vs the
+    * compose form's O(n²) nested filter lambdas. Empty input → [0, 0].
+    */
+  def dupRunStats(fps: ArrayData): ArrayData = {
+    val n = fps.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = fps.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var top = 0L
+    var dup = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      val run = (j - i).toLong
+      if (run > top) top = run
+      if (run >= 2L) dup += run
+      i = j
+    }
+    new GenericArrayData(Array(top, dup))
+  }
+
   /** Count of array elements that test positive against a Bloom filter
     * (see BloomHits) — the streaming flaggers' membership probe as one
     * pass over the long array, no per-element Scala-UDF boxing.

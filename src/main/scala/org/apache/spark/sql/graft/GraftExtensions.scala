@@ -100,6 +100,11 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "bloom_hits(keys, filter_bytes)")
       }),
+    ("dup_run_stats", classOf[DupRunStats].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(fps) => DupRunStats(fps)
+        case _ => throw new IllegalArgumentException("dup_run_stats(fps)")
+      }),
     ("linear_count_buckets", classOf[LinearCountBuckets].getName,
       (c: Seq[Expression]) => c match {
         case Seq(child, m) => LinearCountBuckets(child,

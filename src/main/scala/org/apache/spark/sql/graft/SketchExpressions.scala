@@ -201,11 +201,45 @@ case class BucketCounts(child: Expression, m: Int)
     copy(child = newChild)
 }
 
+/** Intra-document repetition statistics over an n-gram fingerprint array:
+  * `[top, dup]` — the highest multiplicity of any single gram, and the
+  * number of occurrences belonging to grams appearing ≥ 2 times (the two
+  * numerators of Rae et al. 2021 §A1.1's top-n-gram-fraction and
+  * duplicate-n-gram-fraction quality rules). One codegen'd sort +
+  * run-length pass per row; the compose form is O(n²) nested filter
+  * lambdas per document. Map-only by construction — repetition is a
+  * PER-DOCUMENT property, so no explode, no doc-keyed shuffle, at any
+  * corpus size.
+  */
+case class DupRunStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dup_run_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.dupRunStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.dupRunStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
 
   /** One-pass per-bucket counts over an array<long> column. */
   def bucket_counts(keys: Column, m: Int): Column =
     ExpressionUtils.column(BucketCounts(ExpressionUtils.expression(keys), m))
+
+  /** One-pass `[top multiplicity, duplicated occurrences]` over an
+    * array<long> n-gram fingerprint column.
+    */
+  def dup_run_stats(fps: Column): Column =
+    ExpressionUtils.column(DupRunStats(ExpressionUtils.expression(fps)))
   def minhash_signature(fps: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(fps), a, b, p))
 

@@ -91,6 +91,28 @@ class CodegenGuardSpec extends SparkSpec {
     }
   }
 
+  test("dup_run_stats: generated stage compiles and matches hand-computed runs") {
+    // row-dependent input so nothing constant-folds; multiplicities by
+    // hand: [7,7,7,x,5,5,9] with x = doc_id-dependent — top=3 (the 7s),
+    // dup = 3 + 2 (+2 more if x collides with 5, impossible: x ≥ 10)
+    val df = base.select(col("doc_id"),
+      SketchExpressions.dup_run_stats(
+        array(lit(7L), lit(7L), lit(7L), pmod(col("doc_id"), lit(64L)) + 10L,
+          lit(5L), lit(5L), lit(9L))).as("rs"))
+    assertCodegen(df, "ExprKernels.dupRunStats")
+    df.collect().foreach { r =>
+      val rs = r.getSeq[Long](1)
+      assert(rs == Seq(3L, 5L), s"doc ${r.getLong(0)}: $rs")
+    }
+    // empty input → [0, 0]; registered as a SQL function
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    base.limit(1).createOrReplaceTempView("__drs")
+    val e = spark.sql(
+      "SELECT dup_run_stats(CAST(array() AS ARRAY<BIGINT>)) FROM __drs")
+      .head.getSeq[Long](0)
+    assert(e == Seq(0L, 0L))
+  }
+
   test("bucket_counts: a negative key fails loudly with the offending value") {
     // public SQL function — the non-negative contract is enforced, not a
     // comment: Java % on a negative long would otherwise throw an opaque

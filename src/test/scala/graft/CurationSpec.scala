@@ -147,6 +147,57 @@ class CurationSpec extends SparkSpec {
     assert(stageKept == rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet)
   }
 
+  test("q96 repetition: stats match a brute-force check; stage drops exactly the gated docs") {
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    val rows = queries.CurationOps.q96RepetitionFilter.fn(spark, sf).collect()
+    assert(rows.length == docs.count())
+    val dropped = rows.filter(!_.getBoolean(7)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && dropped.size < rows.length,
+      s"the gate must split the corpus, dropped ${dropped.size}")
+    // brute-force multiplicity stats per doc (independent of the kernel)
+    val handByDoc = docs.collect().map { r =>
+      val toks = r.getAs[String]("text").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      def grams(n: Int) =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val bg = grams(2); val tg = grams(3)
+      val top2 = if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong
+      val dup3 = tg.groupBy(identity).values
+        .filter(_.size >= 2).map(_.size).sum.toLong
+      r.getAs[Long]("doc_id") ->
+        (toks.length.toLong, top2, bg.length.toLong, dup3, tg.length.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val (nt, t2, nb, d3, ntg) = handByDoc(r.getLong(0))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)) == ((nt, t2, nb, d3, ntg)), s"doc ${r.getLong(0)}")
+      val expectKept = nt < queries.CurationOps.RepMinTokens ||
+        (t2 * queries.CurationOps.RepTop2Den <= nb &&
+          d3 * queries.CurationOps.RepDup3Den <= ntg)
+      assert(r.getBoolean(7) == expectKept, s"doc ${r.getLong(0)} verdict")
+    }
+    // a degenerate long doc is gated; a diverse one and a SHORT one pass
+    // (short docs are the length filter's job, not repetition's)
+    import spark.implicits._
+    val sub = Seq(
+      (1L, Seq.fill(30)("spam").mkString(" ")),
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+      (3L, "tiny doc below the gram floor"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val kept = CurationStages(sub, StageSpec("repetition_filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // the stage over the corpus drops exactly the audit's gated set
+    val stageKept = CurationStages(docs, StageSpec("repetition_filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stageKept == rows.filter(_.getBoolean(7)).map(_.getLong(0)).toSet)
+  }
+
   test("importance_resample stage: keeps exactly the Gumbel top-budget, rows intact") {
     import graft.jobs.{CurationStages, StageSpec}
     val docs = Tables(spark, sf, "documents")

@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "window starts must explode per row")
   }
 
+  test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
+    // repetition is a per-document property: the explode → groupBy(doc,
+    // gram) → re-join shape would shuffle every gram occurrence twice
+    val p = planOf(queries.CurationOps.q96RepetitionFilter.fn(spark, sf))
+    assert(p.contains("dup_run_stats"), "must run the native kernel")
+    assert(!p.contains("Join"), "repetition stats must not join")
+    assert(!p.contains("HashAggregate"), "repetition stats must not aggregate")
+    assert(!p.contains("Generate"), "grams must not explode to rows")
+  }
+
   test("q70: split audit — capped posting lists, no cartesian, no shingle self-join") {
     val p = planOf(queries.PipelineOps.q70SplitContamination.fn(spark, sf))
     assert(p.contains("collect_long_list_capped"), "posting lists must be capped")

@@ -509,6 +509,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming repetition flags equal batch q96's dropped set exactly") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_rep")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    def key(r: org.apache.spark.sql.Row, o: Int) =
+      r.getLong(0) -> (r.getLong(o), r.getLong(o + 1), r.getLong(o + 2),
+        r.getLong(o + 3))
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.repetitionFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s")),
+      "rep_t").collect().map(key(_, 3)).toMap
+    val batch = queries.CurationOps.q96RepetitionFilter.fn(spark, sf)
+      .filter(!col("kept")).collect().map(key(_, 3)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
