@@ -279,6 +279,12 @@ object CurationOps {
     * denominators and verdict, reviewable before the `repetition_filter`
     * stage applies the gate.
     *
+    * Relation to q47 (TextOps): q47 scores UNIGRAM repetition (distinct
+    * ratio, top-token share) as a two-level aggregation; this is the
+    * N-GRAM rule family — a different signal (a doc can have diverse
+    * words but copy-paste phrase structure) — and the one Gopher gates
+    * on.
+    *
     * Plan shape: repetition is a PER-DOCUMENT property, so this is
     * MAP-ONLY at any corpus size — the native `dup_run_stats` kernel
     * (one sort + run-length pass over the doc's gram fingerprints)

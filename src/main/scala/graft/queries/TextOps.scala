@@ -1448,9 +1448,65 @@ object TextOps {
     }
   }
 
+  /** Q97 — bigram Zipf/coverage curve: the rank-frequency head of the
+    * word-BIGRAM vocabulary with cumulative occurrence coverage and the
+    * corpus denominators (total occurrences, distinct bigrams). This is
+    * the corpus-stats readout that sizes tokenizer/vocab budgets: "how
+    * many terms cover X% of the token stream" read directly off cum_cnt
+    * vs total, and the rank-frequency slope eyeballed for Zipf fit.
+    * Bigram terms, not unigrams, per the corpus's term-statistics
+    * discipline (q77's note: the synthetic unigram vocab is ~31 words at
+    * ~78% DF — unigram curves are vacuous); the output carries exact
+    * COUNTS only, never a log or a float division, so the compare is
+    * bit-trivial.
+    *
+    * Plan shape at 100 TB: one explode into a groupBy(bigram) with
+    * map-side partial aggregation — the shuffle is bounded by DISTINCT
+    * bigrams (vocab², not corpus); the head is TakeOrderedAndProject;
+    * the denominators reduce to ONE row broadcast back; the
+    * rank/cumulative window runs on the 100-row head only (same bounded
+    * -window precedent as text/Vocab).
+    */
+  val q97BigramZipf: QueryDef = QueryDef.sql(
+    "q97_bigram_zipf",
+    s"""WITH b AS (
+       |  SELECT s AS w
+       |  FROM (SELECT $WordBigramsOverT AS bg
+       |        FROM (SELECT $ToksSql AS t FROM documents)) x,
+       |       unnest(bg) AS u(s)),
+       |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY w),
+       |d AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |             CAST(count(*) AS BIGINT) AS n_distinct FROM c),
+       |top AS (
+       |  SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+       |  FROM c ORDER BY cnt DESC, w LIMIT 100)
+       |SELECT rank, w AS bigram, cnt,
+       |  CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+       |  total, n_distinct
+       |FROM top, d
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables(s, dir, "documents")
+      .select(explode(wordBigrams(toks)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val denom = cnt.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_distinct"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("w"))
+    cnt
+      .orderBy(col("cnt").desc, col("w")).limit(100)
+      .withColumn("rank", row_number().over(byFreq))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(denom))
+      .select(col("rank"), col("w").as("bigram"), col("cnt"),
+        col("cum_cnt"), col("total"), col("n_distinct"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
-    q84BpeApply, q93ImportanceResample, q95BpeFertility)
+    q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf)
 }

@@ -287,6 +287,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), "grams must not explode to rows")
   }
 
+  test("q97: zipf curve — map-side combined vocab agg, top-k head, one-row broadcast denominators") {
+    val p = planOf(queries.TextOps.q97BigramZipf.fn(spark, sf))
+    assert(p.contains("partial_"), "bigram counting must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "the head must be a top-k, not a full sort")
+    assert(!p.contains("CartesianProduct"), "denominators must broadcast")
+    // the rank/cum window must consume the ≤100-row head, never the corpus:
+    // no exchange is allowed between the TakeOrdered and the Window
+    val pl = p.linesIterator.toSeq
+    val winAt = pl.indexWhere(_.contains("Window"))
+    val topAt = pl.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && topAt > winAt,
+      "window must sit above the TakeOrdered head")
+  }
+
   test("q70: split audit — capped posting lists, no cartesian, no shingle self-join") {
     val p = planOf(queries.PipelineOps.q70SplitContamination.fn(spark, sf))
     assert(p.contains("collect_long_list_capped"), "posting lists must be capped")
