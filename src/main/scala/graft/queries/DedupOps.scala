@@ -657,7 +657,52 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** Q98 — cross-source duplication matrix: for every unordered pair of
+    * sources, how many strong near-dup pairs (q21 relation at q63's
+    * jaccard ≥ 0.5 canonicalization threshold — ONE definition of
+    * "near-dup" across the suite) span them. This is the audit that
+    * drives SOURCE-level curation decisions — which feeds mirror each
+    * other (off-diagonal mass says drop/downweight one), which scrape
+    * themselves (diagonal mass says dedup within the feed before
+    * mixing) — the corpus-provenance readout a multi-feed pretraining
+    * recipe starts from.
+    *
+    * Plan shape at 100 TB: a CONSUMER of the materialized
+    * [[graft.sources.PairGraph]] layout (like q62/q63) — the pair
+    * relation is DfCap-bounded and orders of magnitude smaller than the
+    * corpus, so the two provenance joins put a tiny build side against
+    * the (doc_id, source) projection of the scan, and the final group is
+    * |sources|²-bounded with map-side partials. No shingling, no
+    * banding, no pair generation at query time. The oracle recomputes
+    * the whole pair relation from scratch (q63's discipline).
+    */
+  val q98SourceDupMatrix: QueryDef = QueryDef.sql(
+    "q98_source_dup_matrix",
+    s"""WITH pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5)
+       |SELECT least(da.source, db.source) AS src_lo,
+       |  greatest(da.source, db.source) AS src_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM strong s
+       |JOIN documents da ON da.doc_id = s.a
+       |JOIN documents db ON db.doc_id = s.b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    graft.sources.PairGraph(s, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
-      q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup)
+      q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
+      q98SourceDupMatrix)
 }

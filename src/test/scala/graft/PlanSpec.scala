@@ -277,6 +277,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "window starts must explode per row")
   }
 
+  test("q98: source matrix consumes the pair-graph layout — no shingling at query time") {
+    val p = planOf(queries.DedupOps.q98SourceDupMatrix.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "pairs must come from the materialized PairGraph store")
+    assert(!p.contains("shingle_hashes") && !p.contains("minhash"),
+      "no shingling/banding may run at query time")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "the matrix group must map-side combine")
+  }
+
   test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
     // repetition is a per-document property: the explode → groupBy(doc,
     // gram) → re-join shape would shuffle every gram occurrence twice
