@@ -587,8 +587,58 @@ object PipelineOps {
       .orderBy("split")
   }
 
+  /** Q99 — packing-efficiency audit: the per-shard readout of q50's
+    * greedy packer. Per (lang, source): docs, total tokens, bins consumed
+    * (contiguous packing fills all but the last bin, so bins =
+    * ⌈total/budget⌉ and the only empty space is the TAIL waste), and —
+    * the number training actually cares about — how many documents
+    * STRADDLE a bin boundary (their start bin ≠ end bin): each straddler
+    * is a training sequence carrying a document split, the
+    * fragmentation/truncation cost of budget-256 packing on this shard's
+    * length distribution. All columns are exact integers off q50's own
+    * window, so the audit can never disagree with the packer it audits.
+    *
+    * Plan shape at 100 TB: the same shard-partitioned window as q50
+    * (each (lang, source) shard packs independently — that partitioning
+    * is what bounds a window partition to executor memory), then a
+    * |shards|-bounded groupBy with map-side partials. One corpus pass.
+    */
+  val q99PackingAudit: QueryDef = QueryDef.sql(
+    "q99_packing_audit",
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM (SELECT doc_id, lang, source, len($ToksSql) AS n_tok FROM documents))
+       |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       |  CAST((sum(n_tok) + 255) // 256 AS BIGINT) AS n_bins,
+       |  CAST(256 * ((sum(n_tok) + 255) // 256) - sum(n_tok) AS BIGINT)
+       |    AS tail_waste,
+       |  CAST(sum(CASE WHEN n_tok > 0
+       |    AND (cum_tok - n_tok) // 256 <> (cum_tok - 1) // 256
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |FROM p
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    packed(Tables(s, dir, "documents"), tokenBudget = 256)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        sum(when(col("n_tok") > 0 &&
+          expr("(cum_tok - n_tok) div 256") =!= expr("(cum_tok - 1) div 256"),
+          1L).otherwise(0L)).as("n_straddle"))
+      // integer div, never Column `/` (double division loses exactness
+      // past 2^53 — the 100 TB token totals live there)
+      .withColumn("n_bins", expr("(total_tok + 255) div 256"))
+      .withColumn("tail_waste", expr("n_bins * 256 - total_tok"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_tok"),
+        col("n_bins"), col("tail_waste"), col("n_straddle"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q49StratifiedSample, q50SequencePacking, q51Decontaminate, q52SourceNovelty,
     q54VocabCoverage, q59LengthPercentiles, q69ChunkWindows, q70SplitContamination,
-    q81SplitDrift, q83Datasheet, q91SplitBudget)
+    q81SplitDrift, q83Datasheet, q91SplitBudget, q99PackingAudit)
 }
