@@ -448,12 +448,26 @@ object CurationStages {
       // the 64-double LM must exist to build the scorer column at all,
       // and any later consumer of the composed frame re-reads the
       // persisted blocks instead of re-running corpus-scale stages.
-      val flow = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      //
+      // The MARKER COLUMN under the persist is load-bearing: the cache
+      // manager substitutes InMemoryRelation into any later plan whose
+      // canonicalized subtree matches the persisted one, and an identity
+      // projection canonicalizes AWAY — so persisting the (possibly
+      // bare-scan) flow directly would hijack every other query over the
+      // same table for the session's lifetime, erasing their pushed
+      // filters and join-size estimates (observed flipping q77's
+      // broadcast join to a sort-merge join when a spec composed this
+      // stage). The extra column changes the OUTPUT SCHEMA, which no
+      // schema-preserving canonicalization can erase, so only this
+      // stage's three reads (all through `flow` itself) hit the cache;
+      // it is dropped from the stage's output below.
+      val flow = docs.withColumn("__dsir_flow", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep = graft.queries.TextOps.importanceScored(flow, targets)
         .orderBy(col("gkey").desc, col("doc_id"))
         .limit(budget)
         .select("doc_id")
-      flow.join(keep, Seq("doc_id"), "left_semi")
+      flow.join(keep, Seq("doc_id"), "left_semi").drop("__dsir_flow")
 
     // q57's share^alpha mixing weights, applied as per-language keep
     // RATES through the same consistent hash — map-only (an exact

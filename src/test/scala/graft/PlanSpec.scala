@@ -468,6 +468,7 @@ class PlanSpec extends SparkSpec {
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
+      "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q89_band_recall") // the meter's DELIBERATE O(S²) exact ground truth
                          // over the fixed-modulus audit sample + 1-row
                          // count crosses — S is the bounded knob
