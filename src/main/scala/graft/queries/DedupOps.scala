@@ -701,8 +701,100 @@ object DedupOps {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** Q100 — MinHash calibration meter: what does a signature agreement
+    * level actually IMPLY about true Jaccard on this corpus? For every
+    * q31 candidate pair, count the agreeing positions of the two 16-slot
+    * signatures (the unbiased Jaccard estimator: E[matches/16] = J) and
+    * bucket pairs by that count; per bucket, report the pair count and
+    * the EXACT-Jaccard sum (per-pair nano-quantized by integer division
+    * — `inter·10⁹ div union` — so the sum is an exact long and the
+    * compare is bit-trivial; the reader's one division yields the
+    * bucket's mean true Jaccard against its predicted matches/16).
+    *
+    * This is the q53/q89 honest-measurement discipline applied to the
+    * dedup index itself: band thresholds are chosen from the theoretical
+    * S-curve, and this meter is the empirical curve on YOUR corpus — if
+    * bucket m's mean J drifts from m/16, the shingle distribution is
+    * violating the uniformity the theory assumes (e.g. hot shingles
+    * compressing the hash range) and the banding depth needs re-deriving.
+    *
+    * Plan shape: q31's candidate machinery (banded, never all-pairs)
+    * plus one ≤17-row map-side-combined group — the meter costs one
+    * signature zip per CANDIDATE, not per pair of documents.
+    */
+  val q100MinhashCalibration: QueryDef = QueryDef.sql(
+    "q100_minhash_calibration",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+       |fps AS (SELECT doc_id, list(fp ORDER BY fp) AS fps FROM sh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([($ADuck[j] * fp + $BDuck[j]) % $P for fp in fps])
+       |     for j in range(1, 17)] AS sig
+       |  FROM fps),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |    list_reduce(sig[4*j+1 : 4*j+4], (a, b) -> (a * 31 + b) % $P) AS bh
+       |  FROM sig, unnest([0, 1, 2, 3]) AS t(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT
+       |    len([1 for j in range(1, 17) IF sa.sig[j] = sb.sig[j]]) AS est_matches,
+       |    (CAST(len(list_intersect(fa.fps, fb.fps)) AS BIGINT) * 1000000000)
+       |      // (len(fa.fps) + len(fb.fps) - len(list_intersect(fa.fps, fb.fps)))
+       |      AS j_n9
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b
+       |  JOIN fps fa ON fa.doc_id = c.a
+       |  JOIN fps fb ON fb.doc_id = c.b)
+       |SELECT CAST(est_matches AS BIGINT) AS est_matches,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(j_n9) AS BIGINT) AS sum_j_n9
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val fps = docs
+      .select(col("doc_id"), sort_array(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")))).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = fps.select(col("doc_id"),
+      org.apache.spark.sql.graft.SketchExpressions
+        .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"aggregate(slice(sig, 4*band+1, 4), 0L, (a, b) -> (a * 31 + b) % $P)").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
+      .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
+      .select(
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+          .cast("long").as("est_matches"),
+        expr("""CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT) * 1000000000L
+               | div (size(fpsa) + size(fpsb) - size(array_intersect(fpsa, fpsb)))"""
+          .stripMargin.replace("\n", " ")).as("j_n9"))
+      .groupBy("est_matches")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_n9")).as("sum_j_n9"))
+      .orderBy("est_matches")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
-      q98SourceDupMatrix)
+      q98SourceDupMatrix, q100MinhashCalibration)
 }
