@@ -256,12 +256,19 @@ object CurationOps {
          org.apache.spark.sql.Column, org.apache.spark.sql.Column,
          org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graft.{SketchExpressions, TextExpressions}
-    val st2 = SketchExpressions.dup_run_stats(TextExpressions.ngram_hashes(t, 2))
-    val st3 = SketchExpressions.dup_run_stats(TextExpressions.ngram_hashes(t, 3))
-    val top2 = element_at(st2, 1)
-    val nbg = size(TextExpressions.ngram_hashes(t, 2)).cast("long")
-    val dup3 = element_at(st3, 2)
-    val ntg = size(TextExpressions.ngram_hashes(t, 3)).cast("long")
+    // each gram array materializes ONCE per row: the [top, dup, n] triple
+    // rides a single dup_run_stats + size over a shared array subtree
+    // (subexpressionElimination fuses the duplicate ngram_hashes calls
+    // inside one projection, but being explicit keeps the plan honest if
+    // the columns are ever split across selects)
+    def stats(n: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) = {
+      val g = TextExpressions.ngram_hashes(t, n)
+      val st = SketchExpressions.dup_run_stats(g)
+      (element_at(st, 1), element_at(st, 2), size(g).cast("long"))
+    }
+    val (top2, _, nbg) = stats(2)
+    val (_, dup3, ntg) = stats(3)
     val kept = size(t).cast("long") < lit(RepMinTokens) ||
       (top2 * lit(RepTop2Den) <= nbg && dup3 * lit(RepDup3Den) <= ntg)
     (top2, nbg, dup3, ntg, kept)

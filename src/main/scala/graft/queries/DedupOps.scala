@@ -782,12 +782,15 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
+      // intersect ONCE per candidate (it walks both fingerprint sets),
+      // then derive the quantized ratio from the scalar
       .select(
         expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
           .cast("long").as("est_matches"),
-        expr("""CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT) * 1000000000L
-               | div (size(fpsa) + size(fpsb) - size(array_intersect(fpsa, fpsb)))"""
-          .stripMargin.replace("\n", " ")).as("j_n9"))
+        expr("CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT)").as("inter"),
+        (size(col("fpsa")) + size(col("fpsb"))).cast("long").as("szsum"))
+      .select(col("est_matches"),
+        expr("inter * 1000000000L div (szsum - inter)").as("j_n9"))
       .groupBy("est_matches")
       .agg(count(lit(1)).as("n_pairs"), sum(col("j_n9")).as("sum_j_n9"))
       .orderBy("est_matches")
