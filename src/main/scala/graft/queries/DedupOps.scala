@@ -796,8 +796,66 @@ object DedupOps {
       .orderBy("est_matches")
   }
 
+  /** Q101 — dedup ROI: the cluster-size histogram of q63's strong
+    * components with the DOCUMENT and TOKEN savings canonicalization
+    * buys at each size. Per cluster size: how many clusters, how many
+    * docs the keep-minimum rule drops, and how many tokens those dropped
+    * docs carried — the number a curation owner weighs against dedup's
+    * compute cost, and the tail read (a handful of giant clusters vs
+    * many pairs) that decides whether boilerplate removal or true dedup
+    * is the dominant effect. Exact integers end to end.
+    *
+    * Plan shape: q62's pointer-jumped components over the strong slice
+    * of the materialized PairGraph (docs-in-strong-pairs rows, orders
+    * smaller than the corpus), one provenance join onto the corpus's
+    * (doc_id, n_tok) projection, then two small groups (|clusters|,
+    * then |distinct sizes|) — both map-side combined.
+    */
+  val q101DedupSavings: QueryDef = QueryDef.sql(
+    "q101_dedup_savings",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |tok AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tok FROM documents),
+       |cl AS (
+       |  SELECT l.cluster_id, count(*) AS sz,
+       |    sum(CASE WHEN l.doc_id = l.cluster_id THEN 0 ELSE t.n_tok END) AS tokd
+       |  FROM lbl l JOIN tok t ON t.doc_id = l.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz - 1) AS BIGINT) AS n_docs_dropped,
+       |  CAST(sum(tokd) AS BIGINT) AS tok_dropped
+       |FROM cl
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val pairs = graft.sources.PairGraph(s, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val cc = graft.operators.Components.connectedComponents(pairs)
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
+    cc.join(tok, cc("id") === tok("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("id") === col("component"), 0L)
+          .otherwise(col("n_tok"))).as("tokd"))
+      .groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).cast("long").as("n_docs_dropped"),
+        sum(col("tokd")).cast("long").as("tok_dropped"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
-      q98SourceDupMatrix, q100MinhashCalibration)
+      q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings)
 }

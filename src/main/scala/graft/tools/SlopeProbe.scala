@@ -21,7 +21,9 @@ object SlopeProbe {
     "q31_minhash_lsh", "q39_simhash_neardup", "q46_embedding_neardup_lsh",
     "q67_span_dedup", "q68_leakage_safe_split", "q69_chunk_windows",
     "q70_split_contamination", "q71_image_neardup", "q74_semdedup",
-    "q86_quant_audit", "q92_ann_pq_trained", "q93_importance_resample")
+    "q86_quant_audit", "q92_ann_pq_trained", "q93_importance_resample",
+    "q96_repetition_filter", "q97_bigram_zipf", "q98_source_dup_matrix",
+    "q99_packing_audit", "q100_minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

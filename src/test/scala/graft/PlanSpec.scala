@@ -287,6 +287,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "the matrix group must map-side combine")
   }
 
+  test("q101: dedup ROI — components over the layout slice, no shingling at query time") {
+    // the clusters arrive as the pointer-jumped components' ExistingRDD
+    // (lineage cut by design), built from the PairGraph layout upstream —
+    // so the pin here is the ABSENCE set: no shingling, no banding, no
+    // pair generation, no cartesian in the query-time plan
+    val p = planOf(queries.DedupOps.q101DedupSavings.fn(spark, sf))
+    assert(p.contains("ExistingRDD"), "clusters must come from Components' materialized forest")
+    assert(!p.contains("shingle_hashes") && !p.contains("minhash"),
+      "no shingling/banding may run at query time")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "both rollups must map-side combine")
+  }
+
   test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
     // repetition is a per-document property: the explode → groupBy(doc,
     // gram) → re-join shape would shuffle every gram occurrence twice
