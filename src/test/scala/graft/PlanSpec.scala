@@ -300,6 +300,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "both rollups must map-side combine")
   }
 
+  test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
+    val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
+    assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
+    assert("hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      "the window must partition on the shard key, never a global order")
+    assert(!p.contains("Join"), "the audit must not join")
+    assert(!p.contains("Generate"), "nothing explodes")
+    assert(p.contains("partial_"), "the shard rollup must map-side combine")
+  }
+
+  test("q100: calibration meter — banded candidates, native signatures, bounded group") {
+    val p = planOf(queries.DedupOps.q100MinhashCalibration.fn(spark, sf))
+    assert(p.contains("minhash_signature"), "signatures must be the native kernel")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must join on (band, bh) keys, never cross")
+    assert(p.contains("partial_"), "the ≤17-row bucket group must map-side combine")
+  }
+
   test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
     // repetition is a per-document property: the explode → groupBy(doc,
     // gram) → re-join shape would shuffle every gram occurrence twice
