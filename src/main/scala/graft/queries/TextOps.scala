@@ -1504,9 +1504,70 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Q102 — per-document keyword extraction: each document's top-3
+    * word-bigram terms by tf × inverse-document-frequency — the
+    * doc-level topical fingerprint a pipeline uses for topic routing,
+    * diversity sampling, and cluster labeling. The idf factor is the
+    * LINEAR ratio `(N·10⁶) div df` rather than the textbook log(N/df):
+    * same ranking monotonicity in (tf, N/df), but integer-exact — no
+    * transcendental ever enters the cross-engine compare (log's last ulp
+    * differs between engines; a production build swaps in log-idf
+    * without touching the plan shape). Ties break on the term string,
+    * so top-3 is deterministic.
+    *
+    * Plan shape at 100 TB: the token stream reduces map-side to
+    * (doc, term) → tf (distinct-pair-bounded exchange, the q84/q95
+    * discipline); df reduces THAT relation again to the vocab-sized
+    * term table, which re-joins broadcast (SMJ failover meets pair-level
+    * vs vocab-level relations, never raw occurrences); the corpus count
+    * is a 1-row broadcast; the top-3 window partitions on doc_id —
+    * per-partition state is each doc's distinct terms, bounded by doc
+    * length.
+    */
+  val q102DocKeywords: QueryDef = QueryDef.sql(
+    "q102_doc_keywords",
+    s"""WITH tf AS (
+       |  SELECT doc_id, s AS w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x,
+       |       unnest(bg) AS u(s)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score_n6,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC, tf.w)
+       |      AS rank
+       |  FROM tf JOIN df ON tf.w = df.w, n)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS keyword, tf, df,
+       |  CAST(score_n6 AS BIGINT) AS score_n6
+       |FROM scored
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(wordBigrams(toks)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scoreCol = col("tf") * expr("(n_docs * 1000000) div df")
+    val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score_n6", scoreCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("keyword"),
+        col("tf"), col("df"), col("score_n6"))
+      .orderBy("doc_id", "rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
-    q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf)
+    q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
+    q102DocKeywords)
 }

@@ -319,6 +319,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the ≤17-row bucket group must map-side combine")
   }
 
+  test("q102: keywords — pair-bounded tf agg, broadcast df, doc-keyed window") {
+    val p = planOf(queries.TextOps.q102DocKeywords.fn(spark, sf))
+    assert(p.contains("partial_count"), "tf must map-side combine before the exchange")
+    assert(p.contains("BroadcastHashJoin"), "the vocab-sized df table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      "the top-3 window must partition on doc_id")
+  }
+
   test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
     // repetition is a per-document property: the explode → groupBy(doc,
     // gram) → re-join shape would shuffle every gram occurrence twice
@@ -501,6 +510,7 @@ class PlanSpec extends SparkSpec {
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
+      "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
       "q89_band_recall") // the meter's DELIBERATE O(S²) exact ground truth
                          // over the fixed-modulus audit sample + 1-row
                          // count crosses — S is the bounded knob
