@@ -328,6 +328,25 @@ class PlanSpec extends SparkSpec {
       "the top-3 window must partition on doc_id")
   }
 
+  test("q103: centroid matrix — one corpus pass, dimension-sized everything after") {
+    val df = queries.VectorOps.q103LabelCentroidMatrix.fn(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("partial_"), "the (label, idx) cells must map-side combine")
+    assert(p.contains("sum128"), "cell sums must be the exact 128-bit accumulator")
+    assert(!p.contains("CartesianProduct"))
+    // AQE does NOT deduplicate the self-join's repeated subtree (measured
+    // 3 corpus scans un-persisted), so the centroid table persists and
+    // both join sides must read the InMemoryRelation — zero FileScans of
+    // the corpus outside the cached build
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    // both join sides must read the ONE InMemoryRelation (the FileScan
+    // string still prints inside the cached build plan — it executes once)
+    assert("InMemoryTableScan".r.findAllIn(fin).size >= 2,
+      s"a join side re-derived the centroids instead of reading the cache:\n${fin.take(1500)}")
+    graft.Caches.clearAll(spark)
+  }
+
   test("q96: repetition audit is map-only — native kernel, no join, no aggregate") {
     // repetition is a per-document property: the explode → groupBy(doc,
     // gram) → re-join shape would shuffle every gram occurrence twice
