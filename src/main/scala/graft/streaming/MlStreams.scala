@@ -80,4 +80,27 @@ object MlStreams {
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s_n9"))
   }
+
+  /** Streaming maintenance of the per-label centroid cells — q26's mean
+    * table (and q103's cartography input) kept CURRENT as labeled
+    * vectors land: per (label, idx), the exact decimal-scale-9 component
+    * sum (the same [[org.apache.spark.sql.graft.Sum128]] accumulator the
+    * batch cells use — merges are order-free integer adds, so
+    * micro-batch boundaries are invisible) and the count, one grouped
+    * aggregate in complete mode. State is the |labels|·d cell table —
+    * O(dims), not O(stream). After any micro-batch `s / n` equals batch
+    * q26's mean over everything ingested (StreamingSpec pins cell
+    * equality), so a centroid matrix derived from the cells is the one
+    * the batch pipeline would compute.
+    */
+  def centroidCells(stream: DataFrame, featCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.SumExpressions.{decimal9_nanos, sum128Nanos}
+    stream
+      .select(col("label"), posexplode(col(featCol)).as(Seq("idx", "v")))
+      .groupBy(col("label"), col("idx").cast("long").as("idx"))
+      .agg(sum128Nanos(decimal9_nanos(col("v").cast("double")))
+        .cast("string").as("s_d9"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -369,6 +369,52 @@ class StreamingSpec extends SparkSpec {
       s"streamed moment cells diverge: ${(got.keySet -- batch.keySet).take(3)}")
   }
 
+  test("streaming centroid cells equal batch q26's exact sums after the last micro-batch") {
+    import graft.streaming.MlStreams
+    import scala.jdk.CollectionConverters._
+    val emb = Tables(spark, sf, "embeddings")
+    val mid = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("emb_cent")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cent_part")
+      part.select("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, emb.filter(col("vec_id") <= mid))
+    writePart("b.parquet", 20000L, emb.filter(col("vec_id") > mid))
+    val stream = spark.readStream.schema(MlStreams.embeddingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // complete-mode state: the final cell table reflects BOTH micro-batches
+    val got = EventStreams.runToMemory(
+        MlStreams.centroidCells(stream), "cent_t", outputMode = "complete")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3)))).toMap
+    // the batch reference: the same exact decimal sum + count per cell
+    import org.apache.spark.sql.graft.SumExpressions.{decimal9_nanos, sum128Nanos}
+    val batch = emb
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("idx", "v")))
+      .groupBy(col("label"), col("idx").cast("long").as("idx"))
+      .agg(sum128Nanos(decimal9_nanos(col("v").cast("double")))
+        .cast("string").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3)))).toMap
+    assert(got == batch,
+      s"streamed centroid cells diverge: ${(got.keySet -- batch.keySet).take(3)}")
+    // and the streamed mean equals batch q26's m bit-for-bit per cell
+    val q26 = queries.VectorOps.q26VectorMean.fn(spark, sf).collect()
+      .map(r => ((r.getInt(0).toLong, r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { case (k, (s, n)) =>
+      assert(java.lang.Double.compare(
+        new java.math.BigDecimal(s).doubleValue() / n, q26(k)) == 0, s"cell $k")
+    }
+  }
+
   test("streaming video shot stats equal batch q79 row-for-row (stateless twin)") {
     import graft.streaming.DocumentStreams
     import scala.jdk.CollectionConverters._
