@@ -530,6 +530,9 @@ class PlanSpec extends SparkSpec {
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
+      "q103_label_centroid_matrix", // |labels|² pair join of the persisted
+                                    // dimension-sized centroid table (non-equi
+                                    // label_a < label_b — deliberately all pairs)
       "q89_band_recall") // the meter's DELIBERATE O(S²) exact ground truth
                          // over the fixed-modulus audit sample + 1-row
                          // count crosses — S is the bounded knob
