@@ -1547,6 +1547,14 @@ object TextOps {
        |WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // tf is read twice (df derivation + join left side) and deliberately
+    // NOT persisted: measured at sf0.1 (JobCountProbe, warm) the persist
+    // is a regression — 1.84 s/10 jobs recomputing vs 2.24 s/11 jobs
+    // cached (the materialization barrier + cache writes cost more than
+    // the codegen'd re-scan at this size; the standing persist-vs-
+    // recompute result, q67/q77/q82's). At a scale where the explode
+    // genuinely dominates, a persisted tf is the right call — re-measure
+    // there, don't assume.
     val tf = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(wordBigrams(toks)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
