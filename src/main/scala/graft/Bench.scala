@@ -123,6 +123,7 @@ object Bench {
       () => graft.sources.CorpusStats.rowCount(spark, sfDir),
       () => graft.sources.ShinglePostings(spark, sfDir),
       () => graft.sources.PairGraph(spark, sfDir),
+      () => graft.sources.ClusterAssignment(spark, sfDir),
       () => graft.sources.SplitAssignment(spark, sfDir),
       () => graft.sources.IvfCentroids(spark, sfDir),
       () => graft.sources.PqCodebooks(spark, sfDir),

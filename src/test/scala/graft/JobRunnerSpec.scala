@@ -476,6 +476,7 @@ class JobRunnerSpec extends SparkSpec {
     for (dir <- Seq(v1, v2);
          p <- Seq(sources.ShinglePostings.layoutPath(dir),
            sources.PairGraph.layoutPath(dir),
+           sources.ClusterAssignment.layoutPath(dir),
            sources.SplitAssignment.layoutPath(dir),
            sources.IvfCentroids.layoutPath(dir),
            sources.PqCodebooks.layoutPath(dir),

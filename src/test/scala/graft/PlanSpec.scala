@@ -287,17 +287,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "the matrix group must map-side combine")
   }
 
-  test("q101: dedup ROI — components over the layout slice, no shingling at query time") {
-    // the clusters arrive as the pointer-jumped components' ExistingRDD
-    // (lineage cut by design), built from the PairGraph layout upstream —
-    // so the pin here is the ABSENCE set: no shingling, no banding, no
-    // pair generation, no cartesian in the query-time plan
+  test("q101: dedup ROI — cluster-label layout scan, no CC and no shingling at query time") {
+    // the clusters arrive as a scan of the stamped ClusterAssignment
+    // layout (the cluster job ran once at ingest), so the pin is: layout
+    // scan present, and the ABSENCE set — no component iteration
+    // (ExistingRDD was Components' checkpointed forest), no shingling, no
+    // banding, no pair generation, no cartesian in the query-time plan
     val p = planOf(queries.DedupOps.q101DedupSavings.fn(spark, sf))
-    assert(p.contains("ExistingRDD"), "clusters must come from Components' materialized forest")
+    assert(p.contains("graft-layout"),
+      "clusters must come from the materialized ClusterAssignment store")
+    assert(!p.contains("ExistingRDD"),
+      "no query-time connected-components run (its checkpoint forest leaks as ExistingRDD)")
     assert(!p.contains("shingle_hashes") && !p.contains("minhash"),
       "no shingling/banding may run at query time")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_"), "both rollups must map-side combine")
+  }
+
+  test("q62/q63: cluster + canonical corpus read the cluster-label layout, no query-time CC") {
+    val p62 = planOf(queries.DedupOps.q62DedupClusters.fn(spark, sf))
+    assert(p62.contains("graft-layout"),
+      "q62's labels must come from the materialized ClusterAssignment store")
+    assert(!p62.contains("ExistingRDD") && !p62.contains("shingle_hashes"),
+      "no query-time CC or shingling in q62")
+    assert(p62.contains("partial_count"), "the size rollup must map-side combine")
+    val p63 = planOf(queries.DedupOps.q63CanonicalCorpus.fn(spark, sf))
+    assert(p63.contains("graft-layout"),
+      "q63's drop set must come from the materialized ClusterAssignment store")
+    assert(!p63.contains("ExistingRDD") && !p63.contains("shingle_hashes"),
+      "no query-time CC or shingling in q63")
+    assert(p63.contains("LeftAnti"),
+      "the corpus must anti-join the drop set, never shuffle on cluster keys")
   }
 
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
