@@ -742,7 +742,7 @@ object DedupOps {
        |  SELECT doc_id,
        |    [list_min([($ADuck[j] * fp + $BDuck[j]) % $P for fp in fps])
        |     for j in range(1, 17)] AS sig
-       |  FROM fps),
+       |  FROM fps WHERE len(fps) > 0),
        |bands AS (
        |  SELECT doc_id, j AS band,
        |    list_reduce(sig[4*j+1 : 4*j+4], (a, b) -> (a * 31 + b) % $P) AS bh
@@ -769,10 +769,17 @@ object DedupOps {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // empty-fingerprint docs (no bigram shingle, e.g. 0/1-token text) are
+    // dropped BEFORE signature/banding: a signature over an empty set is
+    // meaningless, DuckDB's unnest path never produces such docs (so
+    // keeping them is a cross-engine divergence), and for any surviving
+    // pair szsum − inter ≥ max(|a|,|b|) ≥ 1 — the union denominator
+    // below cannot be zero
     val fps = docs
       .select(col("doc_id"), sort_array(array_distinct(
         org.apache.spark.sql.graft.TextExpressions
           .shingle_hashes(tokens("text")))).as("fps"))
+      .filter(size(col("fps")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = fps.select(col("doc_id"),
       org.apache.spark.sql.graft.SketchExpressions

@@ -1518,11 +1518,27 @@ object TextOps {
     * Plan shape at 100 TB: the token stream reduces map-side to
     * (doc, term) → tf (distinct-pair-bounded exchange, the q84/q95
     * discipline); df reduces THAT relation again to the vocab-sized
-    * term table, which re-joins broadcast (SMJ failover meets pair-level
-    * vs vocab-level relations, never raw occurrences); the corpus count
-    * is a 1-row broadcast; the top-3 window partitions on doc_id —
+    * term table, which re-joins UN-HINTED — autoBroadcastJoinThreshold/
+    * AQE broadcast it at this scale, and at a 10⁸–10⁹-distinct-bigram
+    * vocabulary the join fails over to SMJ between pair-level and
+    * vocab-level relations, never raw occurrences (an explicit broadcast
+    * hint would instead force-collect the vocab to the driver — the
+    * q84/q95 rule, tree-walk-pinned in PlanSpec); the corpus count is a
+    * 1-row broadcast; the top-3 window partitions on doc_id —
     * per-partition state is each doc's distinct terms, bounded by doc
     * length.
+    *
+    * OVERFLOW BOUND (q90's discipline): score_n6 = tf · ((n_docs·10⁶)
+    * div df) is exact while tf·n_docs/df < 2⁶³/10⁶ ≈ 9.2·10¹², and ANSI
+    * mode fails loudly (never corrupts) past it. A df=1 term only
+    * reaches the bound when tf·n_docs ≳ 9.2·10¹² — e.g. a 10¹⁰-doc
+    * corpus with a tf ≥ 10³ hapax bigram, which a real pipeline's DF
+    * floor (df ≥ 2 kills hapaxes) or tf cap removes first. Past the
+    * bound, drop the 10⁶ quantization factor toward 10³ (ranking
+    * monotonicity is unaffected) or escalate the product to
+    * decimal(38,0) — both are one-line changes at this site; the
+    * plan-time width selection q90 does from CorpusStats.N applies
+    * verbatim if the corpus ever declares those magnitudes.
     */
   val q102DocKeywords: QueryDef = QueryDef.sql(
     "q102_doc_keywords",
@@ -1562,7 +1578,9 @@ object TextOps {
     val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val scoreCol = col("tf") * expr("(n_docs * 1000000) div df")
     val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
-    tf.join(broadcast(df), "w")
+    // un-hinted: AQE broadcasts the vocab-sized df side here and fails
+    // over to SMJ when the vocabulary outgrows the threshold (see scaladoc)
+    tf.join(df, "w")
       .crossJoin(broadcast(n))
       .withColumn("score_n6", scoreCol)
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -339,10 +339,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the ≤17-row bucket group must map-side combine")
   }
 
-  test("q102: keywords — pair-bounded tf agg, broadcast df, doc-keyed window") {
+  test("q102: keywords — pair-bounded tf agg, un-hinted df join, doc-keyed window") {
     val p = planOf(queries.TextOps.q102DocKeywords.fn(spark, sf))
     assert(p.contains("partial_count"), "tf must map-side combine before the exchange")
-    assert(p.contains("BroadcastHashJoin"), "the vocab-sized df table must broadcast")
+    // the df join is deliberately UN-HINTED so a 10⁸-bigram vocabulary
+    // fails over to SMJ instead of force-collecting to the driver; the
+    // scale-safety pin is the q84/q95 tree-walk below (both join sides
+    // pre-aggregated), not a physical-strategy string
     assert(!p.contains("CartesianProduct"))
     assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
       "the top-3 window must partition on doc_id")
@@ -503,12 +506,14 @@ class PlanSpec extends SparkSpec {
       "no doc-keyed exchange — the first-cut collect_list shape returned")
   }
 
-  test("q84/q95: the vocab join consumes PRE-AGGREGATED (group, word) pairs, never raw token occurrences") {
+  test("q84/q95/q102: the vocab join consumes PRE-AGGREGATED (group, word) pairs, never raw token occurrences") {
     // at a 10⁸-word vocabulary the symbol-table broadcast fails over to a
     // sort-merge join; pre-aggregation bounds what that SMJ would shuffle
     // at distinct (group, word) pairs instead of every token occurrence.
     // Tree-walk (not string match): every join child must put an
     // aggregate between itself and any Generate (explode) below it.
+    // q102's df join rides the same rule (un-hinted since r17, so its
+    // failover story is real).
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -524,7 +529,8 @@ class PlanSpec extends SparkSpec {
       case _: GenerateExec => true
       case other => other.children.exists(rawGenerateUnder)
     }
-    for (q <- Seq(queries.TextOps.q84BpeApply, queries.TextOps.q95BpeFertility)) {
+    for (q <- Seq(queries.TextOps.q84BpeApply, queries.TextOps.q95BpeFertility,
+        queries.TextOps.q102DocKeywords)) {
       val plan = unwrap(q.fn(spark, sf).queryExecution.executedPlan)
       val joins = plan.collect { case j: BaseJoinExec => j }
       assert(joins.nonEmpty, s"${q.name}: the vocab join disappeared")

@@ -307,6 +307,33 @@ class QuerySpec extends SparkSpec {
     assert(out(4L) == ((16L, 8L, "m n o p q r s t")))
   }
 
+  test("q100 calibration: empty-fingerprint docs are dropped, no zero denominator") {
+    import spark.implicits._
+    // docs 10/11: a true near-dup pair (the meter must still see it);
+    // docs 20/21: zero and one token — no word-bigram shingle exists, so
+    // the fingerprint set is EMPTY. Before the guard, two empty-set docs
+    // shared every minhash band (signature over nothing), banded together,
+    // and j_n9's union denominator (szsum − inter = 0) divided by zero
+    // under ANSI; DuckDB's unnest path never even produces such docs — a
+    // cross-engine divergence on degenerate input. The guard filters
+    // size(fps) > 0 before signature/banding.
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and often"),
+      (20L, ""),
+      (21L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("q100empty").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.DedupOps.q100MinhashCalibration.fn(spark, dir).collect()
+    // the near-dup pair survives as the only candidate; nothing threw
+    assert(rows.map(_.getLong(1)).sum == 1L,
+      "exactly the true near-dup candidate pair must be metered")
+    graft.Caches.clearAll(spark)
+  }
+
   test("q69 chunking: every token covered, windows at most 64 tokens, overlap contract") {
     val chunks = queries.PipelineOps.q69ChunkWindows.fn(spark, sf).collect()
     val docLens = Tables(spark, sf, "documents")
