@@ -151,6 +151,80 @@ object DocumentStreams {
       .filter(col("logw_n6") >= minLogwN6)
   }
 
+  /** Streaming twin of batch q102's keyword extraction: each arriving
+    * document's top-k word-bigram terms by tf × linear idf, scored
+    * against FROZEN (df, N) corpus statistics — computed once batch-side
+    * from `corpus` and riding the stream plan as literals (a map for df,
+    * a long for N), the held-fixed-artifact pattern of
+    * [[MlStreams.pqEncode]]: keyword scores stay comparable across the
+    * whole stream; stats drift is an explicit refresh, never an online
+    * update (online df would make early and late keywords incomparable).
+    *
+    * MAP-ONLY on the stream side — no state, no watermark, no shuffle:
+    * per row, tf comes from ONE array_sort + run-length pass over the
+    * doc's own bigrams (no per-term explode→groupBy), each run's df is a
+    * literal-map lookup, and the top-k is an in-row sort + slice; the
+    * only Generate is the final ≤k-row posexplode. score_n6 =
+    * tf · ((N·10⁶) div df) is the batch scorer's exact integer form
+    * (same overflow bound, documented at q102), ties break on the term
+    * string, so a streamed doc's keywords are BIT-IDENTICAL to batch
+    * q102's for the same text against the same stats (StreamingSpec pins
+    * streamed ≡ batch over the full test corpus).
+    *
+    * A term unseen in the frozen stats (possible on live streams) scores
+    * with df = 1 — maximal idf, the standard "new term is maximally
+    * distinctive" reading; the equality spec runs on a closed vocabulary
+    * where the branch never fires. The driver-side df collect is bounded
+    * by `maxVocab` and fails loudly past it — at a 10⁸-bigram vocabulary
+    * the literal-map form is wrong BY CONSTRUCTION (like pqEncode's
+    * codebooks, the artifact must fit the plan); the scale path is a
+    * stream-static join against the persisted stats table, which Spark
+    * plans as broadcast or per-micro-batch SMJ under the same
+    * pre-aggregated-relations discipline as batch q102.
+    */
+  def keywordFlags(stream: DataFrame, corpus: DataFrame, topK: Int = 3,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordBigrams}
+    // the frozen artifact: df over distinct (doc, term) pairs + N
+    val dfRows = corpus
+      .select(col("doc_id"),
+        explode(array_distinct(wordBigrams(tokens("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .limit(maxVocab + 1).collect()
+    require(dfRows.length <= maxVocab,
+      s"df vocabulary exceeds maxVocab=$maxVocab — use the stream-static " +
+        "join form instead of the literal-map artifact")
+    val dfMap = typedLit(dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val nDocs = corpus.count()
+    val cmp = "(l, r) -> CASE WHEN l.score_n6 > r.score_n6 THEN -1 " +
+      "WHEN l.score_n6 < r.score_n6 THEN 1 WHEN l.w < r.w THEN -1 " +
+      "WHEN l.w > r.w THEN 1 ELSE 0 END"
+    stream
+      .select(col("doc_id"),
+        array_sort(wordBigrams(tokens("text"))).as("__bg"))
+      // run starts of the sorted bigram array: one pass, no explode
+      .withColumn("__starts", expr(
+        "CASE WHEN size(__bg) = 0 THEN array() ELSE " +
+          "filter(sequence(0, size(__bg) - 1), i -> i = 0 OR __bg[i] <> __bg[i-1]) END"))
+      // (term, tf) per run: tf = next start − this start
+      .withColumn("__tfs", expr(
+        "zip_with(__starts, " +
+          "concat(slice(__starts, 2, size(__starts)), array(size(__bg))), " +
+          "(a, b) -> named_struct('w', __bg[a], 'tf', CAST(b - a AS BIGINT)))"))
+      .withColumn("__dfmap", dfMap)
+      .withColumn("__scored", expr(
+        "transform(__tfs, t -> named_struct(" +
+          "'w', t.w, 'tf', t.tf, " +
+          "'df', coalesce(element_at(__dfmap, t.w), 1L), " +
+          s"'score_n6', t.tf * ((${nDocs}L * 1000000L) div " +
+          "coalesce(element_at(__dfmap, t.w), 1L))))"))
+      .withColumn("__top", expr(s"slice(array_sort(__scored, $cmp), 1, $topK)"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__pos", "k")))
+      .select(col("doc_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("k.w").as("keyword"), col("k.tf").as("tf"), col("k.df").as("df"),
+        col("k.score_n6").as("score_n6"))
+  }
+
   /** One packed document: the running token count and bin assignment the
     * batch q50 computes with a window.
     */

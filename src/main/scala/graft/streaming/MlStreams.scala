@@ -72,13 +72,30 @@ object MlStreams {
     * cells equal the batch q90 over everything ingested (StreamingSpec
     * pins it), so a whitening matrix derived from them is the one the
     * batch pipeline would compute.
+    *
+    * ACCUMULATOR WIDTH: batch q90 selects its width at plan time from
+    * the stamped corpus count (long sum exact to N ≈ 9.2e9 unit-scale
+    * nano-terms, [[org.apache.spark.sql.graft.Sum128]] past it) — but
+    * complete-mode state never resets, and an unbounded stream has no
+    * plan-time N to select from, so the stream side is the side that
+    * WILL eventually cross the long bound. Default is therefore the
+    * 128-bit path (exact intermediates at any stream length, BIGINT-cast
+    * at finalization — the same escalation as the batch wide path and
+    * the same discipline as [[centroidCells]]' sum128Nanos); `wide =
+    * false` keeps the plain ANSI long sum for bounded replays that want
+    * the narrow plan, failing loudly (never corrupting) past the bound.
     */
-  def momentCells(stream: DataFrame, featCol: String = "embedding"): DataFrame = {
+  def momentCells(stream: DataFrame, featCol: String = "embedding",
+      wide: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
+    val sN9 =
+      if (wide) org.apache.spark.sql.graft.SumExpressions
+        .sum128(col("t.p")).cast("long")
+      else sum(col("t.p"))
     stream
       .select(graft.queries.VectorOps.momentTerms(featCol).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s_n9"))
+      .agg(count(lit(1)).as("n"), sN9.as("s_n9"))
   }
 
   /** Streaming maintenance of the per-label centroid cells — q26's mean

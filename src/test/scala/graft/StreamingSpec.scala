@@ -358,7 +358,12 @@ class StreamingSpec extends SparkSpec {
     writePart("b.parquet", 20000L, emb.filter(col("vec_id") > mid))
     val stream = spark.readStream.schema(MlStreams.embeddingSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    // complete-mode state: the final table reflects BOTH micro-batches
+    // complete-mode state: the final table reflects BOTH micro-batches.
+    // The default is the FORCED-WIDE path (Sum128 — the stream side is
+    // the one that eventually crosses the long bound, so it escalates
+    // unconditionally), compared against batch q90, which at this N runs
+    // the narrow long sum: wide streamed ≡ narrow batch is the Sum128Spec
+    // equivalence discipline exercised across the batch/stream boundary
     val got = EventStreams.runToMemory(
         MlStreams.momentCells(stream), "moments_t", outputMode = "complete")
       .collect()
@@ -367,6 +372,16 @@ class StreamingSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(got == batch,
       s"streamed moment cells diverge: ${(got.keySet -- batch.keySet).take(3)}")
+    // the narrow opt-out stays equal too on this bounded replay
+    val narrow = EventStreams.runToMemory(
+        MlStreams.momentCells(
+          spark.readStream.schema(MlStreams.embeddingSchema)
+            .option("maxFilesPerTrigger", 1).parquet(dir.toString),
+          wide = false),
+        "moments_narrow_t", outputMode = "complete")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(narrow == batch, "narrow-path streamed moment cells diverge from batch")
   }
 
   test("streaming centroid cells equal batch q26's exact sums after the last micro-batch") {
@@ -570,6 +585,35 @@ class StreamingSpec extends SparkSpec {
     val batch = queries.CurationOps.q96RepetitionFilter.fn(spark, sf)
       .filter(!col("kept")).collect().map(key(_, 3)).toMap
     assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("streaming keyword flags equal batch q102 exactly against the frozen stats") {
+    // the twin scores arriving docs against (df, N) frozen from the SAME
+    // corpus batch q102 computes them from, so every (doc, rank) row must
+    // be bit-identical — in-row run-length tf + literal-map idf ≡ the
+    // batch explode→groupBy→join→window pipeline
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_kw")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.keywordFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus = docs),
+      "kw_t").collect().map(key).toMap
+    val batch = queries.TextOps.q102DocKeywords.fn(spark, sf)
+      .collect().map(key).toMap
+    assert(batch.nonEmpty && streamed == batch,
+      s"keyword twin diverged: ${(streamed.toSet -- batch.toSet).take(3)}")
+    // the vocab bound fails loudly, it never truncates silently
+    intercept[IllegalArgumentException] {
+      DocumentStreams.keywordFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus = docs, maxVocab = 1)
+    }
   }
 
   test("streaming contamination flags: no false negatives vs the exact overlap") {
