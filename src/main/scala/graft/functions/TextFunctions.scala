@@ -63,6 +63,19 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-grams as space-joined strings (the general form of
+    * [[wordBigrams]]): one window per token position, built map-side with
+    * transform + slice; empty below n tokens. The Spark twin of
+    * [[WordNgramsOverT]].
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 2)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** DuckDB bigram comprehension over an aliased token list `t`. */
   val WordBigramsOverT: String = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
 

@@ -868,8 +868,67 @@ object DedupOps {
       .orderBy("cluster_size")
   }
 
+  /** Q104 — cluster source-purity audit: the strong near-dup clusters
+    * bucketed by (size, distinct sources spanned). q98 counts cross-feed
+    * duplication at the PAIR level; this is the CLUSTER-level readout —
+    * a cluster confined to one source is intra-feed boilerplate (dedup
+    * within the feed, cheap), a cluster spanning feeds means mirrored
+    * content (pick a feed, or the canonical rule silently prefers
+    * whichever feed minted the smaller doc_id — a provenance-bias
+    * question this audit is how you notice). Per bucket: cluster count,
+    * total docs, and docs the keep-minimum rule drops.
+    *
+    * Plan shape: the third consumer of the stamped
+    * [[graft.sources.ClusterAssignment]] layout (with q62/q63/q101) —
+    * strong labels scanned, one provenance join onto (doc_id, source),
+    * a |clusters|-sized group (map-side combined; the n_sources
+    * count-distinct expands to |cluster|·|sources| keys at worst), then
+    * a ≤|sizes|·|sources| bucket group. The corpus contributes only its
+    * two-column projection; the oracle recomputes components from
+    * scratch (q101's discipline).
+    */
+  val q104ClusterPurity: QueryDef = QueryDef.sql(
+    "q104_cluster_purity",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |cl AS (
+       |  SELECT l.cluster_id, count(*) AS sz,
+       |    count(DISTINCT d.source) AS n_src
+       |  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+       |  GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(n_src AS BIGINT) AS n_sources,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz - 1) AS BIGINT) AS n_docs_dropped
+       |FROM cl
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val cc = graft.sources.ClusterAssignment.strongComponents(s, dir)
+    val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+    cc.join(src, cc("id") === src("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("n_src"))
+      .groupBy(col("sz").cast("long").as("cluster_size"),
+        col("n_src").cast("long").as("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        sum(col("sz") - 1).cast("long").as("n_docs_dropped"))
+      .orderBy("cluster_size", "n_sources")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
-      q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings)
+      q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
+      q104ClusterPurity)
 }

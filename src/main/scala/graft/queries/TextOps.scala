@@ -1590,10 +1590,66 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Q105 — boilerplate span mining: the top-20 repeated 8-token spans by
+    * total occurrence count (ties on the span string), with the
+    * distinct-document reach of each. q67 REMOVES duplicated spans; this
+    * NAMES them — the audit a curation owner reads before enabling span
+    * dedup (navigation chrome and license banners look like high-reach
+    * low-occ-per-doc spans; template loops are the converse), and the
+    * q101-style ROI readout for the span family: n_occ − 1 of each span's
+    * occurrences are what ExactSubstr would strip.
+    *
+    * Plan shape at 100 TB: the span relation is LINEAR in corpus tokens
+    * (one window per token position, exploded map-side); the q84/q95
+    * two-level discipline bounds the shuffles — (span, doc) → occ first
+    * (distinct-pair keys, map-side combined), span-level roll-up second
+    * (vocab-sized) — and the head is TakeOrderedAndProject, never a
+    * global sort. The n_occ ≥ 2 gate drops the unique-span long tail
+    * before the limit. At hostile span cardinality the exact form's
+    * vocab-level exchange is the cost; the sketch fallback is q61's
+    * count-min (same top-k contract, bounded memory), which is why both
+    * exist.
+    */
+  val q105BoilerplateSpans: QueryDef = QueryDef.sql(
+    "q105_boilerplate_spans",
+    s"""WITH sp AS (
+       |  SELECT doc_id, s AS span
+       |  FROM (SELECT doc_id, ${WordNgramsOverT(8)} AS gs
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.gs) AS u(s)),
+       |dtf AS (SELECT span, doc_id, CAST(count(*) AS BIGINT) AS occ
+       |        FROM sp GROUP BY 1, 2),
+       |agg AS (SELECT span, CAST(sum(occ) AS BIGINT) AS n_occ,
+       |          CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM dtf GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, span) AS BIGINT) AS rank,
+       |  span, n_occ, n_docs
+       |FROM agg
+       |WHERE n_occ >= 2
+       |ORDER BY n_occ DESC, span
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dtf = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordNgrams(toks, 8)).as("span"))
+      .groupBy("span", "doc_id").agg(count(lit(1)).as("occ"))
+    val agg = dtf.groupBy("span")
+      .agg(sum(col("occ")).cast("long").as("n_occ"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+    agg
+      .orderBy(col("n_occ").desc, col("span")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("span")))
+          .cast("long"))
+      .select("rank", "span", "n_occ", "n_docs")
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
-    q102DocKeywords)
+    q102DocKeywords, q105BoilerplateSpans)
 }

@@ -122,6 +122,56 @@ object LifecycleBench {
     println(f"""{"metric":"lifecycle_e2e","sf":"$sfDir",""" +
       f""""wall_sec":$wall%.2f,"sum_stages_sec":${times.values.sum}%.2f,""" +
       f""""stages":{$stages},"curated_rows":${curated.count()}}""")
+
+    // ——— incremental ingest (r17, VERDICT r16 item 6): the layouts'
+    // economic argument is the REFRESH path — RefreshProbe proves the
+    // delta merge is row-identical, this records what it COSTS through
+    // the production entry (`-ingest -from prev`) vs the cold rebuild of
+    // the same grown corpus. Three corpora with fresh stamps: prev (90%
+    // of the tables, its layouts built untimed — they exist, as in
+    // production), full (100%, ingested BY DELTA from prev), fullCold
+    // (the same 100% rows, ingested from scratch). The timed pair is
+    // delta-vs-cold on identical data.
+    val docsT = graft.Tables(spark, sfDir, "documents")
+    val embT = graft.Tables(spark, sfDir, "embeddings")
+    val docCut = docsT.stat.approxQuantile("doc_id", Array(0.9), 0.001)(0).toLong
+    val vecCut = embT.stat.approxQuantile("vec_id", Array(0.9), 0.001)(0).toLong
+    def corpusDir(tag: String, all: Boolean): String = {
+      val d = java.nio.file.Files
+        .createDirectories(scratch.resolve(s"corpus-$tag")).toString
+      (if (all) docsT else docsT.filter(col("doc_id") <= docCut))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      (if (all) embT else embT.filter(col("vec_id") <= vecCut))
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val prevDir = corpusDir("prev", all = false)
+    val fullDir = corpusDir("full", all = true)
+    val fullColdDir = corpusDir("fullcold", all = true)
+    def ingestConf(tag: String, dir: String): String = writeConf(s"ingest-$tag.json",
+      s"""{"source": {"path": "$dir", "table": "documents", "idCol": "doc_id"},
+         |"dim": 64}""".stripMargin)
+    // prev's layouts exist before the delta lands (production invariant);
+    // building them is the previous generation's cost, not this one's
+    graft.jobs.JobRunner.run(spark, graft.jobs.JobRunner.parse(
+      Array("-ingest", "-conf", ingestConf("prev", prevDir))))
+    timed("ingest_delta") { graft.jobs.JobRunner.run(spark,
+      graft.jobs.JobRunner.parse(Array("-ingest", "-conf",
+        ingestConf("full", fullDir), "-from", prevDir))) }
+    timed("ingest_cold") { graft.jobs.JobRunner.run(spark,
+      graft.jobs.JobRunner.parse(Array("-ingest", "-conf",
+        ingestConf("fullcold", fullColdDir)))) }
+    // identity receipt on the expensive merged layer (RefreshProbe owns
+    // the exhaustive version): same postings either path
+    val viaDelta = graft.sources.ShinglePostings(spark, fullDir)
+      .agg(count(lit(1)), sum(expr("fp"))).head
+    val viaCold = graft.sources.ShinglePostings(spark, fullColdDir)
+      .agg(count(lit(1)), sum(expr("fp"))).head
+    require(viaDelta == viaCold,
+      s"delta-ingested postings diverge from cold rebuild: $viaDelta vs $viaCold")
+    println(f"""{"metric":"lifecycle_refresh","sf":"$sfDir",""" +
+      f""""ingest_delta_sec":${times("ingest_delta")}%.2f,""" +
+      f""""ingest_cold_sec":${times("ingest_cold")}%.2f}""")
     spark.stop()
   }
 }

@@ -320,6 +320,26 @@ class PlanSpec extends SparkSpec {
       "the corpus must anti-join the drop set, never shuffle on cluster keys")
   }
 
+  test("q104: cluster purity — layout scan + one provenance join, no query-time CC") {
+    val p = planOf(queries.DedupOps.q104ClusterPurity.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "labels must come from the materialized ClusterAssignment store")
+    assert(!p.contains("ExistingRDD") && !p.contains("shingle_hashes"),
+      "no query-time CC or shingling")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the rollups must map-side combine")
+  }
+
+  test("q105: boilerplate spans — two-level agg, TakeOrdered head, no join") {
+    val p = planOf(queries.TextOps.q105BoilerplateSpans.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 head must be TakeOrdered, never a global sort")
+    assert(p.contains("partial_count"),
+      "the (span, doc) level must map-side combine before its exchange")
+    assert(!p.contains("Join"), "the audit must not join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")

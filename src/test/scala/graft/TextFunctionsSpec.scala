@@ -33,6 +33,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == Seq.empty)
   }
 
+  test("wordNgrams: empty below n tokens, L−n+1 windows otherwise, n=2 matches wordBigrams") {
+    val df = Seq("a b c d e", "a b c", "ab", "").toDF("text")
+    val got = df.select(wordNgrams(tokens("text"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq.empty && got(3) == Seq.empty)
+    val pair = df.select(wordNgrams(tokens("text"), 2).as("g"),
+      wordBigrams(tokens("text")).as("b")).collect()
+    pair.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      "wordNgrams(2) must equal wordBigrams"))
+  }
+
   test("native text counters equal their SQL compose forms on generated inputs") {
     import org.apache.spark.sql.graft.TextExpressions._
     // adversarial strings: unicode, runs of spaces/punct, digit/letter
