@@ -340,6 +340,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q106: PQ distortion meter — map-only arms, literal codebooks, 16-row group") {
+    val p = planOf(queries.VectorOps.q106PqDistortion.fn(spark, sf))
+    assert(p.contains("nearest_centroid"),
+      "code assignment must be the native argmin kernel")
+    assert(!p.contains("Join"),
+      "the arms must be map-only — codebooks ride as literals, never a join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the cell rollup must map-side combine")
+    assert(p.contains("Generate"), "each row emits its 8 subspace cells via posexplode")
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
