@@ -95,7 +95,8 @@ object CurationStages {
     "assign_split" -> Set("trainPct", "valPct", "threshold", "splitFrom"),
     "chunk" -> Set("chunkTokens", "stride"),
     "pack" -> Set("tokenBudget"),
-    "bpe_annotate" -> Set("mergesFrom"))
+    "bpe_annotate" -> Set("mergesFrom"),
+    "keyword_annotate" -> Set("topK", "statsFrom"))
 
   /** The n-gram pair relation's jaccard floor
     * ([[graft.queries.TextOps.ngramJaccardPairs]] filters at 0.06 before
@@ -596,6 +597,35 @@ object CurationStages {
         .groupBy("doc_id").agg(sum("n_sym").as("n_sym"))
       docs.join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_sym", coalesce(col("n_sym"), lit(0L)))
+
+    // q102's keyword extraction as an annotation stage: each doc gains a
+    // `keywords` array (its top-k bigram terms in rank order). statsFrom
+    // selects where df/N come from — 'flow' scores against the CURRENT
+    // (possibly already-curated) doc set, q102's self-stats form;
+    // 'corpus' scores against the job's source table, the frozen-stats
+    // form whose streamed twin is DocumentStreams.keywordFlags (so a
+    // chain can annotate a filtered subset with corpus-comparable
+    // scores). ONE scorer (TextOps.keywordRanked) serves q102, this
+    // stage, and the stream twin.
+    case "keyword_annotate" =>
+      val k = stage.int("topK", 3)
+      val stats = stage.strOr("statsFrom", "flow") match {
+        case "flow" => None
+        case "corpus" =>
+          val dir = sourceDirDefault.getOrElse(throw new IllegalArgumentException(
+            "keyword_annotate: statsFrom=corpus needs a table-dir job source " +
+              "to locate the corpus"))
+          Some(graft.Tables(docs.sparkSession, dir, "documents"))
+        case other => throw new IllegalArgumentException(
+          s"keyword_annotate: statsFrom must be 'flow' or 'corpus', got '$other'")
+      }
+      val kws = graft.queries.TextOps.keywordRanked(docs, stats, k)
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(rank, w))), x -> x.w)")
+          .as("keywords"))
+      docs.join(kws, Seq("doc_id"), "left")
+        .withColumn("keywords",
+          coalesce(col("keywords"), array().cast("array<string>")))
 
     case other =>
       throw new IllegalArgumentException(s"unknown curation stage op '$other'")

@@ -1562,32 +1562,65 @@ object TextOps {
        |FROM scored
        |WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    // tf is read twice (df derivation + join left side) and deliberately
-    // NOT persisted: measured at sf0.1 (JobCountProbe, warm) the persist
-    // is a regression — 1.84 s/10 jobs recomputing vs 2.24 s/11 jobs
-    // cached (the materialization barrier + cache writes cost more than
-    // the codegen'd re-scan at this size; the standing persist-vs-
-    // recompute result, q67/q77/q82's). At a scale where the explode
-    // genuinely dominates, a persisted tf is the right call — re-measure
-    // there, don't assume.
-    val tf = Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(wordBigrams(toks)).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val scoreCol = col("tf") * expr("(n_docs * 1000000) div df")
-    val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
-    // un-hinted: AQE broadcasts the vocab-sized df side here and fails
-    // over to SMJ when the vocabulary outgrows the threshold (see scaladoc)
-    tf.join(df, "w")
-      .crossJoin(broadcast(n))
-      .withColumn("score_n6", scoreCol)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    keywordRanked(Tables(s, dir, "documents"), statsDocs = None, topK = 3)
       .select(col("doc_id"), col("rank"), col("w").as("keyword"),
         col("tf"), col("df"), col("score_n6"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** The q102 keyword scorer, shared with the `keyword_annotate` curation
+    * stage (ONE implementation, no forks): each doc's word-bigram terms
+    * ranked by tf × linear idf, rows with rank ≤ topK kept. With
+    * `statsDocs = None` the df/N statistics come from `docs` itself —
+    * q102's exact plan (df reduces the tf relation AGAIN to the
+    * vocab-sized table, so the join meets pair-level vs vocab-level
+    * relations); with `Some(corpus)` they come from the corpus — the
+    * frozen-stats form whose streamed twin is
+    * [[graft.streaming.DocumentStreams.keywordFlags]] (terms absent from
+    * the stats relation score df = 1, the same unseen-term rule).
+    *
+    * tf is read twice in the self-stats form (df derivation + join left
+    * side) and deliberately NOT persisted: measured at sf0.1
+    * (JobCountProbe, warm) the persist is a regression — 1.84 s/10 jobs
+    * recomputing vs 2.24 s/11 jobs cached (the materialization barrier +
+    * cache writes cost more than the codegen'd re-scan at this size; the
+    * standing persist-vs-recompute result, q67/q77/q82's). At a scale
+    * where the explode genuinely dominates, a persisted tf is the right
+    * call — re-measure there, don't assume.
+    */
+  private[graft] def keywordRanked(docs: org.apache.spark.sql.DataFrame,
+      statsDocs: Option[org.apache.spark.sql.DataFrame],
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val (df, n) = statsDocs match {
+      case None =>
+        (tf.groupBy("w").agg(count(lit(1)).as("df")),
+          docs.agg(count(lit(1)).as("n_docs")))
+      case Some(sd) =>
+        (sd.select(col("doc_id"),
+            explode(array_distinct(wordBigrams(tokens("text")))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("df")),
+          sd.agg(count(lit(1)).as("n_docs")))
+    }
+    val scoreCol = col("tf") * expr("(n_docs * 1000000) div df")
+    val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
+    // un-hinted: AQE broadcasts the vocab-sized df side here and fails
+    // over to SMJ when the vocabulary outgrows the threshold (see q102
+    // scaladoc). Frozen-stats form: LEFT join + df=1 default so a term
+    // unseen in the stats corpus still scores (keywordFlags' rule).
+    val joined = statsDocs match {
+      case None => tf.join(df, "w").crossJoin(broadcast(n))
+      case Some(_) => tf.join(df, Seq("w"), "left")
+        .withColumn("df", coalesce(col("df"), lit(1L)))
+        .crossJoin(broadcast(n))
+    }
+    joined
+      .withColumn("score_n6", scoreCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
   }
 
   /** Q105 — boilerplate span mining: the top-20 repeated 8-token spans by

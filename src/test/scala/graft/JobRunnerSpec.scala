@@ -522,6 +522,44 @@ class JobRunnerSpec extends SparkSpec {
       c => c < -127 || c > 127)).count() == 0)
   }
 
+  test("keyword_annotate stage: flow stats match q102 row-for-row; corpus stats score a filtered subset") {
+    val work = java.nio.file.Files.createTempDirectory("jobkw").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "keyword_annotate"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    assert(out.columns.contains("keywords") && out.count() > 0)
+    // the stage's keywords array is EXACTLY q102's top-3, in rank order
+    val q102 = queries.TextOps.q102DocKeywords.fn(spark, sf)
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(rank, keyword))), x -> x.keyword)")
+        .as("kw102"))
+    val j = out.select(col("doc_id"), col("keywords")).join(q102, "doc_id")
+    assert(j.count() == q102.count())
+    assert(j.filter(col("keywords") =!= col("kw102")).count() == 0,
+      "stage keywords diverged from q102")
+    // corpus stats: a chain that FILTERS first still scores against the
+    // full corpus df/N — the kept docs' keywords equal their q102 rows
+    val conf2 = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out2", "outputFormat": "parquet",
+         |  "stages": [{"op": "stratified_sample", "default": 40},
+         |             {"op": "keyword_annotate", "statsFrom": "corpus"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf2)))
+    val out2 = spark.read.parquet(s"$work/out2/corpus")
+    assert(out2.count() > 0 && out2.count() < out.count())
+    val j2 = out2.select(col("doc_id"), col("keywords")).join(q102, "doc_id")
+    assert(j2.count() == out2.filter(size(col("keywords")) > 0).count())
+    assert(j2.filter(col("keywords") =!= col("kw102")).count() == 0,
+      "corpus-stats keywords diverged from q102 on the kept subset")
+  }
+
   test("assign_split splitFrom=corpus: ingest-time layout split preserved through curation") {
     val work = java.nio.file.Files.createTempDirectory("jobsplit").toString
     val conf = writeConf(
