@@ -926,9 +926,116 @@ object DedupOps {
       .orderBy("cluster_size", "n_sources")
   }
 
+  /** Q107 — SimHash calibration meter: q100's honest-measurement
+    * discipline pointed at the OTHER dedup index. Every q39 banded
+    * candidate signature pair — WITHOUT the hamming ≤ 3 verify, the
+    * meter wants the whole curve — expands to doc pairs bucketed by full
+    * 32-bit hamming distance, with the per-bucket exact word-bigram
+    * Jaccard sum (q100's nano-quantized integer j_n9, same reference
+    * similarity for both calibration meters so the two indexes are
+    * comparable on one scale). The reading: does hamming ≤ 3 actually
+    * correspond to the similarity level the verify threshold assumes on
+    * THIS corpus, and how fast does true similarity decay per extra
+    * flipped bit — the empirical curve that justifies (or re-tunes) the
+    * radius, next to q100's matches/16 curve for the MinHash side.
+    *
+    * Plan shape: q39's production layout — signature clustering BEFORE
+    * banding (exact-dup storms never enter the join), 20-table banding
+    * keys the shuffle, candidates are distinct-signature pairs expanded
+    * to doc pairs only after the (here absent) verify — plus q100's
+    * per-candidate fingerprint-set intersect and one ≤33-row map-side
+    * group. Empty-fingerprint docs can band (their simhash is over
+    * unigram hashes) but carry no bigram set; both engines drop them at
+    * the fps join (Spark: the explicit size > 0 guard; DuckDB: unnest
+    * never produces them), q100's degenerate-input rule.
+    */
+  val q107SimhashCalibration: QueryDef = QueryDef.sql(
+    "q107_simhash_calibration",
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [CASE WHEN list_sum([((th >> j) & 1)*2 - 1 for th in ths]) > 0
+       |            THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 32)]),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM (SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
+       |        FROM documents)),
+       |bands AS (
+       |  SELECT doc_id, simhash, cid AS band, ${bhExpr(duckAt, duckShr, "cid+1")} AS bh
+       |  FROM sig, unnest(range(0, 20)) AS t(cid)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
+       |fps AS (SELECT doc_id, list(fp ORDER BY fp) AS fps FROM sh GROUP BY doc_id),
+       |m AS (
+       |  SELECT c.hamming,
+       |    (CAST(len(list_intersect(fa.fps, fb.fps)) AS BIGINT) * 1000000000)
+       |      // (len(fa.fps) + len(fb.fps) - len(list_intersect(fa.fps, fb.fps)))
+       |      AS j_n9
+       |  FROM cand c
+       |  JOIN fps fa ON fa.doc_id = c.a
+       |  JOIN fps fb ON fb.doc_id = c.b)
+       |SELECT CAST(hamming AS BIGINT) AS hamming,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(j_n9) AS BIGINT) AS sum_j_n9
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
+    val docs = Tables(s, dir, "documents")
+    val sig = docs
+      .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
+    val clusters = sig.groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = clusters
+      .select(col("simhash"), col("ds"), explode(sequence(lit(0), lit(19))).as("band"))
+      .withColumn("bh", expr(bhExpr(sparkAt, sparkShr, "band+1")))
+    val sigPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.simhash") < col("y.simhash"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .groupBy(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .agg(first(col("x.ds")).as("dsa"), first(col("y.ds")).as("dsb"),
+        first(col("hamming")).as("hamming"))
+    val cross = sigPairs
+      .select(explode(col("dsa")).as("a0"), col("dsb"), col("hamming"))
+      .select(col("a0"), explode(col("dsb")).as("b0"), col("hamming"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"), col("hamming"))
+    val intra = clusters
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).cast("int").as("hamming"))
+    val fps = docs
+      .select(col("doc_id"), sort_array(array_distinct(
+        org.apache.spark.sql.graft.TextExpressions
+          .shingle_hashes(tokens("text")))).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cross.unionAll(intra)
+      .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
+      .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
+      .select(col("hamming"),
+        expr("CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT)").as("inter"),
+        (size(col("fpsa")) + size(col("fpsb"))).cast("long").as("szsum"))
+      .select(col("hamming"),
+        expr("inter * 1000000000L div (szsum - inter)").as("j_n9"))
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_n9")).as("sum_j_n9"))
+      .orderBy("hamming")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
-      q104ClusterPurity)
+      q104ClusterPurity, q107SimhashCalibration)
 }

@@ -370,6 +370,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the ≤17-row bucket group must map-side combine")
   }
 
+  test("q107: simhash calibration — native signature, cluster-before-band, keyed candidates") {
+    val p = planOf(queries.DedupOps.q107SimhashCalibration.fn(spark, sf))
+    assert(p.contains("simhash32"), "signatures must be the native kernel")
+    assert(p.contains("collect_list"),
+      "identical signatures must cluster BEFORE banding (q39's layout)")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must join on (band, bh) keys, never cross")
+    assert(p.contains("partial_"), "the ≤33-row hamming group must map-side combine")
+  }
+
   test("q102: keywords — pair-bounded tf agg, un-hinted df join, doc-keyed window") {
     val p = planOf(queries.TextOps.q102DocKeywords.fn(spark, sf))
     assert(p.contains("partial_count"), "tf must map-side combine before the exchange")
