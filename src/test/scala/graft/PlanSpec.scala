@@ -351,6 +351,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "each row emits its 8 subspace cells via posexplode")
   }
 
+  test("q108: IVF cell audit — map-only assignment, literal codebook, cell-sized group") {
+    val p = planOf(queries.VectorOps.q108IvfCellAudit.fn(spark, sf))
+    assert(p.contains("nearest_centroid"),
+      "assignment must be the native argmin kernel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the codebook must ride as literals, never a join (the 1-row share total may BNLJ)")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the cell rollup must map-side combine")
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -597,6 +607,7 @@ class PlanSpec extends SparkSpec {
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
+      "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
       "q103_label_centroid_matrix", // |labels|² pair join of the persisted
                                     // dimension-sized centroid table (non-equi
