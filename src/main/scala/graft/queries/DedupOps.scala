@@ -1033,9 +1033,82 @@ object DedupOps {
       .orderBy("hamming")
   }
 
+  /** Q109 — cluster edge-density audit: per strong-cluster size, how
+    * many direct pair-graph edges the clusters actually contain vs the
+    * sz·(sz−1)/2 a clique would — the CHAIN-vs-CLIQUE readout behind
+    * q63's threshold-hygiene warning, quantified. Transitive merging is
+    * only safe when clusters are clique-like (every member really
+    * resembles every other); a low-density bucket means the threshold is
+    * chaining A~B~C merges whose ends never met — exactly the failure
+    * mode that collapsed 498 of 500 docs at jaccard ≥ 0.06 — so this is
+    * the number you check BEFORE trusting keep-one-per-cluster at a new
+    * threshold or on a new corpus. Exact integers: edge counts, possible
+    * pairs, and the nano-quantized density ratio.
+    *
+    * Plan shape: the fourth ClusterAssignment consumer — strong labels
+    * scanned twice (once per pair endpoint, tiny relation), the strong
+    * PairGraph slice mapped to clusters by two joins (every strong
+    * edge's endpoints share a label by construction), a |clusters|-row
+    * group, then a ≤|sizes| bucket group. No CC, no shingling, nothing
+    * corpus-scale. The oracle recomputes components from scratch (q101's
+    * discipline).
+    */
+  val q109ClusterDensity: QueryDef = QueryDef.sql(
+    "q109_cluster_density",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |edges AS (
+       |  SELECT la.cluster_id, count(*) AS n_edges
+       |  FROM strong s
+       |  JOIN lbl la ON la.doc_id = s.a
+       |  GROUP BY 1),
+       |cl AS (
+       |  SELECT l.cluster_id, count(*) AS sz, min(ed.n_edges) AS n_edges
+       |  FROM lbl l JOIN edges ed ON ed.cluster_id = l.cluster_id
+       |  GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(n_edges) AS BIGINT) AS n_edges,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_possible,
+       |  CAST(sum(n_edges) * 1000000000 // sum(sz * (sz - 1) // 2) AS BIGINT)
+       |    AS density_n9
+       |FROM cl
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cc = graft.sources.ClusterAssignment.strongComponents(s, dir)
+    val strong = graft.sources.PairGraph(s, dir)
+      .filter(col("jaccard") >= graft.sources.ClusterAssignment.StrongJaccard)
+      .select("a", "b")
+    // both endpoints of a strong edge share a label by construction, so
+    // ONE endpoint join suffices to place the edge in its cluster
+    val edges = strong
+      .join(cc.select(col("id").as("a"), col("component")), "a")
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    val cl = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      .join(edges, "component")
+    cl
+      .groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_edges")).cast("long").as("n_edges"),
+        sum(expr("sz * (sz - 1) div 2")).cast("long").as("n_possible"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_edges"),
+        col("n_possible"),
+        expr("n_edges * 1000000000L div n_possible").as("density_n9"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
-      q104ClusterPurity, q107SimhashCalibration)
+      q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity)
 }

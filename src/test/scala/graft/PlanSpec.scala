@@ -361,6 +361,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the cell rollup must map-side combine")
   }
 
+  test("q109: cluster density — layout + pair-graph scans, no query-time CC or shingling") {
+    val p = planOf(queries.DedupOps.q109ClusterDensity.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "labels and pairs must come from the materialized stores")
+    assert(!p.contains("ExistingRDD") && !p.contains("shingle_hashes"),
+      "no query-time CC or shingling")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the rollups must map-side combine")
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
