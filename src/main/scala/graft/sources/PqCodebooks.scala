@@ -96,6 +96,25 @@ object PqCodebooks {
     packCodes(sub => codeCol(cb, sub, emb))
   }
 
+  /** Subspace `sub`'s nano-quantized squared reconstruction error of the
+    * 4-bit code: ‖x_sub − c(code(x_sub))‖²·10⁹ floored half-up to a long.
+    * The distance to the ASSIGNED codeword, recomputed as an
+    * ascending-index double fold — the q106 distortion meter's per-cell
+    * term, shared with its streaming maintenance twin (one definition of
+    * "distortion", like the encode/ADC builders above). Works for any
+    * codebook family with this subspace geometry (sliced or trained).
+    */
+  def errN9Col(cb: SubTable, sub: Int,
+      emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val code = codeCol(cb, sub, emb).cast("long")
+    val cent = element_at(
+      typedLit(cb(sub).map { case (l, c) => l -> c }.toMap), code)
+    val diffs = zip_with(slice(emb, sub * D + 1, D), cent,
+      (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
+    floor(aggregate(diffs, lit(0.0), (a, v) => a + v) * lit(1e9) + lit(0.5))
+      .cast("long")
+  }
+
   /** Per-sub query LUT: the query slice's dot with every codeword, as a
     * sequential double fold — bit-identical to the oracle's
     * list_dot_product over identical doubles.

@@ -98,6 +98,41 @@ object MlStreams {
       .agg(count(lit(1)).as("n"), sN9.as("s_n9"))
   }
 
+  /** Streaming maintenance of q106's PQ distortion cells: arriving
+    * vectors score their per-subspace nano-quantized reconstruction
+    * error against the corpus's HELD-FIXED trained
+    * [[graft.sources.PqCodebooks]] (the pqEncode rule — codes and their
+    * distortion stay comparable across the whole stream; drift is an
+    * explicit re-train + rebuild), one grouped aggregate in complete
+    * mode. State is M = 8 cells — O(1) regardless of stream length —
+    * each carrying (n_vecs, sum_err_n9, max_err_n9), the live
+    * index-health readout that tells an operator WHEN the held-fixed
+    * codebook has drifted off the incoming distribution (rising
+    * distortion against a fixed quantizer is exactly distribution
+    * shift). The error term is literally q106's
+    * ([[graft.sources.PqCodebooks.errN9Col]] — one definition), so after
+    * any micro-batch the cells equal the batch meter's `pqt` arm over
+    * everything ingested (StreamingSpec pins it). The sum is
+    * [[org.apache.spark.sql.graft.Sum128]] unconditionally — the
+    * momentCells rule: complete-mode state never resets and per-vector
+    * terms reach ~10⁹, so an unbounded stream crosses the long bound.
+    */
+  def distortionCells(stream: DataFrame, corpusDir: String,
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cb = graft.sources.PqCodebooks(stream.sparkSession, corpusDir)
+    stream
+      .select(posexplode(array(
+        (0 until graft.sources.PqCodebooks.M).map(sub =>
+          graft.sources.PqCodebooks.errN9Col(cb, sub, col(embCol))): _*))
+        .as(Seq("sub", "e")))
+      .groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        org.apache.spark.sql.graft.SumExpressions.sum128(col("e"))
+          .cast("long").as("sum_err_n9"),
+        max(col("e")).as("max_err_n9"))
+  }
+
   /** Streaming maintenance of the per-label centroid cells — q26's mean
     * table (and q103's cartography input) kept CURRENT as labeled
     * vectors land: per (label, idx), the exact decimal-scale-9 component

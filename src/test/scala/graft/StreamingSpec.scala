@@ -384,6 +384,40 @@ class StreamingSpec extends SparkSpec {
     assert(narrow == batch, "narrow-path streamed moment cells diverge from batch")
   }
 
+  test("streaming distortion cells equal batch q106's pqt arm after the last micro-batch") {
+    import graft.streaming.MlStreams
+    import scala.jdk.CollectionConverters._
+    val emb = Tables(spark, sf, "embeddings")
+    val mid = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("emb_dist")
+    def writePart(name: String, mod: Long, part: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dist_part")
+      part.select("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      java.nio.file.Files.move(f, dest)
+      dest.toFile.setLastModified(mod)
+    }
+    writePart("a.parquet", 10000L, emb.filter(col("vec_id") <= mid))
+    writePart("b.parquet", 20000L, emb.filter(col("vec_id") > mid))
+    val stream = spark.readStream.schema(MlStreams.embeddingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // complete-mode state: the final 8 cells reflect BOTH micro-batches,
+    // scored against the SAME held-fixed trained codebooks as batch q106
+    val got = EventStreams.runToMemory(
+        MlStreams.distortionCells(stream, sf), "dist_t", outputMode = "complete")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = queries.VectorOps.q106PqDistortion.fn(spark, sf)
+      .filter(col("arm") === "pqt")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty && got == batch,
+      s"streamed distortion cells diverge from q106 pqt: got=$got")
+  }
+
   test("streaming centroid cells equal batch q26's exact sums after the last micro-batch") {
     import graft.streaming.MlStreams
     import scala.jdk.CollectionConverters._
