@@ -806,8 +806,11 @@ object TextOps {
     * one-row aggregate and broadcast back. Dyadic percentages are exact
     * cross-engine (q59's rule); the bucket compare runs on exact ints.
     */
-  val q66Perplexity: QueryDef = {
-    val V = PplVocab
+  /** q66's oracle scoring chain (f → vc0 → v → s → tf → sc → sc2), shared
+    * with q110's curriculum planner — the SQL twin of
+    * [[perplexityScored]] plus the two quantizations.
+    */
+  private def PplScoredCtes(V: Int): String = {
     val tfSqls = (1 to V).map(i =>
       s"len(list_filter(t, x -> x = vw[$i])) AS tf_$i").mkString(",\n       |    ")
     val tfSumSql = (1 to V).map(i => s"tf_$i").mkString(" + ")
@@ -816,33 +819,38 @@ object TextOps {
       s"CAST(tf_$i AS DOUBLE) * ln(CAST(vcn[$i] AS DOUBLE) / CAST(total AS DOUBLE))")
     val oovTermSql = s"CAST(dl - ($tfSumSql) AS DOUBLE) * " +
       s"ln(CAST(greatest(total - ($vcSumSql), 1) AS DOUBLE) / CAST(total AS DOUBLE))"
+    s"""f AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |vc0 AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(t) AS word FROM f)
+       |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
+       |v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
+       |             list(c ORDER BY c DESC, word) AS vcn FROM vc0),
+       |s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM f),
+       |tf AS (
+       |  SELECT doc_id, dl, vcn, total,
+       |    $tfSqls
+       |  FROM f, v, s),
+       |sc AS (
+       |  SELECT doc_id, dl, dl - ($tfSumSql) AS oov,
+       |    (-(${termSqls.mkString(" +\n       |      ")} +
+       |      $oovTermSql)) / CAST(dl AS DOUBLE) AS nll_raw
+       |  FROM tf),
+       |sc2 AS (
+       |  SELECT doc_id, dl AS n_tokens, oov,
+       |    CAST(floor(nll_raw * 1000000 + 0.5) AS BIGINT) AS nll_n6,
+       |    CAST(floor(nll_raw * 1000 + 0.5) AS BIGINT) AS nll_n3
+       |  FROM sc)""".stripMargin
+  }
+
+  val q66Perplexity: QueryDef = {
+    val V = PplVocab
     QueryDef.sql(
       "q66_perplexity",
-      s"""WITH f AS (
-         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
-         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
-         |  WHERE len(t) > 0),
-         |vc0 AS (
-         |  SELECT word, count(*) AS c
-         |  FROM (SELECT unnest(t) AS word FROM f)
-         |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
-         |v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
-         |             list(c ORDER BY c DESC, word) AS vcn FROM vc0),
-         |s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM f),
-         |tf AS (
-         |  SELECT doc_id, dl, vcn, total,
-         |    $tfSqls
-         |  FROM f, v, s),
-         |sc AS (
-         |  SELECT doc_id, dl, dl - ($tfSumSql) AS oov,
-         |    (-(${termSqls.mkString(" +\n       |      ")} +
-         |      $oovTermSql)) / CAST(dl AS DOUBLE) AS nll_raw
-         |  FROM tf),
-         |sc2 AS (
-         |  SELECT doc_id, dl AS n_tokens, oov,
-         |    CAST(floor(nll_raw * 1000000 + 0.5) AS BIGINT) AS nll_n6,
-         |    CAST(floor(nll_raw * 1000 + 0.5) AS BIGINT) AS nll_n3
-         |  FROM sc),
+      s"""WITH ${PplScoredCtes(V)},
          |thr AS (SELECT quantile_cont(nll_n3, 0.25) AS p25,
          |               quantile_cont(nll_n3, 0.75) AS p75 FROM sc2)
          |SELECT doc_id, n_tokens, oov, nll_n6,
@@ -1679,10 +1687,78 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Q110 — curriculum schedule: the corpus split into four exact
+    * difficulty quartiles of q66's LM score (easy → hard), with each
+    * phase's document count, token budget, and difficulty span — the
+    * plan a curriculum-ordered training run consumes (Bengio et al.
+    * 2009's easy-first schedule; in LLM data work the same table drives
+    * "anneal on the head, sample the tail" recipes). Per phase:
+    * n_docs, n_tokens, exact sum of the micro-quantized score (the
+    * reader's one division yields mean difficulty), min/max score.
+    *
+    * Scale shape: q66's bucketing discipline extended to quartiles — NO
+    * global sort/ntile anywhere: thresholds are exact p25/p50/p75 over
+    * the milli-quantized score (bounded-cardinality PercentileLong
+    * state, dyadic percentages so both engines interpolate exactly),
+    * broadcast back, then ONE map-side-combined 4-row group. The scorer
+    * is [[perplexityScored]] — the same ONE implementation as q66 and
+    * the perplexity_filter stage.
+    */
+  val q110CurriculumSchedule: QueryDef = {
+    val V = PplVocab
+    QueryDef.sql(
+      "q110_curriculum_schedule",
+      s"""WITH ${PplScoredCtes(V)},
+         |thr AS (SELECT quantile_cont(nll_n3, 0.25) AS p25,
+         |               quantile_cont(nll_n3, 0.5) AS p50,
+         |               quantile_cont(nll_n3, 0.75) AS p75 FROM sc2),
+         |ph AS (
+         |  SELECT CASE WHEN nll_n3 <= p25 THEN 0
+         |              WHEN nll_n3 <= p50 THEN 1
+         |              WHEN nll_n3 <= p75 THEN 2
+         |              ELSE 3 END AS phase,
+         |    n_tokens, nll_n6
+         |  FROM sc2, thr)
+         |SELECT CAST(phase AS BIGINT) AS phase,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nll_n6) AS BIGINT) AS sum_nll_n6,
+         |  CAST(min(nll_n6) AS BIGINT) AS min_nll_n6,
+         |  CAST(max(nll_n6) AS BIGINT) AS max_nll_n6
+         |FROM ph
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.PercentileLong.percentile_long
+      val scored = perplexityScored(Tables(s, dir, "documents"), V)
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
+          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = scored.agg(
+        percentile_long(col("nll_n3"), 0.25).as("p25"),
+        percentile_long(col("nll_n3"), 0.5).as("p50"),
+        percentile_long(col("nll_n3"), 0.75).as("p75"))
+      scored.crossJoin(broadcast(thr))
+        .select(
+          when(col("nll_n3") <= col("p25"), 0L)
+            .when(col("nll_n3") <= col("p50"), 1L)
+            .when(col("nll_n3") <= col("p75"), 2L)
+            .otherwise(3L).as("phase"),
+          col("n_tokens"), col("nll_n6"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("nll_n6")).cast("long").as("sum_nll_n6"),
+          min(col("nll_n6")).as("min_nll_n6"),
+          max(col("nll_n6")).as("max_nll_n6"))
+        .orderBy("phase")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
-    q102DocKeywords, q105BoilerplateSpans)
+    q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule)
 }

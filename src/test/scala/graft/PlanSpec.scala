@@ -371,6 +371,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the rollups must map-side combine")
   }
 
+  test("q110: curriculum schedule — percentile thresholds, no global sort, 4-row group") {
+    val p = planOf(queries.TextOps.q110CurriculumSchedule.fn(spark, sf))
+    assert(p.contains("percentile_long"),
+      "phase thresholds must be the bounded-state percentile aggregate")
+    assert(!p.contains("Window"), "no ntile/rank window — thresholds broadcast back")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the 4-row phase group must map-side combine")
+    graft.Caches.clearAll(spark)
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -618,6 +628,7 @@ class PlanSpec extends SparkSpec {
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
+      "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
       "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
       "q103_label_centroid_matrix", // |labels|² pair join of the persisted
                                     // dimension-sized centroid table (non-equi
