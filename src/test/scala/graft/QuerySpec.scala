@@ -334,6 +334,55 @@ class QuerySpec extends SparkSpec {
     graft.Caches.clearAll(spark)
   }
 
+  test("q106/q108/q109/q110 meter invariants: Lloyd monotonicity, share/partition conservation, density bounds") {
+    // q106: one Lloyd refinement from the sliced warm start cannot
+    // increase a subspace's total distortion (assignment + re-center +
+    // re-assignment each non-increasing); quantization adds ≤ 0.5 per
+    // vector per arm, so pqt ≤ pq + n_vecs in nano units
+    val d = queries.VectorOps.q106PqDistortion.fn(spark, sf).collect()
+      .groupBy(_.getLong(1)).map { case (sub, rows) =>
+        val byArm = rows.map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+        (sub, byArm("pq"), byArm("pqt"))
+      }
+    assert(d.nonEmpty)
+    d.foreach { case (sub, (nPq, sPq), (nPqt, sPqt)) =>
+      assert(nPq == nPqt, s"sub $sub arm coverage differs")
+      assert(sPqt <= sPq + nPq,
+        s"sub $sub: trained codebook RAISED distortion ($sPqt > $sPq) — Lloyd broke")
+    }
+    // q108: shares are floor(n·1e9/total) so they sum into (1e9 − |cells|, 1e9];
+    // the counts partition the corpus exactly
+    val cells = queries.VectorOps.q108IvfCellAudit.fn(spark, sf).collect()
+    val shareSum = cells.map(_.getLong(2)).sum
+    assert(shareSum <= 1000000000L && shareSum > 1000000000L - cells.length,
+      s"cell shares do not conserve: $shareSum over ${cells.length} cells")
+    assert(cells.map(_.getLong(1)).sum == Tables(spark, sf, "embeddings").count())
+    // q109: a cluster's direct edges never exceed its clique bound, the
+    // spanning-tree floor holds (≥ sz−1 edges per cluster ⇒ per bucket
+    // n_edges ≥ n_clusters·(sz−1)), and every bucket is size ≥ 2
+    val dens = queries.DedupOps.q109ClusterDensity.fn(spark, sf).collect()
+    assert(dens.nonEmpty)
+    dens.foreach { r =>
+      val (sz, ncl, ne, np, d9) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sz >= 2 && ne <= np && d9 <= 1000000000L,
+        s"density bucket $sz violates clique bound")
+      assert(ne >= ncl * (sz - 1), s"bucket $sz under the spanning-tree floor")
+    }
+    // q110: the four phases partition the scored (non-empty) corpus and
+    // are ordered by difficulty span
+    val ph = queries.TextOps.q110CurriculumSchedule.fn(spark, sf).collect()
+    assert(ph.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val scoredDocs = queries.TextOps.q66Perplexity.fn(spark, sf).count()
+    assert(ph.map(_.getLong(1)).sum == scoredDocs,
+      "curriculum phases do not partition the scored corpus")
+    ph.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(4),
+        "phase min difficulty must be non-decreasing")
+    }
+    graft.Caches.clearAll(spark)
+  }
+
   test("q69 chunking: every token covered, windows at most 64 tokens, overlap contract") {
     val chunks = queries.PipelineOps.q69ChunkWindows.fn(spark, sf).collect()
     val docLens = Tables(spark, sf, "documents")
