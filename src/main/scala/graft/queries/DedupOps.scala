@@ -1106,9 +1106,75 @@ object DedupOps {
       .orderBy("cluster_size")
   }
 
+  /** Q111 — per-source dedup savings: what canonicalization costs each
+    * FEED. q101 says what dedup saves by cluster size; this says WHO
+    * pays — per source: its document and token totals, the documents
+    * and tokens the keep-minimum rule drops, and the nano-quantized
+    * dropped-token share. A feed with a high drop share is internally
+    * redundant (dedup it before mixing, or down-weight it — the same
+    * decision q98's matrix informs at the pair level, here priced in
+    * tokens, the unit budgets are written in). Sources with zero drops
+    * appear with zeros — absence of redundancy is also a finding.
+    *
+    * Plan shape: the fifth ClusterAssignment consumer — the drop set is
+    * doc_id ≠ cluster_strong off the layout scan (tiny), LEFT-joined
+    * onto the corpus's (doc_id, source, n_tok) projection, ONE
+    * |sources|-row map-side-combined group over the corpus scan. No CC,
+    * no pair work, one linear pass.
+    */
+  val q111SourceDedupCost: QueryDef = QueryDef.sql(
+    "q111_source_dedup_cost",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |drops AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+       |d AS (
+       |  SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tok,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM drops) THEN 1 ELSE 0 END AS dr
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dr) AS BIGINT) AS n_dropped,
+       |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       |  CAST(sum(CASE WHEN dr = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_dropped,
+       |  CAST(sum(CASE WHEN dr = 1 THEN n_tok ELSE 0 END) * 1000000000
+       |    // greatest(sum(n_tok), 1) AS BIGINT) AS drop_share_n9
+       |FROM d
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val drops = graft.sources.ClusterAssignment(s, dir)
+      .filter(col("cluster_strong").isNotNull &&
+        col("doc_id") =!= col("cluster_strong"))
+      .select(col("doc_id"), lit(1L).as("dr"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(tokens("text")).cast("long").as("n_tok"))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("dr", coalesce(col("dr"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dr")).cast("long").as("n_dropped"),
+        sum(col("n_tok")).cast("long").as("tok_total"),
+        sum(when(col("dr") === 1L, col("n_tok")).otherwise(0L))
+          .cast("long").as("tok_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("tok_total"),
+        col("tok_dropped"),
+        expr("tok_dropped * 1000000000L div greatest(tok_total, 1L)")
+          .as("drop_share_n9"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
-      q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity)
+      q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity,
+      q111SourceDedupCost)
 }

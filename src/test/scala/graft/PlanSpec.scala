@@ -381,6 +381,16 @@ class PlanSpec extends SparkSpec {
     graft.Caches.clearAll(spark)
   }
 
+  test("q111: source dedup cost — layout drop set onto one corpus pass, no query-time CC") {
+    val p = planOf(queries.DedupOps.q111SourceDedupCost.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "the drop set must come from the materialized ClusterAssignment store")
+    assert(!p.contains("ExistingRDD") && !p.contains("shingle_hashes"),
+      "no query-time CC or shingling")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "the |sources|-row rollup must map-side combine")
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
