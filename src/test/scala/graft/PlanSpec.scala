@@ -391,6 +391,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the |sources|-row rollup must map-side combine")
   }
 
+  test("q112: retrieval agreement — both arms end in TakeOrdered, no global sort") {
+    val p = planOf(queries.VectorOps.q112RetrievalAgreement.fn(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both arms must reduce via TakeOrdered before any window/join")
+    assert(!p.contains("CartesianProduct"))
+    graft.Caches.clearAll(spark)
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -639,6 +647,8 @@ class PlanSpec extends SparkSpec {
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
+      "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap
+                                  // (+ q73's 1-row query-vector broadcast)
       "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
       "q103_label_centroid_matrix", // |labels|² pair join of the persisted
                                     // dimension-sized centroid table (non-equi
