@@ -55,7 +55,9 @@ class BenchContractSpec extends AnyFunSuite {
     val readme = read("README.md").linesIterator.toVector
     val i = readme.indexWhere(_.contains("artifact of record"))
     assert(i >= 0, "README lost its 'artifact of record' headline")
-    val para = readme.slice(i - 2, i + 10).mkString(" ")
+    // the ratios may sit several lines above the 'artifact of record'
+    // phrase as the paragraph grows — scan the whole surrounding block
+    val para = readme.slice(math.max(0, i - 12), i + 10).mkString(" ")
     def quoted(tag: String): Double =
       ("([0-9]+\\.[0-9]+)× " + tag).r.findFirstMatchIn(para)
         .map(_.group(1).toDouble)
