@@ -23,7 +23,11 @@ object SlopeProbe {
     "q70_split_contamination", "q71_image_neardup", "q74_semdedup",
     "q86_quant_audit", "q92_ann_pq_trained", "q93_importance_resample",
     "q96_repetition_filter", "q97_bigram_zipf", "q98_source_dup_matrix",
-    "q99_packing_audit", "q100_minhash_calibration")
+    "q99_packing_audit", "q100_minhash_calibration",
+    "q104_cluster_purity", "q105_boilerplate_spans", "q106_pq_distortion",
+    "q107_simhash_calibration", "q108_ivf_cell_audit", "q109_cluster_density",
+    "q110_curriculum_schedule", "q111_source_dedup_cost",
+    "q112_retrieval_agreement")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
