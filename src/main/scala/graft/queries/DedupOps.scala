@@ -1171,10 +1171,95 @@ object DedupOps {
       .orderBy("source")
   }
 
+  /** Q113 — representative-quality regret: keep-minimum is
+    * provenance-stable (the canonical id never changes as a cluster
+    * grows) but QUALITY-BLIND — this prices that choice. Per strong
+    * cluster: the kept doc is the minimum id, the best doc is the
+    * quality argmax (q18's composite score, ties to the smaller id);
+    * per cluster-size bucket: how many clusters kept their best member
+    * anyway, and the summed/worst nano-quantized quality regret
+    * (best − kept). A high-regret readout is the case for switching the
+    * canonical rule to keep-best (paying re-keying on refresh); a
+    * near-zero one says min-id is free. Regret quantization is exact:
+    * q18's score doubles are bit-identical cross-engine (its own hash
+    * compare proves it), so floor((best−kept)·10⁹+0.5) matches bitwise.
+    *
+    * Plan shape: the sixth ClusterAssignment consumer — strong labels
+    * joined onto q18's MAP-ONLY quality projection of the corpus, a
+    * per-cluster window over the tiny labeled slice (partitioned on
+    * cluster id, never corpus-keyed), then a ≤|sizes| bucket group. The
+    * oracle recomputes components and the score from scratch.
+    */
+  val q113RepresentativeRegret: QueryDef = QueryDef.sql(
+    "q113_representative_regret",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |q AS (
+       |${TextOps.QualityScoreSql}
+       |),
+       |m AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN q ON q.doc_id = l.doc_id),
+       |cl AS (
+       |  SELECT cluster_id, count(*) AS sz,
+       |    max(CASE WHEN rn = 1 THEN doc_id END) AS best_doc,
+       |    max(CASE WHEN rn = 1 THEN quality_score END) AS best_q,
+       |    max(CASE WHEN doc_id = cluster_id THEN quality_score END) AS kept_q
+       |  FROM m
+       |  GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN best_doc = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_best,
+       |  CAST(sum(CAST(floor((best_q - kept_q) * 1000000000 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS sum_regret_n9,
+       |  CAST(max(CAST(floor((best_q - kept_q) * 1000000000 + 0.5) AS BIGINT))
+       |    AS BIGINT) AS max_regret_n9
+       |FROM cl
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cc = graft.sources.ClusterAssignment.strongComponents(s, dir)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val q = TextOps.textQualityFrame(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val m = cc.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+    val cl = m.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"),
+        max(when(col("rn") === 1, col("doc_id"))).as("best_doc"),
+        max(when(col("rn") === 1, col("quality_score"))).as("best_q"),
+        max(when(col("doc_id") === col("cluster_id"), col("quality_score")))
+          .as("kept_q"))
+    val regret = floor((col("best_q") - col("kept_q")) * lit(1000000000L) + lit(0.5))
+      .cast("long")
+    cl
+      .groupBy(col("sz").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("best_doc") === col("cluster_id"), 1L).otherwise(0L))
+          .cast("long").as("n_kept_best"),
+        sum(regret).cast("long").as("sum_regret_n9"),
+        max(regret).as("max_regret_n9"))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
       q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity,
-      q111SourceDedupCost)
+      q111SourceDedupCost, q113RepresentativeRegret)
 }

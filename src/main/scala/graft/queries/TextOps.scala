@@ -69,6 +69,54 @@ object TextOps {
     * ratio, composite score. Ratios divide already-identical ints/doubles so
     * the doubles are bit-exact cross-engine. Map-only.
     */
+  /** q18's quality projection over a documents-shaped frame — the ONE
+    * scorer shared by q18 and q113's representative-regret audit (and
+    * the quality_filter stage's ancestor). All counters native one-pass;
+    * the composite score is deterministic double arithmetic, bit-exact
+    * cross-engine (q18's hash compare proves it).
+    */
+  private[graft] def textQualityFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+    docs
+      .select(col("doc_id"), col("text"), tokens("text").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        org.apache.spark.sql.graft.TextExpressions
+          .tokens_in_set(col("t"), stop).as("n_stop"),
+        org.apache.spark.sql.graft.TextExpressions
+          .token_length_sum(col("t")).as("len_sum"),
+        (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).as("n_punct"),
+        length(col("text")).as("n_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+        when(col("n_tokens") === 0, 0.0).otherwise(col("len_sum") / col("n_tokens")).as("avg_token_len"),
+        when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        (col("n_punct") / col("n_chars")).as("punct_ratio"),
+        (when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")) * 0.3
+          + (lit(1.0) - col("n_punct") / col("n_chars")) * 0.3
+          + least(col("n_tokens") / 100.0, lit(1.0)) * 0.4).as("quality_score"))
+  }
+
+  /** The q18 quality-score SQL over `documents` as a CTE body (doc_id,
+    * quality_score) — q113's oracle reuses the exact formula.
+    */
+  private[graft] val QualityScoreSql: String = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+    val stopIn = stop.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END * 0.3
+       |    + (1.0 - n_punct / n_chars) * 0.3
+       |    + least(n_tokens / 100.0, 1.0) * 0.4 AS quality_score
+       |FROM (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    len(list_filter(t, x -> x IN ($stopIn))) AS n_stop,
+       |    length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct,
+       |    length(text) AS n_chars
+       |  FROM (SELECT doc_id, text, $ToksSql AS t FROM documents))""".stripMargin
+  }
+
   val q18TextQuality: QueryDef = {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in")
     val stopIn = stop.map(w => s"'$w'").mkString(", ")
@@ -89,26 +137,7 @@ object TextOps {
          |    length(text) AS n_chars
          |  FROM (SELECT doc_id, text, $ToksSql AS t FROM documents))
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), toks.as("t"))
-        .select(
-          col("doc_id"),
-          size(col("t")).as("n_tokens"),
-          org.apache.spark.sql.graft.TextExpressions
-            .tokens_in_set(col("t"), stop).as("n_stop"),
-          org.apache.spark.sql.graft.TextExpressions
-            .token_length_sum(col("t")).as("len_sum"),
-          (length(col("text")) - length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))).as("n_punct"),
-          length(col("text")).as("n_chars"))
-        .select(
-          col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
-          when(col("n_tokens") === 0, 0.0).otherwise(col("len_sum") / col("n_tokens")).as("avg_token_len"),
-          when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")).as("stop_ratio"),
-          (col("n_punct") / col("n_chars")).as("punct_ratio"),
-          (when(col("n_tokens") === 0, 0.0).otherwise(col("n_stop") / col("n_tokens")) * 0.3
-            + (lit(1.0) - col("n_punct") / col("n_chars")) * 0.3
-            + least(col("n_tokens") / 100.0, lit(1.0)) * 0.4).as("quality_score"))
-        .orderBy("doc_id")
+      textQualityFrame(Tables(s, dir, "documents")).orderBy("doc_id")
     }
   }
 

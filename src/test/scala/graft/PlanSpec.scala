@@ -399,6 +399,17 @@ class PlanSpec extends SparkSpec {
     graft.Caches.clearAll(spark)
   }
 
+  test("q113: representative regret — layout labels, cluster-keyed window, no query-time CC") {
+    val p = planOf(queries.DedupOps.q113RepresentativeRegret.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "labels must come from the materialized ClusterAssignment store")
+    assert(!p.contains("ExistingRDD") && !p.contains("shingle_hashes"),
+      "no query-time CC or shingling")
+    assert("hashpartitioning\\(cluster_id".r.findFirstIn(p).isDefined,
+      "the argmax window must partition on the cluster id, never a global order")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
