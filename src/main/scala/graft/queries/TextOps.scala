@@ -1699,12 +1699,36 @@ object TextOps {
        |ORDER BY n_occ DESC, span
        |LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val dtf = Tables(s, dir, "documents")
+    val docs = Tables(s, dir, "documents")
+    val dtf = docs
+      .select(col("doc_id"), col("text"))
+      // explicit-width spread BEFORE the span explode (the q67/q51/q90
+      // parallelism pin): the corpus scan is one small split at bench SF,
+      // and the 8-token window explode is the query's heaviest per-row
+      // work — one scan partition must not serialize it (measured: the
+      // fused single-task stage ran 2.4 s of a 3.0 s wall)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      // per-doc tf WITHIN the row (one array_sort + run-length pass, the
+      // q102-twin trick): the (span, doc) level never shuffles — each doc
+      // emits its DISTINCT spans with counts, and the only exchange is
+      // the span-level rollup (measured vs the explode→groupBy(span,doc)
+      // form: 1.04 → 0.93 s warm at sf0.1; the spread above was the big
+      // lever, 3.0 → 1.04 s)
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.wordNgrams(toks, 8)).as("span"))
-      .groupBy("span", "doc_id").agg(count(lit(1)).as("occ"))
-    val agg = dtf.groupBy("span")
-      .agg(sum(col("occ")).cast("long").as("n_occ"),
+        array_sort(graft.functions.TextFunctions.wordNgrams(tokens("text"), 8))
+          .as("__gs"))
+      .withColumn("__starts", expr(
+        "CASE WHEN size(__gs) = 0 THEN array() ELSE " +
+          "filter(sequence(0, size(__gs) - 1), i -> i = 0 OR __gs[i] <> __gs[i-1]) END"))
+      .select(explode(expr(
+        "zip_with(__starts, " +
+          "concat(slice(__starts, 2, size(__starts)), array(size(__gs))), " +
+          "(a, b) -> named_struct('span', __gs[a], 'occ', CAST(b - a AS BIGINT)))"))
+        .as("p"))
+    val agg = dtf
+      .groupBy(col("p.span").as("span"))
+      .agg(sum(col("p.occ")).cast("long").as("n_occ"),
         count(lit(1)).as("n_docs"))
       .filter(col("n_occ") >= 2)
     agg

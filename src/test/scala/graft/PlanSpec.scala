@@ -330,12 +330,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the rollups must map-side combine")
   }
 
-  test("q105: boilerplate spans — two-level agg, TakeOrdered head, no join") {
+  test("q105: boilerplate spans — spread + in-row tf, one span exchange, TakeOrdered head") {
     val p = planOf(queries.TextOps.q105BoilerplateSpans.fn(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
       "the top-20 head must be TakeOrdered, never a global sort")
-    assert(p.contains("partial_count"),
-      "the (span, doc) level must map-side combine before its exchange")
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      "the explicit-width spread must precede the span explode")
+    assert(p.contains("partial_"),
+      "the span rollup must map-side combine before its exchange")
+    // exactly two hash exchanges: the explicit doc_id spread and the
+    // span-level rollup (the group key prints as _groupingexpression) —
+    // a third would be the (span, doc) tf exchange the in-row pass removed
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "per-doc tf is in-row — only the spread and the span rollup may exchange")
     assert(!p.contains("Join"), "the audit must not join")
     assert(!p.contains("CartesianProduct"))
   }
