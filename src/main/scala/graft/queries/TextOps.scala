@@ -1629,7 +1629,15 @@ object TextOps {
       statsDocs: Option[org.apache.spark.sql.DataFrame],
       topK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explicit-width spread BEFORE the bigram explode (q105's lever):
+    // the corpus scan is one small split at bench SF and the tf relation
+    // is computed twice (df derivation + join left side) — both passes
+    // were single-task stages of ~750 ms each (JobCountProbe, warm;
+    // q102 2.74 → 1.60 s and 10 → 8 jobs with the spread)
     val tf = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val (df, n) = statsDocs match {
