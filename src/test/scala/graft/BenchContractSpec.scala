@@ -28,7 +28,7 @@ class BenchContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stdout tail"))
   }
 
-  test("the README headline stays within ±0.10× of the artifact of record") {
+  test("the README headline stays within 25% of the artifact of record") {
     // Rounds 14 AND 15 shipped a README whose quoted closing pair
     // contradicted the driver-written BENCH.json; round 16's verbatim pin
     // over-corrected into an unsatisfiable contract — the driver rewrites
@@ -36,8 +36,13 @@ class BenchContractSpec extends AnyFunSuite {
     // can never stay green across a bench refresh. The durable contract:
     // the README quotes the builder's honestly-measured closing pair, the
     // driver's artifact governs, and the two must agree within the
-    // same-box run-to-run spread (±0.10× on each ratio). Skipped (not
-    // failed) when the gitignored, machine-local artifacts are absent.
+    // same-box run-to-run spread. r18: the band is RELATIVE (25% of the
+    // artifact ratio) — the r17 absolute ±0.10 band was ~29% slack at a
+    // 0.35 ratio yet sat one warm re-run from red with the README pair
+    // quoted off a different run (the r17 ADVICE finding); a relative
+    // band keeps the slack meaningful if the suite ratio drifts. Skipped
+    // (not failed) when the gitignored, machine-local artifacts are
+    // absent.
     def read(p: String): String =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH.json")) &&
@@ -64,8 +69,8 @@ class BenchContractSpec extends AnyFunSuite {
         .getOrElse(fail(s"README headline quotes no 'N.NN× $tag' ratio in: $para"))
     for ((tag, artifact) <- Seq("mean" -> artifactMeanRatio, "min" -> artifactMinRatio)) {
       val q = quoted(tag)
-      assert(math.abs(q - artifact) <= 0.10,
-        f"README's quoted $q%.2f× $tag drifted >0.10× from the artifact's " +
+      assert(math.abs(q - artifact) <= 0.25 * artifact,
+        f"README's quoted $q%.2f× $tag drifted >25%% from the artifact's " +
           f"$artifact%.2f× — re-measure a back-to-back pair and refresh the headline")
     }
   }

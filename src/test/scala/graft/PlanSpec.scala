@@ -338,10 +338,12 @@ class PlanSpec extends SparkSpec {
       "the explicit-width spread must precede the span explode")
     assert(p.contains("partial_"),
       "the span rollup must map-side combine before its exchange")
-    // exactly two hash exchanges: the explicit doc_id spread and the
+    // at most two hash exchanges: the explicit doc_id spread and the
     // span-level rollup (the group key prints as _groupingexpression) —
-    // a third would be the (span, doc) tf exchange the in-row pass removed
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+    // a third would be the (span, doc) tf exchange the in-row pass removed.
+    // Upper bound, not exact count (r17 ADVICE): an exact ==2 pin breaks
+    // on AQE/plan-printing changes unrelated to the regression it guards.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       "per-doc tf is in-row — only the spread and the span rollup may exchange")
     assert(!p.contains("Join"), "the audit must not join")
     assert(!p.contains("CartesianProduct"))
