@@ -208,6 +208,14 @@ object TextOps {
     */
   private[graft] val DfCap = 50
 
+  /** The q21 pair-relation floor: candidate pairs below this jaccard are
+    * not near-dups at any threshold the suite uses and are dropped at
+    * the source. Named (rather than inlined) because the derived-layout
+    * chain ([[graft.sources.PairGraph]] → clusters) folds it into its
+    * structural version stamps — changing it must re-stamp the layouts.
+    */
+  private[graft] val PairJaccardFloor = 0.06
+
   /** Q21 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted-
     * index self-join, |∩|/|∪| over exact ints (LLM-pipeline n-gram dedup).
     * Scale notes: the shingle join is the textbook inverted-index plan —
@@ -341,7 +349,7 @@ object TextOps {
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.06)
+      .filter(col("jaccard") >= PairJaccardFloor)
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 

@@ -47,15 +47,29 @@ object ClusterAssignment {
     */
   val StrongJaccard = 0.5
 
-  /** Encodes the clustering semantics (min-label components of the
-    * PairGraph, full + strong slices). Bump when
-    * [[graft.operators.Components.connectedComponents]] or the slice
-    * definitions change behavior.
+  /** Bump when [[graft.operators.Components.connectedComponents]] itself
+    * changes behavior (the min-label CC algorithm).
     */
-  private val Version = "v1"
+  private val Algo = "cc1"
+
+  /** Structural version stamp: the CC algo version, the strong-slice
+    * threshold, and the FULL upstream [[PairGraph]] tag — which itself
+    * folds in the jaccard floor and ShinglePostings' grammar/cap tag. A
+    * semantic change ANYWHERE in the derivation chain (DfCap, shingle
+    * grammar, pair floor, strong threshold, CC algo) therefore mints a
+    * fresh layout path with no hand bump — the r17 ADVICE fix: the old
+    * manual `Version = "v1"` served stale labels if PairGraph's
+    * semantics changed without a human remembering to bump it here. The
+    * parameters exist so LayoutStampSpec can prove the invalidation is
+    * structural; production callers use the defaults.
+    */
+  private[graft] def versionTag(
+      upstream: String = PairGraph.versionTag(),
+      strong: Double = StrongJaccard): String =
+    s"$Algo.s$strong.$upstream"
 
   def layoutPath(dir: String): String =
-    DerivedLayout.layoutPath("clusters", Version, dir, Seq(s"$dir/documents.parquet"))
+    DerivedLayout.layoutPath("clusters", versionTag(), dir, Seq(s"$dir/documents.parquet"))
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     DerivedLayout(spark, layoutPath(dir)) { tmp =>

@@ -22,16 +22,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PairGraph {
 
-  /** Encodes the pair-relation semantics (word-bigram shingles, DfCap 50,
-    * jaccard floor 0.06). Bump when
-    * [[graft.queries.TextOps.ngramJaccardPairs]] changes behavior.
-    * v2: builds from the [[ShinglePostings]] layout (identical values; the
-    * postings layer is where append-only refresh lives).
+  /** Bump when [[graft.queries.TextOps.pairsFromPostings]] itself changes
+    * behavior. v2: builds from the [[ShinglePostings]] layout (identical
+    * values; the postings layer is where append-only refresh lives).
     */
-  private val Version = "v2"
+  private val Algo = "v2"
+
+  /** Structural version stamp: the pair-expansion algo version, the
+    * jaccard floor, and the FULL upstream [[ShinglePostings]] tag — so a
+    * shingle-grammar or DfCap change two layers up re-stamps this layout
+    * (and, transitively, the cluster labels) with no hand bump. The
+    * `upstream`/`floor` parameters exist so LayoutStampSpec can prove the
+    * invalidation is structural; production callers use the defaults.
+    */
+  private[graft] def versionTag(
+      upstream: String = ShinglePostings.versionTag,
+      floor: Double = graft.queries.TextOps.PairJaccardFloor): String =
+    s"$Algo.j$floor.$upstream"
 
   def layoutPath(dir: String): String =
-    DerivedLayout.layoutPath("pairs", Version, dir, Seq(s"$dir/documents.parquet"))
+    DerivedLayout.layoutPath("pairs", versionTag(), dir, Seq(s"$dir/documents.parquet"))
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     DerivedLayout(spark, layoutPath(dir)) { tmp =>

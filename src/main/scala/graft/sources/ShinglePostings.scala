@@ -39,14 +39,25 @@ import org.apache.spark.sql.functions._
   */
 object ShinglePostings {
 
-  /** Bump when the shingle grammar, cap, or list encoding changes.
+  /** Bump when the shingle grammar or list encoding changes.
     * v2: marker rows carry the canonical −1 sentinel, not an arbitrary
     * capped subset.
     */
-  private val Version = "v2"
+  private val Algo = "v2"
+
+  /** Structural version stamp: the algo version PLUS the semantic
+    * constants the layout's contents depend on (today: the DF cap).
+    * Downstream layouts ([[PairGraph]], clusters) fold this tag into
+    * their own stamps, so a cap or grammar change here re-stamps the
+    * whole derivation chain without any hand bump (the r17 ADVICE
+    * staleness finding: a manual constant only invalidates when a human
+    * remembers it exists).
+    */
+  private[graft] def versionTag: String =
+    s"$Algo.cap${graft.queries.TextOps.DfCap}"
 
   def layoutPath(dir: String): String =
-    DerivedLayout.layoutPath("post", Version, dir, Seq(s"$dir/documents.parquet"))
+    DerivedLayout.layoutPath("post", versionTag, dir, Seq(s"$dir/documents.parquet"))
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     DerivedLayout(spark, layoutPath(dir)) { tmp =>
