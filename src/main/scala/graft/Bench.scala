@@ -121,6 +121,10 @@ object Bench {
     // the query that needs the layout will surface the error attributed.
     Seq[() => Any](
       () => graft.sources.CorpusStats.rowCount(spark, sfDir),
+      () => graft.sources.CorpusStats.rowCount(spark, sfDir, "documents"),
+      () => graft.sources.DocFingerprints(spark, sfDir),
+      () => graft.sources.TermStats(spark, sfDir),
+      () => graft.sources.SpanStats(spark, sfDir),
       () => graft.sources.ShinglePostings(spark, sfDir),
       () => graft.sources.PairGraph(spark, sfDir),
       () => graft.sources.ClusterAssignment(spark, sfDir),

@@ -609,21 +609,27 @@ object CurationStages {
     // stage, and the stream twin.
     case "keyword_annotate" =>
       val k = stage.int("topK", 3)
-      val stats = stage.strOr("statsFrom", "flow") match {
-        case "flow" => None
+      // statsFrom=corpus reads the ingest-stamped TermStats/CorpusStats
+      // layouts (r18) instead of re-exploding the source table per job —
+      // same frozen-stats values (termDfFrame is the one defining
+      // computation), the unseen-term df=1 rule unchanged
+      val kws = stage.strOr("statsFrom", "flow") match {
+        case "flow" => graft.queries.TextOps.keywordRanked(docs, None, k)
         case "corpus" =>
           val dir = sourceDirDefault.getOrElse(throw new IllegalArgumentException(
             "keyword_annotate: statsFrom=corpus needs a table-dir job source " +
               "to locate the corpus"))
-          Some(graft.Tables(docs.sparkSession, dir, "documents"))
+          graft.queries.TextOps.keywordRankedLayout(docs,
+            graft.sources.TermStats(docs.sparkSession, dir),
+            graft.sources.CorpusStats.rowCount(docs.sparkSession, dir, "documents"), k)
         case other => throw new IllegalArgumentException(
           s"keyword_annotate: statsFrom must be 'flow' or 'corpus', got '$other'")
       }
-      val kws = graft.queries.TextOps.keywordRanked(docs, stats, k)
+      val kwAgg = kws
         .groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(rank, w))), x -> x.w)")
           .as("keywords"))
-      docs.join(kws, Seq("doc_id"), "left")
+      docs.join(kwAgg, Seq("doc_id"), "left")
         .withColumn("keywords",
           coalesce(col("keywords"), array().cast("array<string>")))
 

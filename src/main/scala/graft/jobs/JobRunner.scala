@@ -172,13 +172,21 @@ object JobRunner {
       val dir = src.path
       inv.ingestFrom match {
         case Some(old) =>
+          graft.sources.DocFingerprints.refreshed(spark, dir, old)
+          graft.sources.TermStats.refreshed(spark, dir, old)
           graft.sources.ShinglePostings.refreshed(spark, dir, old)
           graft.sources.BucketedEmbeddings.refreshed(spark, dir, old)
         case None =>
+          graft.sources.DocFingerprints(spark, dir)
+          graft.sources.TermStats(spark, dir)
           graft.sources.ShinglePostings(spark, dir)
           graft.sources.BucketedEmbeddings(spark, dir)
       }
+      // SpanStats rebuilds even on -from: its n_occ ≥ 2 gate makes delta
+      // merge impossible from the stored rows (see its scaladoc)
+      graft.sources.SpanStats(spark, dir)
       graft.sources.CorpusStats.rowCount(spark, dir)
+      graft.sources.CorpusStats.rowCount(spark, dir, "documents")
       graft.sources.PairGraph(spark, dir)
       graft.sources.ClusterAssignment(spark, dir)
       graft.sources.SplitAssignment(spark, dir)

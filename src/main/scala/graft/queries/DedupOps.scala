@@ -768,19 +768,17 @@ object DedupOps {
        |FROM m
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
-    // empty-fingerprint docs (no bigram shingle, e.g. 0/1-token text) are
-    // dropped BEFORE signature/banding: a signature over an empty set is
-    // meaningless, DuckDB's unnest path never produces such docs (so
-    // keeping them is a cross-engine divergence), and for any surviving
-    // pair szsum − inter ≥ max(|a|,|b|) ≥ 1 — the union denominator
-    // below cannot be zero
-    val fps = docs
-      .select(col("doc_id"), sort_array(array_distinct(
-        org.apache.spark.sql.graft.TextExpressions
-          .shingle_hashes(tokens("text")))).as("fps"))
-      .filter(size(col("fps")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fingerprint sets come from the ingest-stamped DocFingerprints
+    // layout (r18): the shingle pass ran once at ingest; this query reads
+    // the (doc_id, fps) column store — twice (sig derivation + the
+    // per-candidate intersects), but a parquet re-scan of the layout is
+    // NOT persisted: the layout read is a bare-scan-shaped plan, and
+    // persisting one poisons every later plan over the table via cache
+    // substitution (the r16 lesson). Empty-fingerprint docs are absent
+    // from the layout by construction (its q100-rule filter), so for any
+    // surviving pair szsum − inter ≥ max(|a|,|b|) ≥ 1 — the union
+    // denominator below cannot be zero.
+    val fps = graft.sources.DocFingerprints(s, dir)
     val sig = fps.select(col("doc_id"),
       org.apache.spark.sql.graft.SketchExpressions
         .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
@@ -1014,12 +1012,12 @@ object DedupOps {
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).cast("int").as("hamming"))
-    val fps = docs
-      .select(col("doc_id"), sort_array(array_distinct(
-        org.apache.spark.sql.graft.TextExpressions
-          .shingle_hashes(tokens("text")))).as("fps"))
-      .filter(size(col("fps")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // q100's rule, served by the same ingest-stamped layout: docs that
+    // banded on their unigram simhash but carry no bigram set are simply
+    // absent here, so the fps joins drop them — and the layout scan is
+    // deliberately NOT persisted (bare-scan-shaped plan; r16 cache-
+    // substitution lesson)
+    val fps = graft.sources.DocFingerprints(s, dir)
     cross.unionAll(intra)
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")

@@ -285,8 +285,8 @@ object TextOps {
     * membership.
     */
   private[graft] def postingsFrame(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val sh = docs
+      : org.apache.spark.sql.DataFrame =
+    postingsFromFps(docs
       // explicit-width doc_id spread before the shingle explode: pins
       // parallelism on the hash/explode stage when the corpus scans as
       // one partition (the q67/q51 lesson); noise at real scan widths
@@ -294,10 +294,20 @@ object TextOps {
         col("doc_id"))
       // fused ShingleHashes: bigram fingerprints straight from the token
       // array — no bigram strings allocated, one char pass per document.
-      // array_distinct BEFORE the explode is the (doc, fp) DISTINCT done
-      // map-side inside each row — no dedup exchange
-      .select(col("doc_id"), explode(array_distinct(
-        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks))).as("fp"))
+      // array_distinct here is the (doc, fp) DISTINCT done map-side
+      // inside each row — no dedup exchange
+      .select(col("doc_id"), array_distinct(
+        org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("fps")))
+
+  /** The posting-list inversion over an already-fingerprinted
+    * (doc_id, fps) frame — the shared tail of [[postingsFrame]] (live
+    * shingling) and the [[graft.sources.ShinglePostings]] build over the
+    * stamped [[graft.sources.DocFingerprints]] layout (shingling paid
+    * once per corpus, at ingest).
+    */
+  private[graft] def postingsFromFps(fps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     // capped posting lists feed BOTH the pair expansion and the per-doc
     // set sizes (df=1 shingles count toward sizes, hence the cap-only
     // filter at the consumer and the ≥2 filter only where pairs are made).
@@ -1562,16 +1572,19 @@ object TextOps {
     *
     * Plan shape at 100 TB: the token stream reduces map-side to
     * (doc, term) → tf (distinct-pair-bounded exchange, the q84/q95
-    * discipline); df reduces THAT relation again to the vocab-sized
-    * term table, which re-joins UN-HINTED — autoBroadcastJoinThreshold/
-    * AQE broadcast it at this scale, and at a 10⁸–10⁹-distinct-bigram
-    * vocabulary the join fails over to SMJ between pair-level and
-    * vocab-level relations, never raw occurrences (an explicit broadcast
-    * hint would instead force-collect the vocab to the driver — the
-    * q84/q95 rule, tree-walk-pinned in PlanSpec); the corpus count is a
-    * 1-row broadcast; the top-3 window partitions on doc_id —
-    * per-partition state is each doc's distinct terms, bounded by doc
-    * length.
+    * discipline) — the query's ONE corpus pass; df comes from the
+    * ingest-stamped [[graft.sources.TermStats]] layout (vocab-sized
+    * scan, built once when the corpus lands — r17's self-stats form
+    * re-derived it by exploding the corpus a second time per query) and
+    * joins UN-HINTED — autoBroadcastJoinThreshold/AQE broadcast it at
+    * this scale, and at a 10⁸–10⁹-distinct-bigram vocabulary the join
+    * fails over to SMJ between pair-level and vocab-level relations,
+    * never raw occurrences (an explicit broadcast hint would instead
+    * force-collect the vocab to the driver — the q84/q95 rule,
+    * tree-walk-pinned in PlanSpec); the corpus count rides as a literal
+    * from [[graft.sources.CorpusStats]]; the top-3 window partitions on
+    * doc_id — per-partition state is each doc's distinct terms, bounded
+    * by doc length.
     *
     * OVERFLOW BOUND (q90's discipline): score_n6 = tf · ((n_docs·10⁶)
     * div df) is exact while tf·n_docs/df < 2⁶³/10⁶ ≈ 9.2·10¹², and ANSI
@@ -1607,59 +1620,95 @@ object TextOps {
        |FROM scored
        |WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
-    keywordRanked(Tables(s, dir, "documents"), statsDocs = None, topK = 3)
+    // the df/N statistics come from the ingest-stamped layouts (TermStats
+    // + CorpusStats) rather than a second explode of the corpus — the r17
+    // "layout one layer down" task: the full corpus's self-stats are
+    // EXACTLY the layout's contents, so the oracle (which derives df from
+    // tf) is unchanged while Spark pays ONE corpus pass instead of two
+    keywordRankedLayout(Tables(s, dir, "documents"),
+      graft.sources.TermStats(s, dir),
+      graft.sources.CorpusStats.rowCount(s, dir, "documents"), topK = 3)
       .select(col("doc_id"), col("rank"), col("w").as("keyword"),
         col("tf"), col("df"), col("score_n6"))
       .orderBy("doc_id", "rank")
   }
 
-  /** The q102 keyword scorer, shared with the `keyword_annotate` curation
-    * stage (ONE implementation, no forks): each doc's word-bigram terms
-    * ranked by tf × linear idf, rows with rank ≤ topK kept. With
-    * `statsDocs = None` the df/N statistics come from `docs` itself —
-    * q102's exact plan (df reduces the tf relation AGAIN to the
-    * vocab-sized table, so the join meets pair-level vs vocab-level
-    * relations); with `Some(corpus)` they come from the corpus — the
-    * frozen-stats form whose streamed twin is
-    * [[graft.streaming.DocumentStreams.keywordFlags]] (terms absent from
-    * the stats relation score df = 1, the same unseen-term rule).
-    *
-    * tf is read twice in the self-stats form (df derivation + join left
-    * side) and deliberately NOT persisted: measured at sf0.1
-    * (JobCountProbe, warm) the persist is a regression — 1.84 s/10 jobs
-    * recomputing vs 2.24 s/11 jobs cached (the materialization barrier +
-    * cache writes cost more than the codegen'd re-scan at this size; the
-    * standing persist-vs-recompute result, q67/q77/q82's). At a scale
-    * where the explode genuinely dominates, a persisted tf is the right
-    * call — re-measure there, don't assume.
+  /** The per-doc (doc_id, w, tf) word-bigram term-frequency relation —
+    * the one corpus pass every keyword form pays. Explicit-width spread
+    * BEFORE the bigram explode (q105's lever): the corpus scan is one
+    * small split at bench SF and the explode is the heaviest per-row
+    * work (measured: q102 2.74 → 1.60 s with the spread).
     */
-  private[graft] def keywordRanked(docs: org.apache.spark.sql.DataFrame,
-      statsDocs: Option[org.apache.spark.sql.DataFrame],
-      topK: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // explicit-width spread BEFORE the bigram explode (q105's lever):
-    // the corpus scan is one small split at bench SF and the tf relation
-    // is computed twice (df derivation + join left side) — both passes
-    // were single-task stages of ~750 ms each (JobCountProbe, warm;
-    // q102 2.74 → 1.60 s and 10 → 8 jobs with the spread)
-    val tf = docs
+  private[graft] def tfFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
       .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
+  /** The word-bigram document-frequency relation (w, df) over a
+    * documents-shaped frame — distinct (doc, term) pairs counted per
+    * term. The defining computation of the [[graft.sources.TermStats]]
+    * layout, and the frozen-stats df of [[keywordRanked]] /
+    * [[graft.streaming.DocumentStreams.keywordFlags]] (same values, the
+    * stream collects them into a literal map).
+    */
+  private[graft] def termDfFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordBigrams(tokens("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+
+  /** The shared scoring/ranking tail of every keyword form: score each
+    * (doc, term) by tf × linear idf, keep rank ≤ topK. `scoreCol` must
+    * be the exact integer score expression (the forms differ only in
+    * where n_docs lives — a joined 1-row frame vs a literal).
+    */
+  private def keywordRankTail(joined: org.apache.spark.sql.DataFrame,
+      scoreCol: org.apache.spark.sql.Column, topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
+    joined
+      .withColumn("score_n6", scoreCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** The keyword scorer's mid-pipeline forms, shared with the
+    * `keyword_annotate` curation stage (ONE scoring rule, three stats
+    * sources): each doc's word-bigram terms ranked by tf × linear idf,
+    * rows with rank ≤ topK kept. With `statsDocs = None` the df/N
+    * statistics come from `docs` itself — the self-stats form a curation
+    * flow uses mid-chain (no stamped layout exists for an intermediate
+    * doc set); with `Some(corpus)` they come from the corpus frame — the
+    * frozen-stats form whose streamed twin is
+    * [[graft.streaming.DocumentStreams.keywordFlags]] (terms absent from
+    * the stats relation score df = 1, the same unseen-term rule). A
+    * corpus WITH a stamped dir uses [[keywordRankedLayout]] instead —
+    * q102's form since r18 (the self-stats df derivation re-read the tf
+    * relation, a second full explode of the corpus per query).
+    */
+  private[graft] def keywordRanked(docs: org.apache.spark.sql.DataFrame,
+      statsDocs: Option[org.apache.spark.sql.DataFrame],
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val tf = tfFrame(docs)
     val (df, n) = statsDocs match {
       case None =>
+        // self-stats: df reduces the tf relation AGAIN to the vocab-sized
+        // table — the mid-pipeline form (no stamped layout to read when
+        // the doc set is a curation flow's intermediate)
         (tf.groupBy("w").agg(count(lit(1)).as("df")),
           docs.agg(count(lit(1)).as("n_docs")))
       case Some(sd) =>
-        (sd.select(col("doc_id"),
-            explode(array_distinct(wordBigrams(tokens("text")))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("df")),
-          sd.agg(count(lit(1)).as("n_docs")))
+        (termDfFrame(sd), sd.agg(count(lit(1)).as("n_docs")))
     }
-    val scoreCol = col("tf") * expr("(n_docs * 1000000) div df")
-    val w = Window.partitionBy("doc_id").orderBy(scoreCol.desc, col("w"))
     // un-hinted: AQE broadcasts the vocab-sized df side here and fails
     // over to SMJ when the vocabulary outgrows the threshold (see q102
     // scaladoc). Frozen-stats form: LEFT join + df=1 default so a term
@@ -1670,10 +1719,25 @@ object TextOps {
         .withColumn("df", coalesce(col("df"), lit(1L)))
         .crossJoin(broadcast(n))
     }
-    joined
-      .withColumn("score_n6", scoreCol)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    keywordRankTail(joined, col("tf") * expr("(n_docs * 1000000) div df"), topK)
+  }
+
+  /** The ingest-stamped form: df from the [[graft.sources.TermStats]]
+    * layout, N as a literal from [[graft.sources.CorpusStats]] — ONE
+    * corpus pass (the tf explode), everything else layout-sized. The
+    * left join + df=1 default is the frozen-stats unseen-term rule; for
+    * a flow that IS the stats corpus (q102) the default never fires, so
+    * self-stats and layout-stats results are identical by construction.
+    * Un-hinted like the other forms: AQE broadcasts the vocab-sized
+    * layout scan and fails over to SMJ past the threshold.
+    */
+  private[graft] def keywordRankedLayout(docs: org.apache.spark.sql.DataFrame,
+      dfLayout: org.apache.spark.sql.DataFrame, nDocs: Long,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val joined = tfFrame(docs).join(dfLayout, Seq("w"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+    keywordRankTail(joined,
+      col("tf") * expr(s"(${nDocs}L * 1000000L) div df"), topK)
   }
 
   /** Q105 — boilerplate span mining: the top-20 repeated 8-token spans by
@@ -1685,16 +1749,16 @@ object TextOps {
     * q101-style ROI readout for the span family: n_occ − 1 of each span's
     * occurrences are what ExactSubstr would strip.
     *
-    * Plan shape at 100 TB: the span relation is LINEAR in corpus tokens
-    * (one window per token position, exploded map-side); the q84/q95
-    * two-level discipline bounds the shuffles — (span, doc) → occ first
-    * (distinct-pair keys, map-side combined), span-level roll-up second
-    * (vocab-sized) — and the head is TakeOrderedAndProject, never a
-    * global sort. The n_occ ≥ 2 gate drops the unique-span long tail
-    * before the limit. At hostile span cardinality the exact form's
-    * vocab-level exchange is the cost; the sketch fallback is q61's
-    * count-min (same top-k contract, bounded memory), which is why both
-    * exist.
+    * Plan shape at 100 TB: the corpus-scale work — a span relation
+    * LINEAR in corpus tokens (one window per token position), rolled up
+    * under the q84/q95 two-level discipline with the n_occ ≥ 2 gate
+    * dropping the unique-span long tail — runs ONCE at ingest into the
+    * stamped [[graft.sources.SpanStats]] layout ([[spanStatsFrame]] is
+    * the defining computation); the query is a vocab-sized layout scan
+    * whose head is TakeOrderedAndProject, never a global sort. At
+    * hostile span cardinality the exact build's vocab-level exchange is
+    * the ingest cost; the sketch fallback is q61's count-min (same
+    * top-k contract, bounded memory), which is why both exist.
     */
   val q105BoilerplateSpans: QueryDef = QueryDef.sql(
     "q105_boilerplate_spans",
@@ -1715,12 +1779,38 @@ object TextOps {
        |ORDER BY n_occ DESC, span
        |LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
+    // the span rollup comes from the ingest-stamped SpanStats layout
+    // (r18, the TermStats discipline applied to the span family): the
+    // whole corpus-scale explode+rollup ran once at ingest, the query is
+    // a vocab-sized scan + TakeOrdered head. The oracle recomputes from
+    // scratch (q101's discipline).
+    graft.sources.SpanStats(s, dir)
+      .orderBy(col("n_occ").desc, col("span")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("span")))
+          .cast("long"))
+      .select("rank", "span", "n_occ", "n_docs")
+      .orderBy("rank")
+  }
+
+  /** The repeated-span statistics relation (span, n_occ, n_docs), n_occ
+    * ≥ 2 — q105's rollup and the defining computation of the
+    * [[graft.sources.SpanStats]] layout. The ≥2 gate is part of the
+    * relation's IDENTITY (not a consumer filter): unique spans are the
+    * overwhelming storage majority and carry no boilerplate signal, so
+    * the layout stores only the repeated tail — which is also why this
+    * layout refreshes by REBUILD, not delta merge (a span at n_occ=1 in
+    * the old corpus was dropped, so a delta occurrence that lifts it to
+    * 2 is invisible to a merge; the append path for span stats at
+    * hostile cardinality is the count-min sketch family, q61).
+    */
+  private[graft] def spanStatsFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val dtf = docs
       .select(col("doc_id"), col("text"))
       // explicit-width spread BEFORE the span explode (the q67/q51/q90
       // parallelism pin): the corpus scan is one small split at bench SF,
-      // and the 8-token window explode is the query's heaviest per-row
+      // and the 8-token window explode is the build's heaviest per-row
       // work — one scan partition must not serialize it (measured: the
       // fused single-task stage ran 2.4 s of a 3.0 s wall)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
@@ -1742,18 +1832,11 @@ object TextOps {
           "concat(slice(__starts, 2, size(__starts)), array(size(__gs))), " +
           "(a, b) -> named_struct('span', __gs[a], 'occ', CAST(b - a AS BIGINT)))"))
         .as("p"))
-    val agg = dtf
+    dtf
       .groupBy(col("p.span").as("span"))
       .agg(sum(col("p.occ")).cast("long").as("n_occ"),
         count(lit(1)).as("n_docs"))
       .filter(col("n_occ") >= 2)
-    agg
-      .orderBy(col("n_occ").desc, col("span")).limit(20)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_occ").desc, col("span")))
-          .cast("long"))
-      .select("rank", "span", "n_occ", "n_docs")
-      .orderBy("rank")
   }
 
   /** Q110 — curriculum schedule: the corpus split into four exact

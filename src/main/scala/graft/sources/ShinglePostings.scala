@@ -46,7 +46,8 @@ object ShinglePostings {
   private val Algo = "v2"
 
   /** Structural version stamp: the algo version PLUS the semantic
-    * constants the layout's contents depend on (today: the DF cap).
+    * constants the layout's contents depend on (the DF cap) PLUS the
+    * upstream [[DocFingerprints]] grammar tag the cold build inverts.
     * Downstream layouts ([[PairGraph]], clusters) fold this tag into
     * their own stamps, so a cap or grammar change here re-stamps the
     * whole derivation chain without any hand bump (the r17 ADVICE
@@ -54,14 +55,20 @@ object ShinglePostings {
     * remembers it exists).
     */
   private[graft] def versionTag: String =
-    s"$Algo.cap${graft.queries.TextOps.DfCap}"
+    s"$Algo.cap${graft.queries.TextOps.DfCap}.${DocFingerprints.versionTag}"
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("post", versionTag, dir, Seq(s"$dir/documents.parquet"))
 
   def apply(spark: SparkSession, dir: String): DataFrame =
     DerivedLayout(spark, layoutPath(dir)) { tmp =>
-      graft.queries.TextOps.postingsFrame(graft.Tables(spark, dir, "documents"))
+      // cold build INVERTS the stamped fingerprint layout instead of
+      // re-shingling the corpus: the shingle pass runs exactly once per
+      // corpus (in DocFingerprints), and this build is explode + capped
+      // collect — content-identical to shingling live (postingsFromFps
+      // is the shared tail of both paths; marker normalization makes the
+      // capped collect order-insensitive)
+      graft.queries.TextOps.postingsFromFps(DocFingerprints(spark, dir))
         .write.mode("overwrite").parquet(tmp)
     }
 

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The word-bigram document-frequency relation (w, df) materialized once
+  * per corpus — the term-statistics layer of the keyword family
+  * (corpus N lives in [[CorpusStats]]; together they are the (df, N)
+  * pair every tf-idf-shaped scorer consumes). Before this layout q102
+  * re-derived df per query by exploding the corpus a SECOND time (the
+  * r17 verdict's top cost finding), and `keyword_annotate
+  * statsFrom=corpus` re-exploded the source table per job; now both read
+  * the vocab-sized stamped table and pay exactly one corpus pass (their
+  * own tf explode). The streaming twin's frozen literal-map artifact
+  * ([[graft.streaming.DocumentStreams.keywordFlags]]) is the collected
+  * form of the same relation.
+  *
+  * The stored values are EXACTLY what the per-query derivation produced:
+  * df = count of docs containing the term, over distinct (doc, term)
+  * pairs — [[graft.queries.TextOps.termDfFrame]] is the ONE defining
+  * computation, shared with the frozen-stats scorer form, so every
+  * oracle comparison is unchanged.
+  *
+  * Scale: vocab-sized (distinct bigrams, not corpus-sized) — the classic
+  * lake-side term-statistics table. Append-only refresh is a df SUM
+  * merge ([[refreshFrom]]): appending docs can only add containing-docs,
+  * and old/delta doc sets are disjoint, so new df = old df + delta df,
+  * exact. Stamping/atomicity/reaping are [[DerivedLayout]]'s.
+  */
+object TermStats {
+
+  /** Bump when the term grammar (word-bigrams over the tokenizer) or the
+    * df definition changes.
+    */
+  private[graft] val versionTag = "tf1.bigram"
+
+  def layoutPath(dir: String): String =
+    DerivedLayout.layoutPath("termdf", versionTag, dir, Seq(s"$dir/documents.parquet"))
+
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    DerivedLayout(spark, layoutPath(dir)) { tmp =>
+      graft.queries.TextOps.termDfFrame(graft.Tables(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Append-only delta merge: disjoint doc sets sum their per-term
+    * containing-doc counts.
+    */
+  private[graft] def refreshFrom(oldDf: DataFrame, deltaDocs: DataFrame): DataFrame =
+    oldDf.withColumnRenamed("df", "odf")
+      .join(graft.queries.TextOps.termDfFrame(deltaDocs)
+        .withColumnRenamed("df", "ddf"), Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+
+  /** Build the NEW corpus dir's stamped layout from the OLD dir's plus
+    * the doc_id-anti-join delta ([[ShinglePostings.refreshed]]'s
+    * contract: same stamped path a rebuild would land).
+    */
+  def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
+    DerivedLayout(spark, layoutPath(newDir)) { tmp =>
+      val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
+      val delta = graft.Tables(spark, newDir, "documents")
+        .join(oldDocs, Seq("doc_id"), "left_anti")
+      refreshFrom(apply(spark, oldDir), delta)
+        .write.mode("overwrite").parquet(tmp)
+    }
+}

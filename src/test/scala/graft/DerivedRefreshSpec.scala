@@ -222,6 +222,51 @@ class DerivedRefreshSpec extends SparkSpec {
     assert(sp(2000L) == sp(2001L), "appended near-dups straddled the split")
   }
 
+  test("doc-fingerprint refresh == rebuild: disjoint union is the whole merge") {
+    val rebuilt = sources.DocFingerprints
+      .fpsFrame(Tables(spark, v2Dir, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val refreshed = sources.DocFingerprints.refreshFrom(
+        sources.DocFingerprints(spark, v1Dir),
+        Tables(spark, v2Dir, "documents")
+          .join(Tables(spark, v1Dir, "documents").select("doc_id"),
+            Seq("doc_id"), "left_anti"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rebuilt == refreshed && rebuilt.size == v1Docs.length + deltaDocs.length,
+      "per-doc fingerprint sets diverged between refresh and rebuild")
+  }
+
+  test("term-df refresh == rebuild: disjoint doc sets sum their df") {
+    val rebuilt = queries.TextOps
+      .termDfFrame(Tables(spark, v2Dir, "documents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refreshed = sources.TermStats.refreshFrom(
+        sources.TermStats(spark, v1Dir),
+        Tables(spark, v2Dir, "documents")
+          .join(Tables(spark, v1Dir, "documents").select("doc_id"),
+            Seq("doc_id"), "left_anti"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rebuilt == refreshed && rebuilt.nonEmpty,
+      "term document frequencies diverged between refresh and rebuild")
+    // the constructed hot term actually exercises the sum path: "hot zz"
+    // has df 40 in v1 and 60 in v2
+    assert(rebuilt("hot zz") == 60L)
+  }
+
+  test("postings built by inverting DocFingerprints == postings shingled live") {
+    // the ShinglePostings cold build inverts the stamped fingerprint
+    // layout (one shingle pass per corpus); the result must be
+    // content-identical to shingling the corpus directly — kept lists
+    // exact, markers as markers
+    val live = keyedLists(queries.TextOps
+      .postingsFrame(Tables(spark, v2Dir, "documents")))
+    val inverted = keyedLists(queries.TextOps
+      .postingsFromFps(sources.DocFingerprints(spark, v2Dir)))
+    assert(live == inverted,
+      "inverting the fingerprint layout diverged from live shingling " +
+        "(marker normalization should make the capped collect order-insensitive)")
+  }
+
   test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
     // v1 = first 400 embeddings, v2 = all: construct append-only dirs
     val emb = Tables(spark, sf, "embeddings")

@@ -26,9 +26,13 @@ class LayoutStampSpec extends AnyFunSuite {
     assert(tag.contains(graft.queries.TextOps.PairJaccardFloor.toString))
   }
 
-  test("ShinglePostings' tag folds in the DF cap") {
+  test("ShinglePostings' tag folds in the DF cap and the fingerprint grammar") {
     assert(graft.sources.ShinglePostings.versionTag
       .contains(graft.queries.TextOps.DfCap.toString))
+    assert(graft.sources.ShinglePostings.versionTag
+      .contains(graft.sources.DocFingerprints.versionTag),
+      "the postings cold build inverts DocFingerprints — a grammar change " +
+        "there must re-stamp the postings (and transitively the whole chain)")
   }
 
   test("a constituent change anywhere in the chain changes the layout path") {

@@ -330,23 +330,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the rollups must map-side combine")
   }
 
-  test("q105: boilerplate spans — spread + in-row tf, one span exchange, TakeOrdered head") {
+  test("q105: boilerplate spans — SpanStats layout scan + TakeOrdered head, no corpus explode") {
     val p = planOf(queries.TextOps.q105BoilerplateSpans.fn(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
       "the top-20 head must be TakeOrdered, never a global sort")
+    assert(p.contains("graft-layout"),
+      "the span rollup must come from the ingest-stamped SpanStats store")
+    assert(!p.contains("Generate"),
+      "no query-time span explode — the corpus-scale work ran at ingest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "a layout scan + TakeOrdered needs no hash exchange at all")
+    assert(!p.contains("Join"), "the audit must not join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q105's defining computation (the SpanStats build): spread + in-row tf, one span exchange") {
+    // the ingest-time build carries the plan obligations the query used
+    // to: explicit-width spread before the span explode, per-doc tf
+    // in-row (no (span, doc) exchange), map-side-combined rollup
+    val p = planOf(queries.TextOps.spanStatsFrame(Tables(spark, sf, "documents")))
     assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
       "the explicit-width spread must precede the span explode")
     assert(p.contains("partial_"),
       "the span rollup must map-side combine before its exchange")
     // at most two hash exchanges: the explicit doc_id spread and the
-    // span-level rollup (the group key prints as _groupingexpression) —
-    // a third would be the (span, doc) tf exchange the in-row pass removed.
-    // Upper bound, not exact count (r17 ADVICE): an exact ==2 pin breaks
-    // on AQE/plan-printing changes unrelated to the regression it guards.
+    // span-level rollup — a third would be the (span, doc) tf exchange
+    // the in-row pass removed. Upper bound, not exact count (r17 ADVICE).
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       "per-doc tf is in-row — only the spread and the span rollup may exchange")
-    assert(!p.contains("Join"), "the audit must not join")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"))
   }
 
   test("q106: PQ distortion meter — map-only arms, literal codebooks, 16-row group") {
@@ -432,6 +444,9 @@ class PlanSpec extends SparkSpec {
   test("q100: calibration meter — banded candidates, native signatures, bounded group") {
     val p = planOf(queries.DedupOps.q100MinhashCalibration.fn(spark, sf))
     assert(p.contains("minhash_signature"), "signatures must be the native kernel")
+    assert(p.contains("graft-layout") && !p.contains("shingle_hashes"),
+      "fingerprint sets must come from the stamped DocFingerprints store — " +
+        "no query-time shingling")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidates must join on (band, bh) keys, never cross")
@@ -443,19 +458,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("simhash32"), "signatures must be the native kernel")
     assert(p.contains("collect_list"),
       "identical signatures must cluster BEFORE banding (q39's layout)")
+    assert(p.contains("graft-layout") && !p.contains("shingle_hashes"),
+      "fingerprint sets must come from the stamped DocFingerprints store — " +
+        "no query-time shingling")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidates must join on (band, bh) keys, never cross")
     assert(p.contains("partial_"), "the ≤33-row hamming group must map-side combine")
   }
 
-  test("q102: keywords — pair-bounded tf agg, un-hinted df join, doc-keyed window") {
+  test("q102: keywords — one tf pass, df from the TermStats layout, doc-keyed window") {
     val p = planOf(queries.TextOps.q102DocKeywords.fn(spark, sf))
     assert(p.contains("partial_count"), "tf must map-side combine before the exchange")
+    assert(p.contains("graft-layout"),
+      "df must come from the ingest-stamped TermStats store")
+    // ONE corpus explode (the tf pass) — the r17 self-stats form paid a
+    // second explode to re-derive df per query
+    assert("Generate".r.findAllIn(p).size <= 1,
+      "exactly one corpus explode — df re-derivation returned")
     // the df join is deliberately UN-HINTED so a 10⁸-bigram vocabulary
     // fails over to SMJ instead of force-collecting to the driver; the
     // scale-safety pin is the q84/q95 tree-walk below (both join sides
-    // pre-aggregated), not a physical-strategy string
+    // pre-aggregated or layout scans), not a physical-strategy string
     assert(!p.contains("CartesianProduct"))
     assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
       "the top-3 window must partition on doc_id")
@@ -669,7 +693,8 @@ class PlanSpec extends SparkSpec {
       "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
       "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap
                                   // (+ q73's 1-row query-vector broadcast)
-      "q102_doc_keywords", // 1-row corpus count onto the (doc, term) tf relation
+      // (q102 left the list in r18: its corpus count rides as a
+      // CorpusStats literal now, so the 1-row cross is gone)
       "q103_label_centroid_matrix", // |labels|² pair join of the persisted
                                     // dimension-sized centroid table (non-equi
                                     // label_a < label_b — deliberately all pairs)
