@@ -73,7 +73,7 @@ object CurationStages {
   val Ops: Map[String, Set[String]] = Map(
     "exact_dedup" -> Set.empty,
     "span_dedup" -> Set("spanTokens"),
-    "near_dedup" -> Set("threshold"),
+    "near_dedup" -> Set("threshold", "canonical"),
     "embed_near_dedup" -> Set("embeddings", "idCol", "embeddingCol", "dim",
       "bands", "bitsPerBand", "minDot"),
     "image_near_dedup" -> Set("maxHamming"),
@@ -138,13 +138,25 @@ object CurationStages {
 
     // q21 pairs thresholded, q62's components, q63's canonicalize — the
     // corpus never shuffles on cluster keys (anti-join against the drop
-    // set, see DedupOps.q63CanonicalCorpus)
+    // set, see DedupOps.q63CanonicalCorpus). canonical selects the keep
+    // policy: 'min' (default — provenance-stable ids) or 'best' (q113's
+    // quality-argmax rule, the lever the q113 regret meter prices; pays
+    // canonical-id re-keying on refresh, which is why it is a declared
+    // choice, not the default)
     case "near_dedup" =>
       val threshold = stage.dbl("threshold", 0.5)
       val pairs = graft.queries.TextOps.ngramJaccardPairs(docs)
         .filter(col("jaccard") >= threshold)
         .select("a", "b")
-      graft.operators.Components.canonicalize(docs, pairs)
+      val keepScores = stage.strOr("canonical", "min") match {
+        case "min" => None
+        case "best" => Some(graft.queries.TextOps.textQualityFrame(docs)
+          .select(col("doc_id").as("id"), col("quality_score").as("score")))
+        case other => throw new IllegalArgumentException(
+          s"near_dedup: canonical must be 'min' or 'best', got '$other'")
+      }
+      graft.operators.Components.canonicalize(docs, pairs,
+        keepScores = keepScores)
 
     // the EMBEDDING near-dup route (q46's banded sign-LSH candidates +
     // exact-dot verify, q62's components, q63's canonicalize): for corpora

@@ -118,17 +118,47 @@ object Components {
     (labels.select("id", "component"), roundStats.toSeq)
   }
 
-  /** Canonicalize a document set against a near-dup pair relation: every
-    * cluster keeps its minimum doc_id; documents in no pair keep
-    * themselves. Returns the surviving rows of `docs`.
+  /** Canonicalize a document set against a near-dup pair relation:
+    * documents in no pair keep themselves; each cluster keeps ONE member
+    * chosen by the keep policy — its minimum id (`keepScores = None`,
+    * provenance-stable: the canonical id never changes as a cluster
+    * grows), or the score argmax with ties to the smaller id
+    * (`keepScores = Some(frame)` with columns (id, score) — q113's
+    * keep-best rule; q113 is the meter that prices the choice, this is
+    * the lever it justifies). A keep-best caller must supply a score for
+    * every clustered id (near_dedup scores the flowing docs themselves,
+    * so the frame is total by construction); an id missing from the
+    * score frame would silently survive. Returns the surviving rows of
+    * `docs`.
     */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val comp = connectedComponents(pairs)
-    val canonical = comp.groupBy("component").agg(min(col("id")).as("keep"))
-    val drop = comp.join(canonical, "component")
-      .filter(col("id") =!= col("keep"))
-      .select(col("id").as(idCol))
-    docs.join(drop, Seq(idCol), "left_anti")
+      idCol: String = "doc_id",
+      keepScores: Option[DataFrame] = None): DataFrame = {
+    val drop = dropSet(connectedComponents(pairs), keepScores)
+    docs.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** The non-canonical member set of a labeled (id, component) relation
+    * under a keep policy — shared by [[canonicalize]] (live components)
+    * and the layout-consuming queries (stamped ClusterAssignment labels,
+    * q63/q114). keep-min is a component-keyed argmin group; keep-best is
+    * a row_number window over the labeled slice (tiny: docs-in-pairs
+    * rows, never corpus-keyed — q113's plan shape).
+    */
+  private[graft] def dropSet(comp: DataFrame,
+      keepScores: Option[DataFrame]): DataFrame = keepScores match {
+    case None =>
+      val canonical = comp.groupBy("component").agg(min(col("id")).as("keep"))
+      comp.join(canonical, "component")
+        .filter(col("id") =!= col("keep"))
+        .select(col("id"))
+    case Some(sc) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("component")
+        .orderBy(col("score").desc, col("id"))
+      comp.join(sc, "id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select(col("id"))
   }
 }

@@ -1254,10 +1254,69 @@ object DedupOps {
       .orderBy("cluster_size")
   }
 
+  /** Q114 — the keep-BEST canonical corpus: q63's deliverable under the
+    * quality-argmax keep rule q113 prices — each strong cluster keeps
+    * its q18-quality argmax (ties to the smaller id) instead of its
+    * minimum id; unpaired docs keep themselves. This is the DECISION
+    * LEVER next to q113's meter: the regret readout says what switching
+    * buys, this query (and the `canonical: best` knob on the near_dedup
+    * stage, the same [[graft.operators.Components.dropSet]] machinery)
+    * is the switch. Both canonical policies stay registered because they
+    * trade differently: min-id is provenance-stable under refresh (the
+    * canonical id of a growing cluster never changes), best re-keys when
+    * a better member arrives — the reference's configurable
+    * source/transform policy surface is the precedent
+    * (caffe-grid/src/main/scala/com/yahoo/ml/caffe/Config.scala:403-499).
+    *
+    * Plan shape: the ClusterAssignment layout's strong labels joined
+    * onto q18's MAP-ONLY quality projection, a per-cluster window over
+    * the tiny labeled slice (q113's shape), then q63's anti-join — the
+    * corpus never shuffles on cluster keys. The oracle recomputes
+    * components and the score from scratch (q101's discipline); the
+    * cross-engine argmax is exact because q18's score doubles are
+    * bit-identical (q113's determinism note).
+    */
+  val q114CanonicalBest: QueryDef = QueryDef.sql(
+    "q114_canonical_best",
+    s"""WITH RECURSIVE pairsq AS (
+       |${TextOps.q21NgramJaccard.oracle.get}
+       |),
+       |strong AS (SELECT a, b FROM pairsq WHERE jaccard >= 0.5),
+       |e AS (SELECT a AS x, b AS y FROM strong UNION SELECT b AS x, a AS y FROM strong),
+       |reach AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+       |lbl AS (
+       |  SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+       |q AS (
+       |${TextOps.QualityScoreSql}
+       |),
+       |m AS (
+       |  SELECT l.cluster_id, l.doc_id,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN q ON q.doc_id = l.doc_id),
+       |drops AS (SELECT doc_id FROM m WHERE rn > 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val labels = graft.sources.ClusterAssignment.strongComponents(s, dir)
+    val scores = TextOps.textQualityFrame(docs)
+      .select(col("doc_id").as("id"), col("quality_score").as("score"))
+    val drop = graft.operators.Components.dropSet(labels, Some(scores))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
       q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity,
-      q111SourceDedupCost, q113RepresentativeRegret)
+      q111SourceDedupCost, q113RepresentativeRegret, q114CanonicalBest)
 }

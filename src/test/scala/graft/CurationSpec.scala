@@ -353,4 +353,34 @@ class CurationSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 2L, "a b")))
     assert(out.columns.contains("lang") && out.columns.contains("source"))
   }
+
+  test("near_dedup canonical=best keeps the quality argmax; min stays the default") {
+    import graft.jobs.{CurationStages, StageSpec}
+    import spark.implicits._
+    // constructed cluster {10, 20, 40}: docs 20/40 extend doc 10's token
+    // stream by three tokens (bigram jaccard 9/11 ≈ 0.82 pairwise with
+    // 10, 1.0 with each other — all ≥ 0.5), and the q18 length term
+    // (min(n_tokens/100, 1)·0.4) makes the longer docs the quality
+    // argmax; 20 and 40 tie (identical text), so keep-best's
+    // (score DESC, id ASC) rule must keep 20 — the argmax at a LARGER id
+    // than the min-rule's 10. Doc 30 shares no bigrams and must survive
+    // under both policies.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " lambda mu nu"),
+      (40L, base + " lambda mu nu"),
+      (30L, "totally different unrelated content words only here now"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val keptMin = CurationStages(docs, StageSpec("near_dedup", Map.empty))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBest = CurationStages(docs,
+        StageSpec("near_dedup", Map("canonical" -> "best")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(10L, 30L),
+      "canonical=min (the default) must keep the smallest id per cluster")
+    assert(keptBest == Set(20L, 30L),
+      "canonical=best must keep the q18 quality argmax, ties to the smaller id")
+  }
 }

@@ -431,6 +431,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q114: keep-best canonical — layout labels + map-only quality, anti-join, no query-time CC") {
+    val p = planOf(queries.DedupOps.q114CanonicalBest.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "cluster labels must come from the stamped ClusterAssignment store")
+    assert(!p.contains("ExistingRDD") && !p.contains("shingle_hashes"),
+      "no query-time CC or shingling")
+    assert(p.contains("LeftAnti"),
+      "the corpus must anti-join the drop set, never shuffle on cluster keys")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
