@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   * pii_scrub = q55's fused native RegexScrub; quality_filter = q56's
   * published linear model; perplexity_filter = q66's corpus-trained
   * unigram-LM scorer, keeping docs at or below a declared perplexity
-  * percentile; stratified_sample = q49's consistent-hash
+  * percentile; curriculum_order = q110's exact difficulty-quartile
+  * bucketing written as a per-doc `phase` column (the schedule a
+  * curriculum-ordered run consumes); stratified_sample = q49's consistent-hash
   * gates; importance_resample = q93's DSIR selection (hashed-bigram
   * importance weights vs a declared target slice, derandomized Gumbel
   * top-budget sampling); temperature_mix = q57's share^α weights applied as per-language
@@ -96,7 +98,8 @@ object CurationStages {
     "chunk" -> Set("chunkTokens", "stride"),
     "pack" -> Set("tokenBudget"),
     "bpe_annotate" -> Set("mergesFrom"),
-    "keyword_annotate" -> Set("topK", "statsFrom"))
+    "keyword_annotate" -> Set("topK", "statsFrom"),
+    "curriculum_order" -> Set("vocabSize"))
 
   /** The n-gram pair relation's jaccard floor
     * ([[graft.queries.TextOps.ngramJaccardPairs]] filters at 0.06 before
@@ -431,6 +434,35 @@ object CurationStages {
       val keep = scored.crossJoin(broadcast(thr))
         .filter(col("nll_n3") <= col("thr")).select("doc_id")
       docs.join(keep, Seq("doc_id"), "left_semi")
+
+    // q110's curriculum schedule as an ANNOTATION stage: each doc gains
+    // its exact difficulty-quartile phase (0 easy → 3 hard) of the
+    // corpus-trained LM score — q110 is the audit table a curation owner
+    // reads, this writes the phase column a curriculum-ordered training
+    // run actually consumes (the decision-lever twin every other
+    // decision-driving audit already has: q66→perplexity_filter,
+    // q94→blocklist_filter, q96→repetition_filter…). ONE scorer
+    // (perplexityScored) and ONE bucketing rule (exact p25/p50/p75 over
+    // the milli-quantized score, PercentileLong bounded state, broadcast
+    // back — no global sort, q110's exact shape). Docs the scorer cannot
+    // score (no tokens) carry a null phase — unscorable is not phase 0.
+    case "curriculum_order" =>
+      import org.apache.spark.sql.graft.PercentileLong.percentile_long
+      val vocab = stage.int("vocabSize", graft.queries.TextOps.PplVocab)
+      val scored = graft.queries.TextOps.perplexityScored(docs, vocab)
+        .select(col("doc_id"),
+          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+      val thr = scored.agg(
+        percentile_long(col("nll_n3"), 0.25).as("p25"),
+        percentile_long(col("nll_n3"), 0.5).as("p50"),
+        percentile_long(col("nll_n3"), 0.75).as("p75"))
+      val phases = scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"),
+          when(col("nll_n3") <= col("p25"), 0L)
+            .when(col("nll_n3") <= col("p50"), 1L)
+            .when(col("nll_n3") <= col("p75"), 2L)
+            .otherwise(3L).as("phase"))
+      docs.join(phases, Seq("doc_id"), "left")
 
     // q49's consistent-hash gate with a declared per-language rate table
     case "stratified_sample" =>

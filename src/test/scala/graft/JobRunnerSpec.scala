@@ -560,6 +560,48 @@ class JobRunnerSpec extends SparkSpec {
       "corpus-stats keywords diverged from q102 on the kept subset")
   }
 
+  test("curriculum_order stage: phase assignment equals q110's exact quartile bucketing") {
+    val work = java.nio.file.Files.createTempDirectory("jobcurr").toString
+    val conf = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out", "outputFormat": "parquet",
+         |  "stages": [{"op": "curriculum_order"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf)))
+    val out = spark.read.parquet(s"$work/out/corpus")
+    assert(out.columns.contains("phase"))
+    assert(out.count() == Tables(spark, sf, "documents").count(),
+      "annotation must not drop docs")
+    // per-phase doc counts equal q110's schedule exactly (same scorer,
+    // same thresholds, same CASE rule)
+    val got = out.filter(col("phase").isNotNull)
+      .groupBy("phase").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = queries.TextOps.q110CurriculumSchedule.fn(spark, sf)
+      .select("phase", "n_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"phase histogram diverged: $got vs $expect")
+    // a chain that filters first re-derives thresholds over the FLOW —
+    // the quartiles are of the annotated set, so each phase holds ~25%
+    val conf2 = writeConf(
+      s"""{
+         |  "source": {"path": "$sf", "table": "documents", "idCol": "doc_id"},
+         |  "output": "$work/out2", "outputFormat": "parquet",
+         |  "stages": [{"op": "stratified_sample", "default": 40},
+         |             {"op": "curriculum_order"}]
+         |}""".stripMargin)
+    JobRunner.run(spark, JobRunner.parse(Array("-curate", "-conf", conf2)))
+    val out2 = spark.read.parquet(s"$work/out2/corpus")
+    val n2 = out2.filter(col("phase").isNotNull).count()
+    val perPhase = out2.filter(col("phase").isNotNull)
+      .groupBy("phase").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    assert(perPhase.length == 4 &&
+      perPhase.forall(n => math.abs(n - n2 / 4.0) <= n2 * 0.05 + 2),
+      s"filtered-flow quartiles not ~25% each: ${perPhase.toSeq} of $n2")
+  }
+
   test("assign_split splitFrom=corpus: ingest-time layout split preserved through curation") {
     val work = java.nio.file.Files.createTempDirectory("jobsplit").toString
     val conf = writeConf(
