@@ -1567,8 +1567,10 @@ object TextOps {
     * same ranking monotonicity in (tf, N/df), but integer-exact — no
     * transcendental ever enters the cross-engine compare (log's last ulp
     * differs between engines; a production build swaps in log-idf
-    * without touching the plan shape). Ties break on the term string,
-    * so top-3 is deterministic.
+    * without touching the plan shape — no longer just a claim:
+    * KeywordIdfSwapSpec pins the identical plan-node sequence for the
+    * `logIdf` variant of [[keywordRankedLayout]]). Ties break on the
+    * term string, so top-3 is deterministic.
     *
     * Plan shape at 100 TB: the token stream reduces map-side to
     * (doc, term) → tf (distinct-pair-bounded exchange, the q84/q95
@@ -1733,11 +1735,18 @@ object TextOps {
     */
   private[graft] def keywordRankedLayout(docs: org.apache.spark.sql.DataFrame,
       dfLayout: org.apache.spark.sql.DataFrame, nDocs: Long,
-      topK: Int): org.apache.spark.sql.DataFrame = {
+      topK: Int, logIdf: Boolean = false): org.apache.spark.sql.DataFrame = {
     val joined = tfFrame(docs).join(dfLayout, Seq("w"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
-    keywordRankTail(joined,
-      col("tf") * expr(s"(${nDocs}L * 1000000L) div df"), topK)
+    // logIdf = the textbook tf·ln(N/df) scorer the q102 scaladoc says
+    // "swaps in without touching the plan shape" — KeywordIdfSwapSpec
+    // makes that claim a check (identical plan-node sequence; the linear
+    // form stays the registered default because its integers are
+    // cross-engine exact while ln's last ulp is not)
+    val score =
+      if (logIdf) col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df"))
+      else col("tf") * expr(s"(${nDocs}L * 1000000L) div df")
+    keywordRankTail(joined, score, topK)
   }
 
   /** Q105 — boilerplate span mining: the top-20 repeated 8-token spans by
