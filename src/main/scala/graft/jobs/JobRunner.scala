@@ -188,7 +188,13 @@ object JobRunner {
       graft.sources.CorpusStats.rowCount(spark, dir)
       graft.sources.CorpusStats.rowCount(spark, dir, "documents")
       graft.sources.PairGraph(spark, dir)
-      graft.sources.ClusterAssignment(spark, dir)
+      // cluster labels: label-merge over the pair delta when the append
+      // removed no edges, full CC otherwise (the exactness guard lives in
+      // ClusterAssignment.refreshed)
+      inv.ingestFrom match {
+        case Some(old) => graft.sources.ClusterAssignment.refreshed(spark, dir, old)
+        case None => graft.sources.ClusterAssignment(spark, dir)
+      }
       graft.sources.SplitAssignment(spark, dir)
       graft.sources.IvfCentroids(spark, dir)
       graft.sources.PqCodebooks(spark, dir)

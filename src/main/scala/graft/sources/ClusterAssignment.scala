@@ -100,4 +100,96 @@ object ClusterAssignment {
     apply(spark, dir)
       .filter(col("cluster_strong").isNotNull)
       .select(col("doc_id").as("id"), col("cluster_strong").as("component"))
+
+  /** Delta refresh: build the NEW corpus's stamped label layout from the
+    * OLD corpus's labels plus the pair-graph DELTA, skipping the full CC
+    * re-run — the streaming `incrementalClusters` union-find discipline
+    * applied to the batch layout (old components contract to single
+    * nodes; CC runs over the contracted delta graph only; labels expand
+    * back through the old assignment).
+    *
+    * EXACTNESS GUARD: appending documents is NOT edge-append-only —
+    * a shingle crossing the DF cap is dropped from BOTH members'
+    * fingerprint sets, so an old-old pair's jaccard can move (either
+    * direction) and an old edge can VANISH from either slice, splitting
+    * a component the merge path cannot split. The merge is exact iff no
+    * old edge left its slice, so that is checked first (two anti-join
+    * probes over the pair-sized relations); any vanished edge falls
+    * back to the full inline rebuild. Either path lands the same
+    * stamped dir a rebuild would (the [[ShinglePostings.refreshed]]
+    * contract) — DerivedRefreshSpec pins merged ≡ rebuilt on both a
+    * merge-eligible corpus and the cap-crossing corpus that forces the
+    * fallback.
+    */
+  def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
+    DerivedLayout(spark, layoutPath(newDir)) { tmp =>
+      refreshFrame(spark, newDir, oldDir)._1.write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The refresh computation plus which path ran (true = label merge,
+    * false = full rebuild) — split out so the spec can pin path choice,
+    * not just values.
+    */
+  private[graft] def refreshFrame(spark: SparkSession, newDir: String,
+      oldDir: String): (DataFrame, Boolean) = {
+    val newPairs = PairGraph(spark, newDir)
+    val oldPairs = PairGraph(spark, oldDir)
+    def slice(p: DataFrame, strong: Boolean): DataFrame =
+      (if (strong) p.filter(col("jaccard") >= StrongJaccard) else p)
+        .select("a", "b")
+    def vanished(strong: Boolean): Boolean =
+      slice(oldPairs, strong)
+        .join(slice(newPairs, strong), Seq("a", "b"), "left_anti")
+        .take(1).nonEmpty
+    if (vanished(strong = false) || vanished(strong = true))
+      (inlineFrame(spark, newDir), false)
+    else {
+      val old = apply(spark, oldDir)
+      def added(strong: Boolean): DataFrame =
+        slice(newPairs, strong)
+          .join(slice(oldPairs, strong), Seq("a", "b"), "left_anti")
+      val full = mergeLabels(
+        old.select(col("doc_id").as("id"), col("cluster_full").as("component")),
+        added(strong = false))
+      val strongL = mergeLabels(
+        old.filter(col("cluster_strong").isNotNull)
+          .select(col("doc_id").as("id"), col("cluster_strong").as("component")),
+        added(strong = true))
+      (full.select(col("id").as("doc_id"), col("component").as("cluster_full"))
+        .join(strongL.select(col("id").as("doc_id"),
+          col("component").as("cluster_strong")), Seq("doc_id"), "left"), true)
+    }
+  }
+
+  /** Exact label merge under the no-vanished-edges precondition: each old
+    * component contracts to its label node (labels ARE the component
+    * minima, and doc ids are corpus-unique, so label/new-id namespaces
+    * never collide); added edges map through the contraction; min-label
+    * CC over the contracted graph — which is delta-sized, not
+    * corpus-sized — yields each merged component's global minimum; old
+    * labels relabel through the result, previously-unlabeled endpoints
+    * take their CC label directly. An added edge internal to one old
+    * component contracts to a self-loop and is dropped (no label can
+    * change).
+    */
+  private[graft] def mergeLabels(oldLabels: DataFrame,
+      added: DataFrame): DataFrame = {
+    val contracted = added
+      .join(oldLabels.select(col("id").as("a"), col("component").as("ca")),
+        Seq("a"), "left")
+      .join(oldLabels.select(col("id").as("b"), col("component").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val cc = graft.operators.Components.connectedComponents(contracted)
+    val relabeled = oldLabels
+      .join(cc.select(col("id").as("component"), col("component").as("newc")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    val freshNodes = added.select(col("a").as("id"))
+      .unionAll(added.select(col("b").as("id"))).distinct()
+      .join(oldLabels.select("id"), Seq("id"), "left_anti")
+    relabeled.unionAll(freshNodes.join(cc, Seq("id")))
+  }
 }

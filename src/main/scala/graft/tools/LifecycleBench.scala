@@ -169,9 +169,19 @@ object LifecycleBench {
       .agg(count(lit(1)), sum(expr("fp"))).head
     require(viaDelta == viaCold,
       s"delta-ingested postings diverge from cold rebuild: $viaDelta vs $viaCold")
+    // same receipt one layer up (r18: the label-merge refresh): identical
+    // cluster labels either path, and which path the guard chose
+    def lblSum(dir: String) = graft.sources.ClusterAssignment(spark, dir)
+      .agg(count(lit(1)), sum(col("doc_id") + col("cluster_full") +
+        coalesce(col("cluster_strong"), lit(0L)))).head
+    require(lblSum(fullDir) == lblSum(fullColdDir),
+      "delta-refreshed cluster labels diverge from cold rebuild")
+    val mergedPath = graft.sources.ClusterAssignment
+      .refreshFrame(spark, fullDir, prevDir)._2
     println(f"""{"metric":"lifecycle_refresh","sf":"$sfDir",""" +
       f""""ingest_delta_sec":${times("ingest_delta")}%.2f,""" +
-      f""""ingest_cold_sec":${times("ingest_cold")}%.2f}""")
+      f""""ingest_cold_sec":${times("ingest_cold")}%.2f,""" +
+      f""""cluster_merge_path":$mergedPath}""")
     spark.stop()
   }
 }

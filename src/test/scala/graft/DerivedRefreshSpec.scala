@@ -267,6 +267,49 @@ class DerivedRefreshSpec extends SparkSpec {
         "(marker normalization should make the capped collect order-insensitive)")
   }
 
+  test("cluster label merge: an edge-append-only delta merges labels exactly (and says so)") {
+    // m1: one near-dup pair + unique fillers; delta: a fresh near-dup
+    // pair AND a doc joining the OLD cluster — pure edge adds, no shared
+    // bigram anywhere near the cap, so the merge path must run and its
+    // labels must equal the from-scratch computation (old cluster keeps
+    // its min label after absorbing the new member; contracted CC sees
+    // only the delta)
+    val m1 = Seq(
+      docRow(100L, "the quick brown fox jumps over the lazy dog again and again"),
+      docRow(101L, "the quick brown fox jumps over the lazy dog again and often")) ++
+      (200L until 240L).map(i =>
+        docRow(i, s"merge${i}a merge${i}b merge${i}c merge${i}d merge${i}e"))
+    val mdelta = Seq(
+      docRow(2000L, "pack my box with five dozen liquor jugs for the winter trip"),
+      docRow(2001L, "pack my box with five dozen liquor jugs for the winter haul"),
+      docRow(2100L, "the quick brown fox jumps over the lazy dog again and anew"))
+    val a = writeCorpus(m1, "m1")
+    val b = writeCorpus(m1 ++ mdelta, "m2")
+    val (df, mergedPath) = sources.ClusterAssignment.refreshFrame(spark, b, a)
+    assert(mergedPath, "append added edges only — the label-merge path must run")
+    val got = df.orderBy("doc_id").collect().toSeq
+    val expect = sources.ClusterAssignment.inlineFrame(spark, b)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == expect, "merged labels diverged from the from-scratch CC")
+    // the old cluster absorbed 2100 under its original min label
+    val full = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(2100L) == 100L && full(101L) == 100L && full(2000L) == 2000L)
+  }
+
+  test("cluster refresh falls back to full CC when the append vanishes edges (cap crossing)") {
+    // v1→v2's "hot zz"/"zz carrier" bigrams cross the DF cap, which
+    // REMOVES the old hot-doc edges from the full graph — a label merge
+    // cannot split components, so the guard must route to the rebuild
+    sources.ShinglePostings.refreshed(spark, v2Dir, v1Dir)
+    val (df, mergedPath) = sources.ClusterAssignment.refreshFrame(spark, v2Dir, v1Dir)
+    assert(!mergedPath,
+      "cap crossing removed old edges — the merge path would serve wrong labels")
+    val got = df.orderBy("doc_id").collect().toSeq
+    val expect = sources.ClusterAssignment.inlineFrame(spark, v2Dir)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == expect)
+  }
+
   test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
     // v1 = first 400 embeddings, v2 = all: construct append-only dirs
     val emb = Tables(spark, sf, "embeddings")
