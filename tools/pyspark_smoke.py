@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""PySpark parity smoke gate.
+
+The reference ships a Python API (CaffeOnSpark.py / ConversionUtil.py)
+that wraps its Scala core via py4j. SURVEY drops that surface as
+"PySpark's DataFrame/Arrow bridge is built in" -- this gate converts the
+claim into a check: a stock PySpark session with
+spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions must
+
+  1. resolve the SQL-registered native expressions (tokenize, float_dot,
+     sum128) from plain spark.sql with exact expected values,
+  2. run the Scala driver contract through py4j (SparkEntry.entry and a
+     registered query) and hand the result back as a PySpark DataFrame --
+     the same wrapping pattern the reference's Python API uses.
+
+Run:  python3 tools/pyspark_smoke.py   (exits 0 on pass)
+Requires `sbt compile` first (classes dir on the driver classpath).
+"""
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSES = os.path.join(ROOT, "target", "scala-2.13", "classes")
+SF = "/root/testdata/sf0.001"
+
+
+def fail(msg):
+    print(f"FAIL {msg}")
+    sys.exit(1)
+
+
+def main():
+    if not os.path.isdir(CLASSES):
+        fail(f"{CLASSES} missing - run `sbt compile` first")
+    from pyspark.sql import SparkSession, DataFrame
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("graft-pyspark-smoke")
+        .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+        .config("spark.driver.extraClassPath", CLASSES)
+        .config("spark.executor.extraClassPath", CLASSES)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    # 1. the SQL-registered natives, from plain spark.sql
+    row = spark.sql(
+        "SELECT tokenize('Hello, World! 42') AS t, "
+        "float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), "
+        "          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d"
+    ).head()
+    if list(row.t) != ["hello", "world", "42"]:
+        fail(f"tokenize: {row.t}")
+    if abs(row.d - 11.0) > 1e-12:
+        fail(f"float_dot: {row.d}")
+    agg = spark.sql(
+        "SELECT CAST(sum128(x) AS STRING) AS s FROM VALUES (1L), (2L), (3L) AS t(x)"
+    ).head()
+    if agg.s != "6":
+        fail(f"sum128: {agg.s}")
+    print("PASS natives: tokenize / float_dot / sum128 via spark.sql")
+
+    # 2. the Scala driver contract through py4j (the reference's
+    #    CaffeOnSpark.py wrapping pattern): flagship entry + a registered
+    #    query, results wrapped back into PySpark DataFrames
+    jentry = spark._jvm.graft.SparkEntry.entry(spark._jsparkSession)
+    entry = DataFrame(jentry, spark)
+    n = entry.count()
+    if n <= 0:
+        fail("SparkEntry.entry returned no rows")
+    print(f"PASS SparkEntry.entry via py4j ({n} rows)")
+
+    jfn = spark._jvm.graft.SparkEntry.queries().apply("q2_filter_project")
+    q2 = DataFrame(jfn.apply(spark._jsparkSession, SF), spark)
+    if q2.count() <= 0 or "doc_id" not in [c.lower() for c in q2.columns] and len(q2.columns) == 0:
+        fail("registered query q2 returned nothing")
+    print(f"PASS registered query q2_filter_project via py4j ({q2.count()} rows)")
+
+    spark.stop()
+    print("PASS pyspark smoke")
+
+
+if __name__ == "__main__":
+    main()
