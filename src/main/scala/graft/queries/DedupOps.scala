@@ -1313,10 +1313,44 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Q116 — fingerprint-set size profile: how many docs carry each
+    * distinct-shingle-set size — the [[graft.sources.DocFingerprints]]
+    * layout's independent audit (q100/q107 consume the sets pairwise;
+    * this views the per-doc distribution). The operational reads: the
+    * exact-Jaccard verify cost per candidate is O(|a|+|b|) — this table
+    * IS that cost's distribution; and the left tail (tiny sets) flags
+    * docs whose near-dup signal is statistically weak (a 2-shingle doc
+    * matching 1 shingle jumps straight to jaccard ≥ 0.33), the
+    * min-length floor a dedup config should set.
+    *
+    * Plan shape at 100 TB: a layout scan projecting size(fps) into a
+    * ≤|max doc length|-row map-side-combined group — no shingling, no
+    * pairs, nothing corpus-scale at query time. The oracle recomputes
+    * the sets from the corpus (q101's discipline).
+    */
+  val q116FingerprintProfile: QueryDef = QueryDef.sql(
+    "q116_fingerprint_profile",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.bg) AS u(s)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM sh GROUP BY doc_id)
+       |SELECT n_fps, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM sz
+       |GROUP BY n_fps
+       |ORDER BY n_fps""".stripMargin) { (s, dir) =>
+    graft.sources.DocFingerprints(s, dir)
+      .select(size(col("fps")).cast("long").as("n_fps"))
+      .groupBy("n_fps").agg(count(lit(1)).as("n_docs"))
+      .orderBy("n_fps")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q31MinhashLsh, q32Simhash, q39SimhashNeardup, q62DedupClusters,
       q63CanonicalCorpus, q67SpanDedup, q68LeakageSafeSplit, q74Semdedup,
       q98SourceDupMatrix, q100MinhashCalibration, q101DedupSavings,
       q104ClusterPurity, q107SimhashCalibration, q109ClusterDensity,
-      q111SourceDedupCost, q113RepresentativeRegret, q114CanonicalBest)
+      q111SourceDedupCost, q113RepresentativeRegret, q114CanonicalBest,
+      q116FingerprintProfile)
 }

@@ -1916,10 +1916,45 @@ object TextOps {
     }
   }
 
+  /** Q115 — term document-frequency spectrum: for every df level, how
+    * many distinct word-bigram terms sit at it — the vocabulary-shape
+    * readout of the [[graft.sources.TermStats]] layout (its first
+    * independent audit: q102 consumes df per term; this views the whole
+    * distribution). Two decisions read off this table: where the DF CAP
+    * should sit (the spectrum shows exactly how many terms a cap at any
+    * level marks corpus-common — the q21 DfCap is a point on this
+    * curve), and whether idf carries signal on this corpus at all (a
+    * spectrum concentrated at high df — the synthetic corpus's unigram
+    * pathology — says term weighting needs a rarer term family, which
+    * is WHY the suite works in bigrams; see the verify-skill note).
+    *
+    * Plan shape at 100 TB: a vocab-sized layout scan into a ≤|distinct
+    * df values|-row map-side-combined group — nothing corpus-scale at
+    * query time (ingest paid the one explode). The oracle recomputes df
+    * from the corpus (q101's discipline).
+    */
+  val q115DfSpectrum: QueryDef = QueryDef.sql(
+    "q115_df_spectrum",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s AS w
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.bg) AS u(s)),
+       |d AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY w)
+       |SELECT df, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM d
+       |GROUP BY df
+       |ORDER BY df""".stripMargin) { (s, dir) =>
+    graft.sources.TermStats(s, dir)
+      .groupBy("df").agg(count(lit(1)).as("n_terms"))
+      .orderBy("df")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
-    q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule)
+    q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
+    q115DfSpectrum)
 }

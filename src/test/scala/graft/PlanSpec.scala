@@ -442,6 +442,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q115/q116: layout-audit meters — stamped-store scans, no query-time shingling, bounded groups") {
+    for (q <- Seq(queries.TextOps.q115DfSpectrum,
+        queries.DedupOps.q116FingerprintProfile)) {
+      val p = planOf(q.fn(spark, sf))
+      assert(p.contains("graft-layout"),
+        s"${q.name}: the audited relation must come from its stamped layout")
+      assert(!p.contains("shingle_hashes") && !p.contains("Generate"),
+        s"${q.name}: no query-time shingling or explode — ingest paid it")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"${q.name}: a histogram of a layout must not join")
+      assert(p.contains("partial_"),
+        s"${q.name}: the bounded group must map-side combine")
+    }
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
