@@ -788,18 +788,20 @@ object TextOps {
     * doc's raw-space distance from both flip boundaries (×1e6 and the
     * bucketing key's ×1e3) above 1e-12.
     */
-  private[graft] def perplexityScored(docs: org.apache.spark.sql.DataFrame,
-      vocabSize: Int = PplVocab): org.apache.spark.sql.DataFrame = {
-    val V = vocabSize
-    // Tokenized corpus feeds three branches (vocab count, total, scoring)
-    // — a real reuse point (Y5): without the persist every branch re-runs
-    // tokenize over the raw corpus. Scope = one query run; the runner's
-    // Caches.clearAll releases it.
-    val f = docs
+  /** The tokenized non-empty projection every LM branch starts from. */
+  private[graft] def tokenizedNonEmpty(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), toks.as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
       .filter(col("dl") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The 1-row LM dimension frame (vw, vc, total) over a tokenized
+    * frame — batch broadcasts it; the stream twin collects it into
+    * frozen literals. ONE derivation either way.
+    */
+  private[graft] def pplDimsFrom(f: org.apache.spark.sql.DataFrame,
+      V: Int): org.apache.spark.sql.DataFrame = {
     val vocabTop = f.select(explode(col("t")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(V)
@@ -813,14 +815,38 @@ object TextOps {
     val stats = f.agg(sum(col("dl")).as("total"))
     // ONE one-row dimension frame (vw, vc, total): fusing the vocab and
     // corpus-total aggregates into a single broadcast halves the broadcast
-    // job count — both subtrees read the persisted `f`, so the fused plan
+    // job count — both subtrees read the same `f`, so the fused plan
     // costs the same two partial aggregates, one fewer job/exchange.
-    val dims = vrow.crossJoin(stats)
+    vrow.crossJoin(stats)
+  }
+
+  private[graft] def perplexityScored(docs: org.apache.spark.sql.DataFrame,
+      vocabSize: Int = PplVocab): org.apache.spark.sql.DataFrame = {
+    val V = vocabSize
+    // Tokenized corpus feeds three branches (vocab count, total, scoring)
+    // — a real reuse point (Y5): without the persist every branch re-runs
+    // tokenize over the raw corpus. Scope = one query run; the runner's
+    // Caches.clearAll releases it.
+    val f = tokenizedNonEmpty(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nllScore(f.crossJoin(broadcast(pplDimsFrom(f, V))), V)
+  }
+
+  /** The LM scoring tail shared by [[perplexityScored]] (dims joined as
+    * a 1-row broadcast) and the streaming curriculum twin
+    * ([[graft.streaming.DocumentStreams.curriculumFlags]], dims riding
+    * as frozen literals): a frame with (doc_id, t, dl, vw, vc, total)
+    * in, (doc_id, n_tokens, oov, nll_raw) out. ONE implementation of
+    * the fixed-order double fold, so streamed scores are bit-identical
+    * to batch by construction.
+    */
+  private[graft] def nllScore(frame: org.apache.spark.sql.DataFrame,
+      V: Int): org.apache.spark.sql.DataFrame = {
     // ONE token-array pass computes all V counts (native tf_counts): the
     // previous form ran V array_remove scans — V allocations per row —
     // and was the scoring pass's hot loop. Values are identical exact
     // longs, so the oracle keeps its V list_filter formulation.
-    val withTf = f.crossJoin(broadcast(dims))
+    val withTf = frame
       .withColumn("tfs", org.apache.spark.sql.graft.TextExpressions
         .tf_counts(col("t"), col("vw")))
       .select(Seq(col("doc_id"), col("dl"), col("vc"), col("total")) ++

@@ -225,6 +225,60 @@ object DocumentStreams {
         col("k.score_n6").as("score_n6"))
   }
 
+  /** Streaming twin of the `curriculum_order` stage (and q110's
+    * bucketing): each arriving document's curriculum phase (0 easy → 3
+    * hard) against a FROZEN corpus-trained LM and frozen exact-quartile
+    * thresholds — the held-fixed-artifact pattern of [[keywordFlags]]:
+    * the LM dims (V words, V counts, corpus total) and the p25/p50/p75
+    * milli-quantized thresholds are computed once batch-side through
+    * the SAME machinery the batch scorer uses
+    * ([[graft.queries.TextOps.pplDimsFrom]] + PercentileLong), then
+    * ride the stream plan as literals. Phases stay comparable across
+    * the whole stream; drift is an explicit artifact refresh.
+    *
+    * MAP-ONLY, no state, no shuffle: per row one native tf_counts pass
+    * and the batch scorer's exact fixed-order double fold
+    * ([[graft.queries.TextOps.nllScore]] is the ONE implementation), so
+    * a streamed doc's (n_tokens, nll_n6, phase) is BIT-IDENTICAL to the
+    * batch assignment for the same text against the same artifacts
+    * (StreamingSpec pins streamed ≡ the curriculum_order stage ≡ q110's
+    * histogram). Zero-token docs produce no row (the batch scorer's
+    * dl > 0 rule — unscorable is not phase 0).
+    */
+  def curriculumFlags(stream: DataFrame, corpus: DataFrame,
+      vocabSize: Int = graft.queries.TextOps.PplVocab): DataFrame = {
+    import graft.queries.TextOps
+    import org.apache.spark.sql.graft.PercentileLong.percentile_long
+    val V = vocabSize
+    // frozen artifacts, batch-side: LM dims + quartile thresholds
+    val dims = TextOps.pplDimsFrom(TextOps.tokenizedNonEmpty(corpus), V).head()
+    val (vw, vc, total) =
+      (dims.getSeq[String](0), dims.getSeq[Long](1), dims.getLong(2))
+    val thr = TextOps.perplexityScored(corpus, V)
+      .select(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+      .agg(percentile_long(col("nll_n3"), 0.25).as("p25"),
+        percentile_long(col("nll_n3"), 0.5).as("p50"),
+        percentile_long(col("nll_n3"), 0.75).as("p75")).head()
+    // percentile_long interpolates → DOUBLE thresholds; the phase compare
+    // below coerces the long score to double exactly as the batch stage's
+    // column-to-column compare does, so the bucketing is bit-identical
+    val (p25, p50, p75) = (thr.getDouble(0), thr.getDouble(1), thr.getDouble(2))
+    val scored = TextOps.nllScore(
+      stream
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens("text").as("t"))
+        .withColumn("dl", size(col("t")).cast("long"))
+        .filter(col("dl") > 0)
+        .withColumn("vw", typedLit(vw))
+        .withColumn("vc", typedLit(vc))
+        .withColumn("total", lit(total)), V)
+    scored.select(col("doc_id"), col("n_tokens"),
+      floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
+      when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p25, 0L)
+        .when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p50, 1L)
+        .when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p75, 2L)
+        .otherwise(3L).as("phase"))
+  }
+
   /** One packed document: the running token count and bin assignment the
     * batch q50 computes with a window.
     */

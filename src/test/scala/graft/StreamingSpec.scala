@@ -650,6 +650,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curriculum flags equal the curriculum_order stage bit-for-bit") {
+    // the twin scores arriving docs against the LM dims and quartile
+    // thresholds frozen from the SAME corpus the batch stage derives
+    // them from, so every (doc, n_tokens, nll_n6, phase) row must be
+    // bit-identical — literal dims + nllScore ≡ broadcast dims +
+    // nllScore (ONE fold implementation)
+    import graft.streaming.DocumentStreams
+    import graft.jobs.{CurationStages, StageSpec}
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_curr")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.curriculumFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus = docs),
+      "curr_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch reference: the stage's phase per doc + the batch scorer's
+    // quantized score per doc
+    val stagePhase = CurationStages(docs, StageSpec("curriculum_order", Map.empty))
+      .filter(col("phase").isNotNull)
+      .select("doc_id", "phase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchScore = queries.TextOps.perplexityScored(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.nonEmpty && streamed.keySet == stagePhase.keySet)
+    streamed.foreach { case (id, (nTok, nll6, phase)) =>
+      assert(phase == stagePhase(id), s"doc $id phase diverged")
+      assert((nTok, nll6) == batchScore(id), s"doc $id score diverged")
+    }
+    graft.Caches.clearAll(spark)
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
