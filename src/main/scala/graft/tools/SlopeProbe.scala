@@ -27,7 +27,8 @@ object SlopeProbe {
     "q104_cluster_purity", "q105_boilerplate_spans", "q106_pq_distortion",
     "q107_simhash_calibration", "q108_ivf_cell_audit", "q109_cluster_density",
     "q110_curriculum_schedule", "q111_source_dedup_cost",
-    "q112_retrieval_agreement")
+    "q112_retrieval_agreement", "q114_canonical_best",
+    "q115_df_spectrum", "q116_fingerprint_profile")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
