@@ -1691,7 +1691,11 @@ object TextOps {
         col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(wordBigrams(tokens("text")))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("df"))
+      // first_doc (min containing doc id) rides the same aggregate for
+      // free — q117's vocabulary-growth axis, merged exactly on refresh
+      // (min is append-safe in both directions)
+      .groupBy("w").agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("first_doc"))
 
   /** The shared scoring/ranking tail of every keyword form: score each
     * (doc, term) by tf × linear idf, keep rank ≤ topK. `scoreCol` must
@@ -1735,7 +1739,7 @@ object TextOps {
         (tf.groupBy("w").agg(count(lit(1)).as("df")),
           docs.agg(count(lit(1)).as("n_docs")))
       case Some(sd) =>
-        (termDfFrame(sd), sd.agg(count(lit(1)).as("n_docs")))
+        (termDfFrame(sd).select("w", "df"), sd.agg(count(lit(1)).as("n_docs")))
     }
     // un-hinted: AQE broadcasts the vocab-sized df side here and fails
     // over to SMJ when the vocabulary outgrows the threshold (see q102
@@ -1762,7 +1766,7 @@ object TextOps {
   private[graft] def keywordRankedLayout(docs: org.apache.spark.sql.DataFrame,
       dfLayout: org.apache.spark.sql.DataFrame, nDocs: Long,
       topK: Int, logIdf: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val joined = tfFrame(docs).join(dfLayout, Seq("w"), "left")
+    val joined = tfFrame(docs).join(dfLayout.select("w", "df"), Seq("w"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
     // logIdf = the textbook tf·ln(N/df) scorer the q102 scaladoc says
     // "swaps in without touching the plan shape" — KeywordIdfSwapSpec
@@ -1976,11 +1980,74 @@ object TextOps {
       .orderBy("df")
   }
 
+  /** Q117 — vocabulary growth curve (the Heaps-law readout): the corpus
+    * split into four EXACT doc_id quartiles (ingest order), with the
+    * number of word-bigram terms FIRST seen in each quartile and the
+    * cumulative vocabulary — the saturation curve a tokenizer/BPE sizing
+    * decision and an ingest owner read together: a flattening curve says
+    * more data adds tokens, not words (vocab budget can freeze); a
+    * still-linear tail says the corpus keeps importing novel vocabulary
+    * — or junk, which is q52's per-source novelty readout localized in
+    * TIME instead of source. Exact: each term's first containing doc is
+    * the min doc id (stored in [[graft.sources.TermStats]] since tf2 —
+    * min-merged exactly on refresh), quartile thresholds are dyadic
+    * percentiles over doc_id (the q110 rule: p25/p50/p75 interpolate
+    * identically cross-engine), the counts are integers.
+    *
+    * Plan shape at 100 TB: a vocab-sized layout scan bucketed against a
+    * 1-row broadcast threshold frame (the corpus contributes only its
+    * doc_id percentile aggregate), one 4-row map-side-combined group,
+    * and a 4-row cumulative window. The oracle recomputes first-doc
+    * from the corpus (q101's discipline).
+    */
+  val q117VocabGrowth: QueryDef = QueryDef.sql(
+    "q117_vocab_growth",
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, s AS w
+       |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
+       |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x,
+       |       unnest(x.bg) AS u(s)),
+       |fd AS (SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY w),
+       |thr AS (SELECT quantile_cont(doc_id, 0.25) AS p25,
+       |               quantile_cont(doc_id, 0.5) AS p50,
+       |               quantile_cont(doc_id, 0.75) AS p75 FROM documents),
+       |ph AS (
+       |  SELECT CASE WHEN first_doc <= p25 THEN 0
+       |              WHEN first_doc <= p50 THEN 1
+       |              WHEN first_doc <= p75 THEN 2
+       |              ELSE 3 END AS quartile
+       |  FROM fd, thr)
+       |SELECT CAST(quartile AS BIGINT) AS quartile,
+       |  CAST(count(*) AS BIGINT) AS n_new_terms,
+       |  CAST(sum(count(*)) OVER (ORDER BY quartile) AS BIGINT) AS cum_terms
+       |FROM ph
+       |GROUP BY quartile
+       |ORDER BY quartile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.PercentileLong.percentile_long
+    val thr = Tables(s, dir, "documents").agg(
+      percentile_long(col("doc_id"), 0.25).as("p25"),
+      percentile_long(col("doc_id"), 0.5).as("p50"),
+      percentile_long(col("doc_id"), 0.75).as("p75"))
+    graft.sources.TermStats(s, dir)
+      .select("first_doc")
+      .crossJoin(broadcast(thr))
+      .select(when(col("first_doc") <= col("p25"), 0L)
+        .when(col("first_doc") <= col("p50"), 1L)
+        .when(col("first_doc") <= col("p75"), 2L)
+        .otherwise(3L).as("quartile"))
+      .groupBy("quartile").agg(count(lit(1)).as("n_new_terms"))
+      .withColumn("cum_terms", sum(col("n_new_terms")).over(
+        Window.orderBy("quartile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("quartile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q15TokenStats, q16VocabTopk, q17Fingerprint, q18TextQuality, q19LangId,
     q20DedupExact, q21NgramJaccard, q40TokenCount, q47Repetition, q48SourceMix,
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
     q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
-    q115DfSpectrum)
+    q115DfSpectrum, q117VocabGrowth)
 }

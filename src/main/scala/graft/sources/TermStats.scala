@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
 object TermStats {
 
   /** Bump when the term grammar (word-bigrams over the tokenizer) or the
-    * df definition changes.
+    * stored statistics change. tf2: adds `first_doc` (min containing doc
+    * id — q117's vocabulary-growth axis).
     */
-  private[graft] val versionTag = "tf1.bigram"
+  private[graft] val versionTag = "tf2.bigram"
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("termdf", versionTag, dir, Seq(s"$dir/documents.parquet"))
@@ -44,14 +45,18 @@ object TermStats {
     }
 
   /** Append-only delta merge: disjoint doc sets sum their per-term
-    * containing-doc counts.
+    * containing-doc counts; first_doc merges by min (exact regardless of
+    * id ordering between the corpora).
     */
   private[graft] def refreshFrom(oldDf: DataFrame, deltaDocs: DataFrame): DataFrame =
-    oldDf.withColumnRenamed("df", "odf")
+    oldDf.withColumnRenamed("df", "odf").withColumnRenamed("first_doc", "ofd")
       .join(graft.queries.TextOps.termDfFrame(deltaDocs)
-        .withColumnRenamed("df", "ddf"), Seq("w"), "full_outer")
+        .withColumnRenamed("df", "ddf").withColumnRenamed("first_doc", "dfd"),
+        Seq("w"), "full_outer")
       .select(col("w"),
-        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+        (coalesce(col("odf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"),
+        least(coalesce(col("ofd"), col("dfd")), coalesce(col("dfd"), col("ofd")))
+          .as("first_doc"))
 
   /** Build the NEW corpus dir's stamped layout from the OLD dir's plus
     * the doc_id-anti-join delta ([[ShinglePostings.refreshed]]'s

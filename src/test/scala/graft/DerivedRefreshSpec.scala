@@ -236,21 +236,21 @@ class DerivedRefreshSpec extends SparkSpec {
       "per-doc fingerprint sets diverged between refresh and rebuild")
   }
 
-  test("term-df refresh == rebuild: disjoint doc sets sum their df") {
-    val rebuilt = queries.TextOps
-      .termDfFrame(Tables(spark, v2Dir, "documents"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val refreshed = sources.TermStats.refreshFrom(
-        sources.TermStats(spark, v1Dir),
-        Tables(spark, v2Dir, "documents")
-          .join(Tables(spark, v1Dir, "documents").select("doc_id"),
-            Seq("doc_id"), "left_anti"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("term-df refresh == rebuild: df sums, first_doc min-merges") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rebuilt = keyed(queries.TextOps
+      .termDfFrame(Tables(spark, v2Dir, "documents")))
+    val refreshed = keyed(sources.TermStats.refreshFrom(
+      sources.TermStats(spark, v1Dir),
+      Tables(spark, v2Dir, "documents")
+        .join(Tables(spark, v1Dir, "documents").select("doc_id"),
+          Seq("doc_id"), "left_anti")))
     assert(rebuilt == refreshed && rebuilt.nonEmpty,
-      "term document frequencies diverged between refresh and rebuild")
-    // the constructed hot term actually exercises the sum path: "hot zz"
-    // has df 40 in v1 and 60 in v2
-    assert(rebuilt("hot zz") == 60L)
+      "term (df, first_doc) diverged between refresh and rebuild")
+    // the constructed hot term actually exercises both merge paths:
+    // "hot zz" has df 40 in v1 and 60 in v2, first seen in doc 0
+    assert(rebuilt("hot zz") == ((60L, 0L)))
   }
 
   test("postings built by inverting DocFingerprints == postings shingled live") {

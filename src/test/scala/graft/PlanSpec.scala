@@ -457,6 +457,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q117: vocab growth — TermStats scan vs a 1-row threshold broadcast, no corpus explode") {
+    val p = planOf(queries.TextOps.q117VocabGrowth.fn(spark, sf))
+    assert(p.contains("graft-layout"),
+      "first-doc must come from the stamped TermStats store")
+    assert(!p.contains("shingle_hashes") && !p.contains("Generate"),
+      "no query-time shingling or explode — ingest paid it")
+    assert(p.contains("percentile_long"),
+      "quartile thresholds must be the bounded-state percentile aggregate")
+    assert(p.contains("partial_"), "the 4-row group must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -717,6 +729,7 @@ class PlanSpec extends SparkSpec {
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
+      "q117_vocab_growth", // 1-row doc_id-quartile thresholds onto the vocab-sized layout scan
       "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap
                                   // (+ q73's 1-row query-vector broadcast)
       // (q102 left the list in r18: its corpus count rides as a
