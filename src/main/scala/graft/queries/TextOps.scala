@@ -955,6 +955,136 @@ object TextOps {
     }
   }
 
+  /** Q118 — interpolated BIGRAM-LM perplexity: q66's CCNet move one
+    * n-gram order up. The corpus trains a class-bigram model over the
+    * top-V unigram vocabulary (every other token folds to ONE OOV
+    * class — the classic class-based backstop that keeps the table at
+    * (V+1)², corpus-independent), and each document scores its average
+    * −ln P(w_i | w_{i−1}) under the Jelinek-Mercer interpolation
+    * P = λ·P_bigram + (1−λ)·P_unigram with λ = 0.5 (binary-exact, so
+    * the interpolation weight adds no cross-engine ulp). A unigram LM
+    * calls repeated boilerplate fluent; the bigram model is where
+    * word-ORDER pathologies (shuffled text, keyword stuffing, template
+    * splices) surface — the standard reason production pipelines score
+    * with n-gram KenLMs rather than unigram tables.
+    *
+    * Determinism (q66's discipline throughout): classes are exact
+    * integer positions (array_position / list_position, OOV = 0), the
+    * count table is exact longs densified over the full (V+1)² domain,
+    * every position's term is the SAME parenthesization of int-derived
+    * doubles, and the per-doc fold is the same left-to-right
+    * list-reduce in both engines; ln is the one transcendental (q65/q66
+    * precedent). Interpolation keeps every P > 0: an observed class b
+    * has cu[b] ≥ 1, so the unigram leg never vanishes, and an OOV
+    * prefix only occurs when the OOV class count ≥ 1. Docs with fewer
+    * than 2 tokens have no bigram and are out of the model's domain
+    * (filtered identically on both sides).
+    *
+    * Plan shape at 100 TB: the class table is (V+1)² longs — a 1-row
+    * broadcast like q66's dims — trained in ONE extra corpus pass
+    * (adjacent-pair explode, map-side combined, key domain ≤ (V+1)²);
+    * scoring is a single map-side pass per doc (one transform + fold,
+    * no shuffle). Everything vocabulary-sized rides broadcasts; nothing
+    * corpus-scale shuffles.
+    */
+  val q118BigramPerplexity: QueryDef = {
+    val V = PplVocab
+    val C = V + 1
+    QueryDef.sql(
+      "q118_bigram_perplexity",
+      s"""WITH f AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+         |  WHERE len(t) >= 2),
+         |vc0 AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(t) AS word FROM f)
+         |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
+         |v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
+         |             list(c ORDER BY c DESC, word) AS vcn FROM vc0),
+         |s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM f),
+         |cls AS (
+         |  SELECT doc_id, dl,
+         |    [coalesce(list_position(vw, w), 0) for w in t] AS cls
+         |  FROM f, v),
+         |bp AS (
+         |  SELECT unnest([cls[i-1] * $C + cls[i]
+         |                 for i in range(2, len(cls)+1)]) AS k
+         |  FROM cls),
+         |kc AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM bp GROUP BY k),
+         |dense AS (
+         |  SELECT r.range AS k, coalesce(kc.cnt, CAST(0 AS BIGINT)) AS cnt
+         |  FROM range(0, ${C * C}) r LEFT JOIN kc ON kc.k = r.range),
+         |cbt AS (SELECT list(cnt ORDER BY k) AS cb FROM dense),
+         |cut AS (
+         |  SELECT list_prepend(
+         |      total - list_reduce(list_prepend(CAST(0 AS BIGINT), vcn), (a, b) -> a + b),
+         |      vcn) AS cu, total
+         |  FROM v, s),
+         |sc AS (
+         |  SELECT doc_id, dl,
+         |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [ln(CAST(0.5 AS DOUBLE) * (CAST(cb[cls[i-1] * $C + cls[i] + 1] AS DOUBLE)
+         |            / CAST(cu[cls[i-1] + 1] AS DOUBLE))
+         |        + CAST(0.5 AS DOUBLE) * (CAST(cu[cls[i] + 1] AS DOUBLE)
+         |            / CAST(total AS DOUBLE)))
+         |       for i in range(2, len(cls)+1)]),
+         |      (a, b) -> a + b) / CAST(dl - 1 AS DOUBLE) AS nll2_raw
+         |  FROM cls, cbt, cut)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         |  CAST(floor(nll2_raw * 1000000 + 0.5) AS BIGINT) AS nll2_n6
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramPerplexityScored(s, dir)
+        .select(col("doc_id"), col("dl").as("n_tokens"),
+          floor(col("nll2_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll2_n6"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** q118's raw-score frame (doc_id, dl, nll2_raw) — the pre-quantization
+    * scorer, exposed so QuerySpec can pin the flip-boundary margins the
+    * published ×1e6 quantization relies on (q66's discipline).
+    */
+  private[graft] def bigramPerplexityScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val V = PplVocab
+    val C = V + 1
+    // the tokenized dl≥2 corpus feeds three branches (vocab, bigram
+    // counts, scoring) — q66's reuse point, same persist discipline
+    val f = tokenizedNonEmpty(Tables(s, dir, "documents"))
+      .filter(col("dl") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = pplDimsFrom(f, V)
+    val withCls = f.crossJoin(broadcast(dims))
+      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
+    // class-bigram counts, densified over the full (V+1)² key domain
+    // so the scoring lookup is a plain element_at — ONE adjacent-pair
+    // corpus pass, map-side combined, ≤ (V+1)² keys in the exchange
+    val kc = withCls
+      .select(explode(expr(
+        s"transform(slice(cls, 2, size(cls) - 1), (b, i) -> element_at(cls, i + 1) * $C + b)"))
+        .as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val cbt = s.range((C * C).toLong).toDF("k")
+      .join(kc, Seq("k"), "left")
+      .select(col("k"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .agg(expr("transform(array_sort(collect_list(struct(k, cnt))), x -> x.cnt)")
+        .as("cb"))
+    withCls.crossJoin(broadcast(cbt))
+      .withColumn("cu",
+        expr("concat(array(total - aggregate(vc, 0L, (a, x) -> a + x)), vc)"))
+      .withColumn("nll2_raw", expr(
+        s"""-aggregate(
+           |  transform(slice(cls, 2, size(cls) - 1), (b, i) ->
+           |    ln(CAST(0.5 AS DOUBLE) * (CAST(element_at(cb, CAST(element_at(cls, i + 1) * $C + b + 1 AS INT)) AS DOUBLE)
+           |          / CAST(element_at(cu, CAST(element_at(cls, i + 1) + 1 AS INT)) AS DOUBLE))
+           |      + CAST(0.5 AS DOUBLE) * (CAST(element_at(cu, CAST(b + 1 AS INT)) AS DOUBLE)
+           |          / CAST(total AS DOUBLE)))),
+           |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / CAST(dl - 1 AS DOUBLE)""".stripMargin))
+      .select(col("doc_id"), col("dl"), col("nll2_raw"))
+  }
+
   /** q82's merge-round count. Each round is one aggregate over the
     * word-count table; 6 rounds keeps the unrolled oracle readable while
     * exercising the full mechanism (real trainers run 10⁴–10⁵ rounds of
@@ -2049,5 +2179,5 @@ object TextOps {
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
     q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
-    q115DfSpectrum, q117VocabGrowth)
+    q115DfSpectrum, q117VocabGrowth, q118BigramPerplexity)
 }

@@ -469,6 +469,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q118: bigram LM — 1-row dims/table broadcasts, one pair pass, map-side scoring") {
+    val p = planOf(queries.TextOps.q118BigramPerplexity.fn(spark, sf))
+    assert(p.contains("partial_count"),
+      "the class-bigram count must map-side combine before its bounded exchange")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-scale may join — dims and the (V+1)² table ride as " +
+        "1-row broadcasts, the dense fill joins a 289-row range")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the tokenized corpus must persist across the vocab/pair/scoring branches")
+    graft.Caches.clearAll(spark)
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -730,6 +743,7 @@ class PlanSpec extends SparkSpec {
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
       "q117_vocab_growth", // 1-row doc_id-quartile thresholds onto the vocab-sized layout scan
+      "q118_bigram_perplexity", // 1-row LM dims + 1-row (V+1)² count table onto the scoring pass
       "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap
                                   // (+ q73's 1-row query-vector broadcast)
       // (q102 left the list in r18: its corpus count rides as a

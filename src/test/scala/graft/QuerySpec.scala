@@ -235,6 +235,24 @@ class QuerySpec extends SparkSpec {
     assert(counts("head") <= rows.length / 2 && counts("tail") <= rows.length / 2)
   }
 
+  test("q118 bigram perplexity: scores sit far from the quantization flip boundary") {
+    // q66's margin discipline at the bigram order: the only
+    // transcendental is ln (one per position), cross-engine skew is
+    // ulp-scale; every doc must keep raw-space margin > 1e-12 from the
+    // ×1e6 floor boundary, and the interpolation must keep every score
+    // finite (P > 0 by construction — an observed class has cu ≥ 1)
+    val raw = queries.TextOps.bigramPerplexityScored(spark, sf)
+      .select(col("nll2_raw")).collect().map(_.getDouble(0))
+    assert(raw.nonEmpty)
+    raw.foreach { v =>
+      assert(!v.isNaN && !v.isInfinite, s"non-finite bigram nll $v")
+      val x = v * 1e6 + 0.5
+      val dist = math.abs(x - math.rint(x)) / 1e6
+      assert(dist > 1e-12, s"nll2 $v: within $dist (raw) of a floor boundary")
+    }
+    graft.Caches.clearAll(spark)
+  }
+
   test("q93 DSIR: flip margins, estimator discriminates, sampling up-weights target") {
     // margin discipline (q66's): logw and the Gumbel key are ln-derived,
     // cross-engine skew is ulp-scale; every doc must keep raw-space
