@@ -90,7 +90,7 @@ object CurationStages {
     "blocklist_filter" -> Set("terms"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
-    "perplexity_filter" -> Set("maxPercentile", "vocabSize"),
+    "perplexity_filter" -> Set("maxPercentile", "vocabSize", "order"),
     "stratified_sample" -> Set("rates", "default"),
     "importance_resample" -> Set("budgetDocs", "targetSources"),
     "temperature_mix" -> Set("alpha", "budgetDocs"),
@@ -427,9 +427,25 @@ object CurationStages {
       import org.apache.spark.sql.graft.PercentileLong.percentile_long
       val p = stage.dbl("maxPercentile", 0.75)
       val vocab = stage.int("vocabSize", graft.queries.TextOps.PplVocab)
-      val scored = graft.queries.TextOps.perplexityScored(docs, vocab)
-        .select(col("doc_id"),
-          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
+      // order selects the LM: 1 = q66's unigram scorer (default), 2 =
+      // q118's interpolated class-bigram scorer — the order-sensitive
+      // gate that also drops shuffled/stuffed text a unigram model calls
+      // fluent. Note the domain difference is the models', not the
+      // stage's: the bigram scorer only scores docs with ≥ 2 tokens, so
+      // under order=2 sub-bigram docs never enter the threshold pool and
+      // are dropped (they carry no order signal to keep them on).
+      val scored = (stage.int("order", 1) match {
+        case 1 => graft.queries.TextOps.perplexityScored(docs, vocab)
+          .select(col("doc_id"), col("nll_raw"))
+        case 2 =>
+          require(vocab == graft.queries.TextOps.PplVocab,
+            "perplexity_filter: order=2 uses the fixed-vocab bigram scorer")
+          graft.queries.TextOps.bigramPerplexityScoredFrame(docs)
+            .select(col("doc_id"), col("nll2_raw").as("nll_raw"))
+        case other => throw new IllegalArgumentException(
+          s"perplexity_filter: order must be 1 or 2, got $other")
+      }).select(col("doc_id"),
+        floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
       val thr = scored.agg(percentile_long(col("nll_n3"), p).as("thr"))
       val keep = scored.crossJoin(broadcast(thr))
         .filter(col("nll_n3") <= col("thr")).select("doc_id")

@@ -1047,12 +1047,20 @@ object TextOps {
     * published ×1e6 quantization relies on (q66's discipline).
     */
   private[graft] def bigramPerplexityScored(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    bigramPerplexityScoredFrame(Tables(s, dir, "documents"))
+
+  /** The q118 scorer over any documents-shaped frame — shared with the
+    * `perplexity_filter order=2` stage (ONE implementation).
+    */
+  private[graft] def bigramPerplexityScoredFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     val V = PplVocab
     val C = V + 1
     // the tokenized dl≥2 corpus feeds three branches (vocab, bigram
     // counts, scoring) — q66's reuse point, same persist discipline
-    val f = tokenizedNonEmpty(Tables(s, dir, "documents"))
+    val f = tokenizedNonEmpty(docs)
       .filter(col("dl") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = pplDimsFrom(f, V)

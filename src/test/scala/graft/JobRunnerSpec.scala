@@ -728,6 +728,43 @@ class JobRunnerSpec extends SparkSpec {
       .filter(col("bucket") =!= "tail")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(pf == q66keep)
+    // perplexity_filter order=2 gates on q118's bigram scorer: kept set =
+    // docs at/below the p75 of the milli-quantized bigram score (derived
+    // here independently from the raw frame), and sub-bigram docs are out
+    // of the model's domain
+    val pf2 = CurationStages(docs,
+        StageSpec("perplexity_filter", Map("maxPercentile" -> 0.75, "order" -> 2.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val raw2 = graft.queries.TextOps.bigramPerplexityScored(spark, sf)
+      .select(col("doc_id"),
+        floor(col("nll2_raw") * lit(1000L) + lit(0.5)).cast("long").as("n3"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val thr2 = {
+      val sorted = raw2.map(_._2).sorted
+      // R-7 p75 on longs, floor-compare semantics of PercentileLong mirror:
+      // keep at/below the interpolated threshold
+      val rank = 0.75 * (sorted.length - 1)
+      val lo = sorted(rank.toInt)
+      val hi = sorted(math.min(rank.toInt + 1, sorted.length - 1))
+      lo + (hi - lo) * (rank - rank.toInt)
+    }
+    val expect2 = raw2.filter(_._2 <= thr2).map(_._1).toSet
+    assert(pf2 == expect2 && pf2.nonEmpty)
+    assert(bad2Behavior(docs))
+  }
+
+  /** order=2 refuses a non-default vocab and an unknown order. */
+  private def bad2Behavior(docs: org.apache.spark.sql.DataFrame): Boolean = {
+    import graft.jobs.{CurationStages, StageSpec}
+    val a = try {
+      CurationStages(docs, StageSpec("perplexity_filter",
+        Map("order" -> 2.0, "vocabSize" -> 8.0))); false
+    } catch { case _: IllegalArgumentException => true }
+    val b = try {
+      CurationStages(docs, StageSpec("perplexity_filter",
+        Map("order" -> 3.0))); false
+    } catch { case _: IllegalArgumentException => true }
+    a && b
   }
 
   test("embed_near_dedup clusters by embedding similarity and keeps minimum ids") {
