@@ -28,7 +28,8 @@ object SlopeProbe {
     "q107_simhash_calibration", "q108_ivf_cell_audit", "q109_cluster_density",
     "q110_curriculum_schedule", "q111_source_dedup_cost",
     "q112_retrieval_agreement", "q114_canonical_best",
-    "q115_df_spectrum", "q116_fingerprint_profile", "q117_vocab_growth")
+    "q115_df_spectrum", "q116_fingerprint_profile", "q117_vocab_growth",
+    "q118_bigram_perplexity")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
