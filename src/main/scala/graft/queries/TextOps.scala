@@ -1050,26 +1050,38 @@ object TextOps {
       dir: String): org.apache.spark.sql.DataFrame =
     bigramPerplexityScoredFrame(Tables(s, dir, "documents"))
 
-  /** The q118 scorer over any documents-shaped frame — shared with the
-    * `perplexity_filter order=2` stage (ONE implementation).
+  /** The per-position scoring fold shared verbatim by the batch scorer
+    * (model frames joined as 1-row broadcasts) and the streaming twin
+    * (model riding as frozen literals): expects columns cls (class
+    * sequence), cb ((V+1)²-long dense bigram table), cu ((V+1)-long
+    * class counts, OOV first), total, dl. ONE string, so the fold order
+    * and parenthesization cannot fork.
     */
-  private[graft] def bigramPerplexityScoredFrame(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val s = docs.sparkSession
-    val V = PplVocab
+  private[graft] def bigramNllExpr(C: Int): String =
+    s"""-aggregate(
+       |  transform(slice(cls, 2, size(cls) - 1), (b, i) ->
+       |    ln(CAST(0.5 AS DOUBLE) * (CAST(element_at(cb, CAST(element_at(cls, i + 1) * $C + b + 1 AS INT)) AS DOUBLE)
+       |          / CAST(element_at(cu, CAST(element_at(cls, i + 1) + 1 AS INT)) AS DOUBLE))
+       |      + CAST(0.5 AS DOUBLE) * (CAST(element_at(cu, CAST(b + 1 AS INT)) AS DOUBLE)
+       |          / CAST(total AS DOUBLE)))),
+       |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / CAST(dl - 1 AS DOUBLE)""".stripMargin
+
+  /** The trained bigram model as two 1-row frames: (vw, vc, total) dims
+    * over the dl≥2 corpus, and the densified (V+1)² class-bigram count
+    * table — batch broadcasts them; the stream twin collects them into
+    * frozen literals. `f` must be the tokenized dl≥2 frame (persisted by
+    * the caller so the vocab/pair branches share one corpus read).
+    */
+  private[graft] def bigramModelFrames(f: org.apache.spark.sql.DataFrame,
+      V: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val s = f.sparkSession
     val C = V + 1
-    // the tokenized dl≥2 corpus feeds three branches (vocab, bigram
-    // counts, scoring) — q66's reuse point, same persist discipline
-    val f = tokenizedNonEmpty(docs)
-      .filter(col("dl") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = pplDimsFrom(f, V)
-    val withCls = f.crossJoin(broadcast(dims))
-      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
     // class-bigram counts, densified over the full (V+1)² key domain
     // so the scoring lookup is a plain element_at — ONE adjacent-pair
     // corpus pass, map-side combined, ≤ (V+1)² keys in the exchange
-    val kc = withCls
+    val kc = f.crossJoin(broadcast(dims))
+      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
       .select(explode(expr(
         s"transform(slice(cls, 2, size(cls) - 1), (b, i) -> element_at(cls, i + 1) * $C + b)"))
         .as("k"))
@@ -1079,17 +1091,28 @@ object TextOps {
       .select(col("k"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .agg(expr("transform(array_sort(collect_list(struct(k, cnt))), x -> x.cnt)")
         .as("cb"))
-    withCls.crossJoin(broadcast(cbt))
+    (dims, cbt)
+  }
+
+  /** The q118 scorer over any documents-shaped frame — shared with the
+    * `perplexity_filter order=2` stage (ONE implementation).
+    */
+  private[graft] def bigramPerplexityScoredFrame(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val V = PplVocab
+    val C = V + 1
+    // the tokenized dl≥2 corpus feeds three branches (vocab, bigram
+    // counts, scoring) — q66's reuse point, same persist discipline
+    val f = tokenizedNonEmpty(docs)
+      .filter(col("dl") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dims, cbt) = bigramModelFrames(f, V)
+    f.crossJoin(broadcast(dims))
+      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
+      .crossJoin(broadcast(cbt))
       .withColumn("cu",
         expr("concat(array(total - aggregate(vc, 0L, (a, x) -> a + x)), vc)"))
-      .withColumn("nll2_raw", expr(
-        s"""-aggregate(
-           |  transform(slice(cls, 2, size(cls) - 1), (b, i) ->
-           |    ln(CAST(0.5 AS DOUBLE) * (CAST(element_at(cb, CAST(element_at(cls, i + 1) * $C + b + 1 AS INT)) AS DOUBLE)
-           |          / CAST(element_at(cu, CAST(element_at(cls, i + 1) + 1 AS INT)) AS DOUBLE))
-           |      + CAST(0.5 AS DOUBLE) * (CAST(element_at(cu, CAST(b + 1 AS INT)) AS DOUBLE)
-           |          / CAST(total AS DOUBLE)))),
-           |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / CAST(dl - 1 AS DOUBLE)""".stripMargin))
+      .withColumn("nll2_raw", expr(bigramNllExpr(C)))
       .select(col("doc_id"), col("dl"), col("nll2_raw"))
   }
 

@@ -685,6 +685,28 @@ class StreamingSpec extends SparkSpec {
     graft.Caches.clearAll(spark)
   }
 
+  test("streaming bigram-perplexity flags equal batch q118 bit-for-bit") {
+    // the twin scores arriving docs against the class-bigram model
+    // frozen from the SAME corpus batch q118 trains on, through the ONE
+    // shared fold expression — every (doc, n_tokens, nll2_n6) row must
+    // be bit-identical
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_bppl")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.bigramPerplexityFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus = docs),
+      "bppl_t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = queries.TextOps.q118BigramPerplexity.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty && streamed == batch,
+      s"bigram twin diverged: ${(streamed.toSet -- batch.toSet).take(3)}")
+    graft.Caches.clearAll(spark)
+  }
+
   test("streaming contamination flags: no false negatives vs the exact overlap") {
     import graft.streaming.DocumentStreams
     import org.apache.spark.sql.graft.TextExpressions.ngram_hashes
