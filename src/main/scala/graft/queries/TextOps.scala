@@ -1050,12 +1050,12 @@ object TextOps {
       dir: String): org.apache.spark.sql.DataFrame =
     bigramPerplexityScoredFrame(Tables(s, dir, "documents"))
 
-  /** The per-position scoring fold shared verbatim by the batch scorer
-    * (model frames joined as 1-row broadcasts) and the streaming twin
-    * (model riding as frozen literals): expects columns cls (class
-    * sequence), cb ((V+1)²-long dense bigram table), cu ((V+1)-long
-    * class counts, OOV first), total, dl. ONE string, so the fold order
-    * and parenthesization cannot fork.
+  /** The q118 scoring fold as a SQL higher-order expression — since the
+    * native `bigram_nll` kernel took over the hot path (both batch and
+    * stream), this string is the REFERENCE FORMULATION the kernel is
+    * property-pinned bit-identical to (ExtensionsSpec), mirroring the
+    * DuckDB oracle's comprehension form. Expects columns cls, cb, cu,
+    * total, dl.
     */
   private[graft] def bigramNllExpr(C: Int): String =
     s"""-aggregate(
@@ -1066,54 +1066,84 @@ object TextOps {
        |          / CAST(total AS DOUBLE)))),
        |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / CAST(dl - 1 AS DOUBLE)""".stripMargin
 
-  /** The trained bigram model as two 1-row frames: (vw, vc, total) dims
-    * over the dl≥2 corpus, and the densified (V+1)² class-bigram count
-    * table — batch broadcasts them; the stream twin collects them into
-    * frozen literals. `f` must be the tokenized dl≥2 frame (persisted by
-    * the caller so the vocab/pair branches share one corpus read).
+  /** The trained bigram model COLLECTED: (vw, cu, total, cb) — V words,
+    * V+1 class counts (OOV first), the corpus total, and the dense
+    * (V+1)² bigram table. Driver-sized BY DESIGN ((V+1)² + 2(V+1)
+    * values — the PqCodebooks precedent: a model artifact must fit the
+    * plan). TWO bounded actions train it: the dims head, then the pair
+    * count against the LITERAL vocab (collecting dims first keeps the
+    * vocab subtree out of the pair job — the joined form re-executed it,
+    * q103's AQE-no-subtree-dedup lesson); the dense fill is a
+    * map-lookup transform over the (V+1)² domain, no range join. ONE
+    * derivation for batch q118, the order=2 stage, and the stream twin.
     */
-  private[graft] def bigramModelFrames(f: org.apache.spark.sql.DataFrame,
-      V: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val s = f.sparkSession
+  private[graft] def bigramModel(docs: org.apache.spark.sql.DataFrame)
+      : (Seq[String], Seq[Long], Long, Seq[Long]) = {
+    val f = tokenizedNonEmpty(docs)
+      .filter(col("dl") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try bigramModelFrom(f) finally f.unpersist(blocking = false)
+  }
+
+  /** [[bigramModel]] over an already-persisted tokenized dl≥2 frame —
+    * the batch scorer passes its own persisted frame so the model build
+    * and the scoring pass share ONE corpus read.
+    */
+  private[graft] def bigramModelFrom(f: org.apache.spark.sql.DataFrame)
+      : (Seq[String], Seq[Long], Long, Seq[Long]) = {
+    val V = PplVocab
     val C = V + 1
-    val dims = pplDimsFrom(f, V)
-    // class-bigram counts, densified over the full (V+1)² key domain
-    // so the scoring lookup is a plain element_at — ONE adjacent-pair
-    // corpus pass, map-side combined, ≤ (V+1)² keys in the exchange
-    val kc = f.crossJoin(broadcast(dims))
-      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
-      .select(explode(expr(
-        s"transform(slice(cls, 2, size(cls) - 1), (b, i) -> element_at(cls, i + 1) * $C + b)"))
-        .as("k"))
+    val dims = pplDimsFrom(f, V).head()
+    val (vw, vc, total) =
+      (dims.getSeq[String](0), dims.getSeq[Long](1), dims.getLong(2))
+    // class-bigram counts — ONE adjacent-pair corpus pass (native
+    // class_seq + class_bigram_keys kernels, codegen'd), map-side
+    // combined, ≤ (V+1)² keys in the exchange — densified in-row
+    val cb = f
+      .select(explode(org.apache.spark.sql.graft.TextExpressions
+        .class_bigram_keys(org.apache.spark.sql.graft.TextExpressions
+          .class_seq(col("t"), typedLit(vw)), C)).as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
-    val cbt = s.range((C * C).toLong).toDF("k")
-      .join(kc, Seq("k"), "left")
-      .select(col("k"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .agg(expr("transform(array_sort(collect_list(struct(k, cnt))), x -> x.cnt)")
+      .agg(expr("map_from_entries(collect_list(struct(k, cnt)))").as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${C * C - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
         .as("cb"))
-    (dims, cbt)
+      .head().getSeq[Long](0)
+    (vw, (total - vc.sum) +: vc, total, cb)
   }
 
   /** The q118 scorer over any documents-shaped frame — shared with the
-    * `perplexity_filter order=2` stage (ONE implementation).
+    * `perplexity_filter order=2` stage (ONE implementation). The model
+    * rides as LITERALS, not broadcast-joined 1-row frames: AQE does not
+    * deduplicate the dims subtree across the count and scoring branches
+    * (the q103 lesson — measured 22 jobs with the joined form vs ~10
+    * with literals), and the scoring pass becomes pure map with no join
+    * anywhere. Identical doubles either way (literal vs broadcast-column
+    * arithmetic is the same codegen — the curriculumFlags equivalence
+    * already pins the pattern).
     */
   private[graft] def bigramPerplexityScoredFrame(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val V = PplVocab
     val C = V + 1
-    // the tokenized dl≥2 corpus feeds three branches (vocab, bigram
-    // counts, scoring) — q66's reuse point, same persist discipline
+    // one persisted tokenized frame feeds the vocab action, the pair
+    // pass, and the scoring pass (q66's reuse discipline — released by
+    // the runner's Caches.clearAll)
     val f = tokenizedNonEmpty(docs)
       .filter(col("dl") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dims, cbt) = bigramModelFrames(f, V)
-    f.crossJoin(broadcast(dims))
-      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
-      .crossJoin(broadcast(cbt))
-      .withColumn("cu",
-        expr("concat(array(total - aggregate(vc, 0L, (a, x) -> a + x)), vc)"))
-      .withColumn("nll2_raw", expr(bigramNllExpr(C)))
-      .select(col("doc_id"), col("dl"), col("nll2_raw"))
+    // the model collects driver-side ([[bigramModel]]'s two bounded
+    // actions — the PqCodebooks discipline) and rides as literals; the
+    // scoring pass is then a PURE MAP over the persisted frame through
+    // the native codegen'd kernels (the interpreted HOF fold was the
+    // measured hot spot: transform/aggregate lambdas evaluate outside
+    // whole-stage codegen at ~1 µs/position)
+    val (vw, cu, _, cb) = bigramModelFrom(f)
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+    f
+      .select(col("doc_id"), col("dl"),
+        bigram_nll(class_seq(col("t"), typedLit(vw)), typedLit(cb), typedLit(cu))
+          .as("nll2_raw"))
   }
 
   /** q82's merge-round count. Each round is one aggregate over the

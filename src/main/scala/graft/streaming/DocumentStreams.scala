@@ -286,35 +286,24 @@ object DocumentStreams {
     * [[graft.queries.TextOps.bigramModelFrames]] derivation, collected
     * (≤ 289 + 2·(V+1) values, bounded by construction) and riding the
     * stream plan as literals. MAP-ONLY, no state, no shuffle: per row
-    * one class transform and the batch scorer's exact fold
-    * ([[graft.queries.TextOps.bigramNllExpr]] is the ONE string both
-    * sides evaluate), so streamed scores are BIT-IDENTICAL to batch
-    * q118 for the same text against the same model (StreamingSpec pins
-    * it). Sub-bigram docs produce no row (the model-domain rule).
+    * the SAME native codegen'd kernels the batch scorer runs
+    * (`class_seq` + `bigram_nll` — ONE fold implementation), so
+    * streamed scores are BIT-IDENTICAL to batch q118 for the same text
+    * against the same model (StreamingSpec pins it). Sub-bigram docs
+    * produce no row (the model-domain rule).
     */
   def bigramPerplexityFlags(stream: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.queries.TextOps
-    val V = TextOps.PplVocab
-    val C = V + 1
-    val f = TextOps.tokenizedNonEmpty(corpus).filter(col("dl") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dimsF, cbtF) = TextOps.bigramModelFrames(f, V)
-    val dims = dimsF.head()
-    val cb = cbtF.head().getSeq[Long](0)
-    f.unpersist(blocking = false)
-    val (vw, vc, total) =
-      (dims.getSeq[String](0), dims.getSeq[Long](1), dims.getLong(2))
-    val cu = (total - vc.sum) +: vc
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+    // the SAME collected model and the SAME native kernels the batch
+    // scorer rides (ONE derivation, ONE fold implementation)
+    val (vw, cu, _, cb) = TextOps.bigramModel(corpus)
     stream
       .select(col("doc_id"), graft.functions.TextFunctions.tokens("text").as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
       .filter(col("dl") >= 2)
-      .withColumn("vw", typedLit(vw))
-      .withColumn("cls", expr("transform(t, w -> array_position(vw, w))"))
-      .withColumn("cb", typedLit(cb))
-      .withColumn("cu", typedLit(cu))
-      .withColumn("total", lit(total))
-      .withColumn("nll2_raw", expr(TextOps.bigramNllExpr(C)))
+      .withColumn("nll2_raw",
+        bigram_nll(class_seq(col("t"), typedLit(vw)), typedLit(cb), typedLit(cu)))
       .select(col("doc_id"), col("dl").as("n_tokens"),
         floor(col("nll2_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll2_n6"))
   }

@@ -461,6 +461,79 @@ object ExprKernels {
     null
   }
 
+  /** 1-based vocab index per token, 0 when absent — semantically
+    * `transform(t, w -> array_position(vw, w))` (vocab entries are
+    * distinct, so first-occurrence vs any-occurrence cannot differ) as
+    * ONE hash-lookup pass instead of an interpreted lambda running a
+    * linear scan per token.
+    */
+  def classSeq(toks: ArrayData, words: ArrayData): ArrayData = {
+    val m = words.numElements()
+    val idx = new java.util.HashMap[UTF8String, java.lang.Long](m * 2)
+    var j = 0
+    while (j < m) {
+      idx.putIfAbsent(words.getUTF8String(j), java.lang.Long.valueOf(j + 1L))
+      j += 1
+    }
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val p = idx.get(toks.getUTF8String(i))
+      out(i) = if (p == null) 0L else p.longValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent-class pair keys `cls[i−1]·c + cls[i]` (length n−1) — the
+    * bigram-count emit as a tight loop instead of an interpreted
+    * indexed-lambda transform.
+    */
+  def classBigramKeys(cls: ArrayData, c: Int): ArrayData = {
+    val n = cls.numElements()
+    val out = new Array[Long](math.max(n - 1, 0))
+    var i = 1
+    while (i < n) {
+      out(i - 1) = cls.getLong(i - 1) * c + cls.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The interpolated bigram-LM per-doc score: the EXACT arithmetic of
+    * the SQL fold (TextOps.bigramNllExpr / the DuckDB oracle) — per
+    * position, term = 0.5·(cb[a·C+b]/cu[a]) + 0.5·(cu[b]/total) with
+    * each division performed before its 0.5 multiply, ln-summed LEFT TO
+    * RIGHT from 0.0, negated, divided by (n−1); total = Σcu (exact long
+    * — cu is [OOV, vocab...] so the sum IS the corpus token total by
+    * construction). Bit-identical to the interpreted HOF form by IEEE
+    * determinism (BigramLmSpec pins it), ~50× faster (the lambdas do
+    * not participate in codegen; this kernel does).
+    */
+  def bigramNll(cls: ArrayData, cb: ArrayData, cu: ArrayData): Double = {
+    val c = cu.numElements()
+    var total = 0L
+    var j = 0
+    while (j < c) { total += cu.getLong(j); j += 1 }
+    val totalD = total.toDouble
+    val n = cls.numElements()
+    var acc = 0.0
+    var i = 1
+    while (i < n) {
+      val a = cls.getLong(i - 1).toInt
+      val b = cls.getLong(i).toInt
+      val term = 0.5 * (cb.getLong(a * c + b).toDouble / cu.getLong(a).toDouble) +
+        0.5 * (cu.getLong(b).toDouble / totalD)
+      // StrictMath, not Math: Spark's SQL `ln` is StrictMath.log, and the
+      // intrinsic Math.log differs by an ulp on some inputs — the kernel
+      // must be bit-identical to the HOF formulation it replaces
+      acc += java.lang.StrictMath.log(term)
+      i += 1
+    }
+    -acc / (n - 1).toDouble
+  }
+
   /** (x[i] − mean[i mod mean.length]) · scale per element (see
     * VecNormalize): mean.length == channels covers the per-channel
     * `mean_value` mode on interleaved HWC data, mean.length == x.length

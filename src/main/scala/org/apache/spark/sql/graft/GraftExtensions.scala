@@ -67,6 +67,22 @@ object GraftExtensions {
       }),
     ("ws_token_count", classOf[WsTokenCount].getName,
       (c: Seq[Expression]) => WsTokenCount(c.head)),
+    ("class_seq", classOf[ClassSeq].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(toks, vocab) => ClassSeq(toks, vocab)
+        case _ => throw new IllegalArgumentException("class_seq(tokens, vocab)")
+      }),
+    ("class_bigram_keys", classOf[ClassBigramKeys].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(cls, n) => ClassBigramKeys(cls,
+          n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("class_bigram_keys(cls, c)")
+      }),
+    ("bigram_nll", classOf[BigramNll].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(cls, cb, cu) => BigramNll(cls, cb, cu)
+        case _ => throw new IllegalArgumentException("bigram_nll(cls, cb, cu)")
+      }),
     ("bpeish_token_count", classOf[BpeishTokenCount].getName,
       (c: Seq[Expression]) => BpeishTokenCount(c.head)),
     ("tokens_in_set", classOf[TokensInSet].getName,

@@ -206,6 +206,80 @@ case class BpeishTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-token 1-based vocab index (0 = OOV) — the q118 class mapping as a
+  * hash-lookup pass; see [[ExprKernels.classSeq]].
+  */
+case class ClassSeq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "class_seq"
+
+  override def nullSafeEval(toks: Any, words: Any): Any =
+    ExprKernels.classSeq(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      words.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"org.apache.spark.sql.graft.ExprKernels.classSeq($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Adjacent-class pair keys — q118's bigram-count emit; see
+  * [[ExprKernels.classBigramKeys]].
+  */
+case class ClassBigramKeys(child: Expression, c: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "class_bigram_keys"
+
+  override def nullSafeEval(cls: Any): Any =
+    ExprKernels.classBigramKeys(
+      cls.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], c)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"org.apache.spark.sql.graft.ExprKernels.classBigramKeys($x, $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The interpolated bigram-LM per-doc score — q118's scoring fold as a
+  * codegen'd kernel; see [[ExprKernels.bigramNll]].
+  */
+case class BigramNll(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bigram_nll"
+
+  override def nullSafeEval(cls: Any, cb: Any, cu: Any): Any =
+    ExprKernels.bigramNll(
+      cls.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cu.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"org.apache.spark.sql.graft.ExprKernels.bigramNll($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
@@ -239,4 +313,18 @@ object TextExpressions {
   /** Match count of the BPE-ish alternation over lowercased text. */
   def bpeish_token_count(c: Column): Column =
     ExpressionUtils.column(BpeishTokenCount(ExpressionUtils.expression(c)))
+
+  /** Per-token 1-based vocab index (0 = OOV), one hash-lookup pass. */
+  def class_seq(tokens: Column, vocab: Column): Column =
+    ExpressionUtils.column(ClassSeq(
+      ExpressionUtils.expression(tokens), ExpressionUtils.expression(vocab)))
+
+  /** Adjacent-class bigram keys cls[i−1]·c + cls[i]. */
+  def class_bigram_keys(cls: Column, c: Int): Column =
+    ExpressionUtils.column(ClassBigramKeys(ExpressionUtils.expression(cls), c))
+
+  /** Interpolated bigram-LM per-doc average −ln P (q118's fold). */
+  def bigram_nll(cls: Column, cb: Column, cu: Column): Column =
+    ExpressionUtils.column(BigramNll(ExpressionUtils.expression(cls),
+      ExpressionUtils.expression(cb), ExpressionUtils.expression(cu)))
 }

@@ -87,4 +87,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaApi.collect().map(_.getLong(0)).toSeq ==
       viaSql.collect().map(_.getLong(0)).toSeq)
   }
+
+  test("q118 kernels: class_seq / class_bigram_keys / bigram_nll equal their SQL-HOF forms bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_bigram_keys, class_seq}
+    val C = queries.TextOps.PplVocab + 1
+    val f = queries.TextOps.tokenizedNonEmpty(Tables(spark, sf, "documents"))
+      .filter(col("dl") >= 2)
+    val (vw, cu, _, cb) = queries.TextOps.bigramModel(Tables(spark, sf, "documents"))
+    val both = f
+      .withColumn("vw", typedLit(vw))
+      .withColumn("cls", class_seq(col("t"), col("vw")))
+      .withColumn("clsHof", expr("transform(t, w -> array_position(vw, w))"))
+      .withColumn("keys", class_bigram_keys(col("cls"), C))
+      .withColumn("keysHof", expr(
+        s"transform(slice(cls, 2, size(cls) - 1), (b, i) -> element_at(cls, i + 1) * $C + b)"))
+      .withColumn("cb", typedLit(cb))
+      .withColumn("cu", typedLit(cu))
+      .withColumn("total", lit(cu.sum))
+      .withColumn("nll", bigram_nll(col("cls"), col("cb"), col("cu")))
+      .withColumn("nllHof", expr(queries.TextOps.bigramNllExpr(C)))
+    val rows = both.select("cls", "clsHof", "keys", "keysHof", "nll", "nllHof").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "class_seq diverged from array_position")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "class_bigram_keys diverged from the indexed transform")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(5)),
+        s"bigram_nll not bit-identical to the HOF fold: ${r.getDouble(4)} vs ${r.getDouble(5)}")
+    }
+    // SQL registration smoke
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val q = spark.sql(
+      "SELECT bigram_nll(class_bigram_keys(class_seq(array('a','b'), array('a','b')), 3), " +
+        " array(0L,0L,0L,0L,0L,0L,0L,0L,0L), array(1L,1L,1L))").columns
+    assert(q.nonEmpty)
+    graft.Caches.clearAll(spark)
+  }
 }
