@@ -132,7 +132,8 @@ object Bench {
       () => graft.sources.IvfCentroids(spark, sfDir),
       () => graft.sources.PqCodebooks(spark, sfDir),
       () => graft.sources.BucketedEmbeddings(spark, sfDir),
-      () => graft.sources.BpeMerges(spark, sfDir)
+      () => graft.sources.BpeMerges(spark, sfDir),
+      () => graft.sources.BigramLm.model(spark, sfDir)
     ).foreach(b => try b() catch { case _: Throwable => () })
     Caches.clearAll(spark)
     // Measure in PASSES over the whole suite (run 1 of every query, then

@@ -199,6 +199,7 @@ object JobRunner {
       graft.sources.IvfCentroids(spark, dir)
       graft.sources.PqCodebooks(spark, dir)
       graft.sources.BpeMerges(spark, dir)
+      graft.sources.BigramLm.model(spark, dir)
     }
 
     if (inv.curate) {

@@ -1044,11 +1044,25 @@ object TextOps {
 
   /** q118's raw-score frame (doc_id, dl, nll2_raw) — the pre-quantization
     * scorer, exposed so QuerySpec can pin the flip-boundary margins the
-    * published ×1e6 quantization relies on (q66's discipline).
+    * published ×1e6 quantization relies on (q66's discipline). The model
+    * comes from the ingest-stamped [[graft.sources.BigramLm]] artifact
+    * (r18 close: re-training per query was the remaining per-query
+    * corpus cost — the BpeMerges posture applies), so the query is ONE
+    * map-only scoring pass; values are identical to inline training by
+    * the layout's bit-exact storage (BigramLmSpec).
     */
   private[graft] def bigramPerplexityScored(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    bigramPerplexityScoredFrame(Tables(s, dir, "documents"))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (vw, cu, _, cb) = graft.sources.BigramLm.model(s, dir)
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .filter(col("dl") >= 2)
+      .select(col("doc_id"), col("dl"),
+        bigram_nll(class_seq(col("t"), typedLit(vw)), typedLit(cb), typedLit(cu))
+          .as("nll2_raw"))
+  }
 
   /** The q118 scoring fold as a SQL higher-order expression — since the
     * native `bigram_nll` kernel took over the hot path (both batch and

@@ -481,8 +481,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       "the model must ride as literals — no join anywhere in the scoring plan")
     assert(!p.contains("Generate"), "scoring is per-row, never explode")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "the tokenized corpus must persist across the model/scoring actions")
+    // the model comes from the stamped BigramLm artifact, so the query
+    // plan is ONE corpus scan + project — no persist, no second branch
+    assert(!p.contains("InMemoryTableScan"),
+      "nothing to persist — the model trained at ingest (BigramLm layout)")
     graft.Caches.clearAll(spark)
   }
 
