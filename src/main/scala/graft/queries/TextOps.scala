@@ -841,15 +841,18 @@ object TextOps {
     * to batch by construction.
     */
   private[graft] def nllScore(frame: org.apache.spark.sql.DataFrame,
-      V: Int): org.apache.spark.sql.DataFrame = {
+      V: Int, extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     // ONE token-array pass computes all V counts (native tf_counts): the
     // previous form ran V array_remove scans — V allocations per row —
     // and was the scoring pass's hot loop. Values are identical exact
-    // longs, so the oracle keeps its V list_filter formulation.
+    // longs, so the oracle keeps its V list_filter formulation. `extra`
+    // names pre-computed per-doc columns to carry through (q119 rides
+    // its bigram score alongside so the two models score in ONE pass).
     val withTf = frame
       .withColumn("tfs", org.apache.spark.sql.graft.TextExpressions
         .tf_counts(col("t"), col("vw")))
       .select(Seq(col("doc_id"), col("dl"), col("vc"), col("total")) ++
+        extra.map(col) ++
         (1 to V).map(i => element_at(col("tfs"), i).as(s"tf_$i")): _*)
     val tfSum = (1 to V).map(i => col(s"tf_$i")).reduce(_ + _)
     val vcSum = (1 to V).map(i => element_at(col("vc"), i)).reduce(_ + _)
@@ -862,8 +865,8 @@ object TextOps {
     val oovTerm = (col("dl") - tfSum).cast("double") *
       log(greatest(col("total") - vcSum, lit(1L)).cast("double") / totalD)
     val nllRaw = (-(terms.reduce(_ + _) + oovTerm)) / col("dl").cast("double")
-    withTf.select(col("doc_id"), col("dl").as("n_tokens"),
-      (col("dl") - tfSum).as("oov"), nllRaw.as("nll_raw"))
+    withTf.select(Seq(col("doc_id"), col("dl").as("n_tokens"),
+      (col("dl") - tfSum).as("oov"), nllRaw.as("nll_raw")) ++ extra.map(col): _*)
   }
 
   /** Q66 — unigram-LM perplexity scoring + head/middle/tail bucketing
@@ -987,58 +990,130 @@ object TextOps {
     * no shuffle). Everything vocabulary-sized rides broadcasts; nothing
     * corpus-scale shuffles.
     */
-  val q118BigramPerplexity: QueryDef = {
+  /** q118's oracle scoring chain, prefixable so q119 can compose it with
+    * [[PplScoredCtes]] (which owns the unprefixed f/vc0/v/s names) in one
+    * WITH block. Ends at `${p}sc2` = (doc_id, n_tokens, nll2_n6).
+    */
+  private def BigramScoredCtes(p: String): String = {
     val V = PplVocab
     val C = V + 1
+    s"""${p}f AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+       |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
+       |  WHERE len(t) >= 2),
+       |${p}vc0 AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT unnest(t) AS word FROM ${p}f)
+       |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
+       |${p}v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
+       |             list(c ORDER BY c DESC, word) AS vcn FROM ${p}vc0),
+       |${p}s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM ${p}f),
+       |${p}cls AS (
+       |  SELECT doc_id, dl,
+       |    [coalesce(list_position(vw, w), 0) for w in t] AS cls
+       |  FROM ${p}f, ${p}v),
+       |${p}bp AS (
+       |  SELECT unnest([cls[i-1] * $C + cls[i]
+       |                 for i in range(2, len(cls)+1)]) AS k
+       |  FROM ${p}cls),
+       |${p}kc AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM ${p}bp GROUP BY k),
+       |${p}dense AS (
+       |  SELECT r.range AS k, coalesce(${p}kc.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM range(0, ${C * C}) r LEFT JOIN ${p}kc ON ${p}kc.k = r.range),
+       |${p}cbt AS (SELECT list(cnt ORDER BY k) AS cb FROM ${p}dense),
+       |${p}cut AS (
+       |  SELECT list_prepend(
+       |      total - list_reduce(list_prepend(CAST(0 AS BIGINT), vcn), (a, b) -> a + b),
+       |      vcn) AS cu, total
+       |  FROM ${p}v, ${p}s),
+       |${p}sc AS (
+       |  SELECT doc_id, dl,
+       |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [ln(CAST(0.5 AS DOUBLE) * (CAST(cb[cls[i-1] * $C + cls[i] + 1] AS DOUBLE)
+       |            / CAST(cu[cls[i-1] + 1] AS DOUBLE))
+       |        + CAST(0.5 AS DOUBLE) * (CAST(cu[cls[i] + 1] AS DOUBLE)
+       |            / CAST(total AS DOUBLE)))
+       |       for i in range(2, len(cls)+1)]),
+       |      (a, b) -> a + b) / CAST(dl - 1 AS DOUBLE) AS nll2_raw
+       |  FROM ${p}cls, ${p}cbt, ${p}cut),
+       |${p}sc2 AS (
+       |  SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       |    CAST(floor(nll2_raw * 1000000 + 0.5) AS BIGINT) AS nll2_n6
+       |  FROM ${p}sc)""".stripMargin
+  }
+
+  val q118BigramPerplexity: QueryDef = QueryDef.sql(
+    "q118_bigram_perplexity",
+    s"""WITH ${BigramScoredCtes("")}
+       |SELECT doc_id, n_tokens, nll2_n6
+       |FROM sc2
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    bigramPerplexityScored(s, dir)
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        floor(col("nll2_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll2_n6"))
+      .orderBy("doc_id")
+  }
+
+  /** Q119 — LM disagreement audit: the top-20 documents by word-order
+    * penalty, delta = bigram nll − unigram nll (both micro-quantized, so
+    * the delta is an EXACT integer — no new float compare anywhere). A
+    * doc both models dislike is junk either way; a doc the unigram model
+    * calls fluent but the bigram model rejects is the ORDER-pathology
+    * signature — shuffled text, keyword stuffing, template splices — and
+    * this table names the worst offenders, the review queue that decides
+    * between `perplexity_filter order=1` and `order=2` (exactly as q113
+    * prices min-vs-best and q112 prices fusion). Negative deltas read
+    * the other way: context makes the doc MORE predictable than its
+    * word-bag suggests (coherent prose).
+    *
+    * Plan shape at 100 TB: ONE corpus pass — the unigram dims ride the
+    * q66 broadcast, the bigram model rides the stamped BigramLm literals,
+    * and both scores compute in the same map ([[nllScore]]'s `extra`
+    * pass-through carries the bigram column) — then TakeOrdered(20).
+    * No corpus-keyed join (the naive form joins two scored corpora on
+    * doc_id; the oracle does exactly that, measured again). Unigram
+    * scores are q66's EXACTLY: the model trains on the dl ≥ 1 corpus,
+    * scoring restricts to the dl ≥ 2 docs the bigram model can see.
+    */
+  val q119LmDisagreement: QueryDef = {
+    val V = PplVocab
     QueryDef.sql(
-      "q118_bigram_perplexity",
-      s"""WITH f AS (
-         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
-         |  FROM (SELECT doc_id, $ToksSql AS t FROM documents)
-         |  WHERE len(t) >= 2),
-         |vc0 AS (
-         |  SELECT word, count(*) AS c
-         |  FROM (SELECT unnest(t) AS word FROM f)
-         |  GROUP BY word ORDER BY c DESC, word LIMIT $V),
-         |v AS (SELECT list(word ORDER BY c DESC, word) AS vw,
-         |             list(c ORDER BY c DESC, word) AS vcn FROM vc0),
-         |s AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM f),
-         |cls AS (
-         |  SELECT doc_id, dl,
-         |    [coalesce(list_position(vw, w), 0) for w in t] AS cls
-         |  FROM f, v),
-         |bp AS (
-         |  SELECT unnest([cls[i-1] * $C + cls[i]
-         |                 for i in range(2, len(cls)+1)]) AS k
-         |  FROM cls),
-         |kc AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM bp GROUP BY k),
-         |dense AS (
-         |  SELECT r.range AS k, coalesce(kc.cnt, CAST(0 AS BIGINT)) AS cnt
-         |  FROM range(0, ${C * C}) r LEFT JOIN kc ON kc.k = r.range),
-         |cbt AS (SELECT list(cnt ORDER BY k) AS cb FROM dense),
-         |cut AS (
-         |  SELECT list_prepend(
-         |      total - list_reduce(list_prepend(CAST(0 AS BIGINT), vcn), (a, b) -> a + b),
-         |      vcn) AS cu, total
-         |  FROM v, s),
-         |sc AS (
-         |  SELECT doc_id, dl,
-         |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      [ln(CAST(0.5 AS DOUBLE) * (CAST(cb[cls[i-1] * $C + cls[i] + 1] AS DOUBLE)
-         |            / CAST(cu[cls[i-1] + 1] AS DOUBLE))
-         |        + CAST(0.5 AS DOUBLE) * (CAST(cu[cls[i] + 1] AS DOUBLE)
-         |            / CAST(total AS DOUBLE)))
-         |       for i in range(2, len(cls)+1)]),
-         |      (a, b) -> a + b) / CAST(dl - 1 AS DOUBLE) AS nll2_raw
-         |  FROM cls, cbt, cut)
-         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
-         |  CAST(floor(nll2_raw * 1000000 + 0.5) AS BIGINT) AS nll2_n6
-         |FROM sc
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      bigramPerplexityScored(s, dir)
-        .select(col("doc_id"), col("dl").as("n_tokens"),
-          floor(col("nll2_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll2_n6"))
-        .orderBy("doc_id")
+      "q119_lm_disagreement",
+      s"""WITH ${PplScoredCtes(V)},
+         |${BigramScoredCtes("b")},
+         |j AS (
+         |  SELECT b.doc_id, b.n_tokens, u.nll_n6, b.nll2_n6,
+         |    b.nll2_n6 - u.nll_n6 AS delta_n6
+         |  FROM bsc2 b JOIN sc2 u ON u.doc_id = b.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY delta_n6 DESC, doc_id) AS BIGINT)
+         |    AS rank,
+         |  doc_id, n_tokens, nll_n6, nll2_n6, delta_n6
+         |FROM j
+         |ORDER BY delta_n6 DESC, doc_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+      val f1 = tokenizedNonEmpty(Tables(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dims = pplDimsFrom(f1, V)
+      val (vw2, cu2, _, cb2) = graft.sources.BigramLm.model(s, dir)
+      val both = nllScore(
+        f1.filter(col("dl") >= 2)
+          .withColumn("nll2_raw",
+            bigram_nll(class_seq(col("t"), typedLit(vw2)), typedLit(cb2),
+              typedLit(cu2)))
+          .crossJoin(broadcast(dims)),
+        V, extra = Seq("nll2_raw"))
+      val quant = both.select(col("doc_id"), col("n_tokens"),
+        floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
+        floor(col("nll2_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll2_n6"))
+        .withColumn("delta_n6", col("nll2_n6") - col("nll_n6"))
+      quant
+        .orderBy(col("delta_n6").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("delta_n6").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "n_tokens", "nll_n6", "nll2_n6", "delta_n6")
+        .orderBy("rank")
     }
   }
 
@@ -2254,5 +2329,6 @@ object TextOps {
     q61HeavyHitters, q65Bm25, q66Perplexity, q77LexicalKnn, q82BpeMerges,
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
     q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
-    q115DfSpectrum, q117VocabGrowth, q118BigramPerplexity)
+    q115DfSpectrum, q117VocabGrowth, q118BigramPerplexity,
+    q119LmDisagreement)
 }

@@ -29,7 +29,7 @@ object SlopeProbe {
     "q110_curriculum_schedule", "q111_source_dedup_cost",
     "q112_retrieval_agreement", "q114_canonical_best",
     "q115_df_spectrum", "q116_fingerprint_profile", "q117_vocab_growth",
-    "q118_bigram_perplexity")
+    "q118_bigram_perplexity", "q119_lm_disagreement")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -488,6 +488,18 @@ class PlanSpec extends SparkSpec {
     graft.Caches.clearAll(spark)
   }
 
+  test("q119: LM disagreement — both models score in ONE pass, TakeOrdered head, no corpus join") {
+    val p = planOf(queries.TextOps.q119LmDisagreement.fn(spark, sf))
+    assert(p.contains("bigram_nll") && p.contains("tf_counts"),
+      "both scorers must run native in the same map")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 head must be TakeOrdered, never a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no corpus-keyed join — the naive form joins two scored corpora on doc_id")
+    assert(!p.contains("CartesianProduct"))
+    graft.Caches.clearAll(spark)
+  }
+
   test("q99: packing audit is q50's shard window + one partial-agg'd group — no join, no explode") {
     val p = planOf(queries.PipelineOps.q99PackingAudit.fn(spark, sf))
     assert(p.contains("Window"), "cum_tok must ride q50's shard-partitioned window")
@@ -749,6 +761,7 @@ class PlanSpec extends SparkSpec {
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
       "q117_vocab_growth", // 1-row doc_id-quartile thresholds onto the vocab-sized layout scan
+      "q119_lm_disagreement", // 1-row unigram dims onto the dual-scoring pass (bigram model is literals)
       "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap
                                   // (+ q73's 1-row query-vector broadcast)
       // (q102 left the list in r18: its corpus count rides as a
