@@ -15,7 +15,20 @@ object Caches {
   def clearAll(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // driver-memo hygiene: entries of STOPPED sessions can never be read
+    // again — purge them here so the hook every runner already calls keeps
+    // a long-lived embedder leak-free. Live-session memos (model artifacts,
+    // layout handles) are deliberately kept: evicting those per query would
+    // re-pay a parquet head() per touch, the cost the memos exist to avoid.
+    graft.sources.SessionMemo.purgeStopped()
   }
+
+  /** Session-close hook for embedders: drop every driver memo keyed by
+    * `spark` (model artifacts, layout/plan handles — [[graft.sources.SessionMemo]]).
+    * Call before `spark.stop()` when sessions churn in one JVM.
+    */
+  def evictSession(spark: SparkSession): Unit =
+    graft.sources.SessionMemo.evictSession(spark)
 
   /** Snapshot of the currently-persisted RDD ids — take one before a job,
     * pass it to [[clearCreatedSince]] after.

@@ -20,8 +20,8 @@ object Tables {
   // the directory and re-read parquet footers on every query — measurable
   // when a bench run plans 38 queries back to back. Keyed per session so
   // Verify/Bench/test sessions don't cross.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cache = graft.sources.SessionMemo.track(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame])(_._1)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), load(spark, dir, name))

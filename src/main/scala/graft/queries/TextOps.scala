@@ -1030,8 +1030,8 @@ object TextOps {
        |  SELECT doc_id, dl,
        |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [ln(CAST(0.5 AS DOUBLE) * (CAST(cb[cls[i-1] * $C + cls[i] + 1] AS DOUBLE)
-       |            / CAST(cu[cls[i-1] + 1] AS DOUBLE))
-       |        + CAST(0.5 AS DOUBLE) * (CAST(cu[cls[i] + 1] AS DOUBLE)
+       |            / CAST(greatest(cu[cls[i-1] + 1], CAST(1 AS BIGINT)) AS DOUBLE))
+       |        + CAST(0.5 AS DOUBLE) * (CAST(greatest(cu[cls[i] + 1], CAST(1 AS BIGINT)) AS DOUBLE)
        |            / CAST(total AS DOUBLE)))
        |       for i in range(2, len(cls)+1)]),
        |      (a, b) -> a + b) / CAST(dl - 1 AS DOUBLE) AS nll2_raw
@@ -1150,8 +1150,8 @@ object TextOps {
     s"""-aggregate(
        |  transform(slice(cls, 2, size(cls) - 1), (b, i) ->
        |    ln(CAST(0.5 AS DOUBLE) * (CAST(element_at(cb, CAST(element_at(cls, i + 1) * $C + b + 1 AS INT)) AS DOUBLE)
-       |          / CAST(element_at(cu, CAST(element_at(cls, i + 1) + 1 AS INT)) AS DOUBLE))
-       |      + CAST(0.5 AS DOUBLE) * (CAST(element_at(cu, CAST(b + 1 AS INT)) AS DOUBLE)
+       |          / CAST(greatest(element_at(cu, CAST(element_at(cls, i + 1) + 1 AS INT)), 1L) AS DOUBLE))
+       |      + CAST(0.5 AS DOUBLE) * (CAST(greatest(element_at(cu, CAST(b + 1 AS INT)), 1L) AS DOUBLE)
        |          / CAST(total AS DOUBLE)))),
        |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / CAST(dl - 1 AS DOUBLE)""".stripMargin
 

@@ -37,8 +37,11 @@ object BigramLm {
     DerivedLayout.layoutPath("bigramlm", versionTag, dir,
       Seq(s"$dir/documents.parquet"))
 
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Seq[String], Seq[Long], Long, Seq[Long])]
+  // tracked: superseded-stamp entries (a re-ingested corpus's old model —
+  // (V+1)² longs each) are evicted on insert, and session close drops the
+  // rest (SessionMemo — the r18 ADVICE slow-leak finding)
+  private val cache = SessionMemo.track(scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[String], Seq[Long], Long, Seq[Long])])(_._1)
 
   /** The corpus's trained model (vw, cu, total, cb), built at ingest and
     * memoized per session.
@@ -46,7 +49,7 @@ object BigramLm {
   def model(spark: SparkSession, dir: String)
       : (Seq[String], Seq[Long], Long, Seq[Long]) = {
     val target = layoutPath(dir)
-    cache.getOrElseUpdate((spark, target), {
+    SessionMemo.cachedStamped(cache, spark, target)({
       val df = DerivedLayout(spark, target) { tmp =>
         import spark.implicits._
         val (vw, cu, _, cb) = graft.queries.TextOps

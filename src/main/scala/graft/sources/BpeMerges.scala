@@ -29,8 +29,8 @@ object BpeMerges {
 
   // collected-table memo, IvfCentroids' discipline: (session, stamped
   // path) keys make staleness impossible
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Table]
+  private val cache = SessionMemo.track(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Table])(_._1)
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("bpe", Version, dir, Seq(s"$dir/documents.parquet"))
@@ -40,7 +40,7 @@ object BpeMerges {
     */
   def apply(spark: SparkSession, dir: String): Table = {
     val target = layoutPath(dir)
-    cache.getOrElseUpdate((spark, target), {
+    SessionMemo.cachedStamped(cache, spark, target)({
       val df = DerivedLayout(spark, target) { tmp =>
         spark.createDataFrame(graft.queries.TextOps.learnBpeMerges(spark, dir))
           .toDF("r", "left_sym", "right_sym", "merged", "cnt")

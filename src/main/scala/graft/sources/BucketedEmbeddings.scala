@@ -51,17 +51,27 @@ object BucketedEmbeddings {
     * this is that move under the stamp discipline). Lands at the same
     * stamped path a full rebuild would — consumers can't observe the
     * build path; DerivedRefreshSpec pins row-set equality with a rebuild.
+    * The append-only precondition is PROBED ([[DerivedLayout.appendOnly]]
+    * over vec_id): a dropped/rewritten old vector would ride along as a
+    * ghost row, so that case falls back to the full rebuild.
     */
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
-      val old = apply(spark, oldDir)
-      val delta = graft.Tables(spark, newDir, "embeddings")
-        .join(old.select("vec_id"), Seq("vec_id"), "left_anti")
-        .withColumn("bucket", graft.queries.VectorOps.lshBucket)
-        // read-back partition values are INT; match before the union
-        .withColumn("bucket", col("bucket").cast("int"))
-      old.unionByName(delta.select(old.columns.map(col): _*))
-        .repartition(col("bucket"))
+      val out =
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "embeddings", "vec_id"))
+          graft.Tables(spark, newDir, "embeddings")
+            .withColumn("bucket",
+              graft.queries.VectorOps.lshBucket.cast("int"))
+        else {
+          val old = apply(spark, oldDir)
+          val delta = graft.Tables(spark, newDir, "embeddings")
+            .join(old.select("vec_id"), Seq("vec_id"), "left_anti")
+            .withColumn("bucket", graft.queries.VectorOps.lshBucket)
+            // read-back partition values are INT; match before the union
+            .withColumn("bucket", col("bucket").cast("int"))
+          old.unionByName(delta.select(old.columns.map(col): _*))
+        }
+      out.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
 }

@@ -27,8 +27,8 @@ object CorpusStats {
   // collected-count memo, keyed on the fingerprinted layout path like
   // IvfCentroids' table cache — staleness impossible, zero jobs after
   // first touch
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private val cache = SessionMemo.track(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long])(_._1)
 
   def layoutPath(dir: String, table: String): String =
     DerivedLayout.layoutPath(s"stats-$table", Version, dir,
@@ -40,7 +40,7 @@ object CorpusStats {
   def rowCount(spark: SparkSession, dir: String,
       table: String = "embeddings"): Long = {
     val target = layoutPath(dir, table)
-    cache.getOrElseUpdate((spark, target), {
+    SessionMemo.cachedStamped(cache, spark, target)({
       val df = DerivedLayout(spark, target) { tmp =>
         import spark.implicits._
         val n = graft.Tables(spark, dir, table).count()

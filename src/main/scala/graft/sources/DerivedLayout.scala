@@ -29,9 +29,10 @@ object DerivedLayout {
 
   // Keyed on the layout path, not the raw source dir: the path encodes the
   // source fingerprint, so a regenerated source at the same dir gets a fresh
-  // cache entry along with its fresh layout.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // cache entry along with its fresh layout. Tracked by SessionMemo for
+  // stamp-supersession and session-close eviction.
+  private val cache = SessionMemo.track(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])(_._1)
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -59,8 +60,24 @@ object DerivedLayout {
     * into place. Cached per session so repeated loads skip the footer read.
     */
   def apply(spark: SparkSession, target: String)(build: String => Unit): DataFrame =
-    cache.getOrElseUpdate((spark, target),
+    SessionMemo.cachedStamped(cache, spark, target)(
       synchronized { getOrBuild(spark, target, build) })
+
+  /** The append-only precondition every delta-merge refresh assumes,
+    * PROBED instead of trusted (the [[ClusterAssignment]] exactness-guard
+    * discipline): true iff every old-table key survives into the new
+    * table. A dropped or rewritten old row breaks the disjoint-delta
+    * algebra — the left-anti delta misses it and the merged layout keeps
+    * stale rows (overcounted df, ghost fingerprints) under a valid stamp
+    * — so callers fall back to a full rebuild when this returns false.
+    * Cost: one take(1) over a key anti-join, trivial next to the merge
+    * it guards.
+    */
+  private[graft] def appendOnly(spark: SparkSession, newDir: String,
+      oldDir: String, table: String, key: String): Boolean =
+    graft.Tables(spark, oldDir, table).select(key)
+      .join(graft.Tables(spark, newDir, table).select(key), Seq(key), "left_anti")
+      .take(1).isEmpty
 
   private def getOrBuild(spark: SparkSession, target: String,
       build: String => Unit): DataFrame = {

@@ -71,14 +71,22 @@ object DocFingerprints {
   /** Build the NEW corpus dir's stamped layout from the OLD dir's plus
     * the doc_id-anti-join delta — the [[ShinglePostings.refreshed]]
     * discipline: same stamped path a rebuild would land, consumers
-    * cannot tell which path ran.
+    * cannot tell which path ran. The append-only precondition is PROBED
+    * ([[DerivedLayout.appendOnly]]): a dropped/rewritten old doc would
+    * leave its ghost fingerprints in the union, so that case falls back
+    * to the full rebuild (DerivedRefreshSpec's dropped-doc case).
     */
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
-      val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
-      val delta = graft.Tables(spark, newDir, "documents")
-        .join(oldDocs, Seq("doc_id"), "left_anti")
-      refreshFrom(apply(spark, oldDir), delta)
-        .write.mode("overwrite").parquet(tmp)
+      val out =
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+          fpsFrame(graft.Tables(spark, newDir, "documents"))
+        else {
+          val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
+          val delta = graft.Tables(spark, newDir, "documents")
+            .join(oldDocs, Seq("doc_id"), "left_anti")
+          refreshFrom(apply(spark, oldDir), delta)
+        }
+      out.write.mode("overwrite").parquet(tmp)
     }
 }

@@ -43,8 +43,8 @@ object IvfCentroids {
   // collected-table memo: the layout read is a tiny job, but q53 alone
   // loads the codebook on every bench run — (session, fingerprinted path)
   // keys make staleness impossible, like Tables' plan cache
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), ((Table, Table), (Table, Table))]
+  private val cache = SessionMemo.track(scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), ((Table, Table), (Table, Table))])(_._1)
 
   def layoutPath(dir: String): String =
     DerivedLayout.layoutPath("cent", Version, dir, Seq(s"$dir/embeddings.parquet"))
@@ -77,7 +77,7 @@ object IvfCentroids {
   private def load(spark: SparkSession, dir: String)
       : ((Table, Table), (Table, Table)) = {
     val target = layoutPath(dir)
-    cache.getOrElseUpdate((spark, target), {
+    SessionMemo.cachedStamped(cache, spark, target)({
       import graft.ml.KMeans
       val df = DerivedLayout(spark, target) { tmp =>
         val emb = graft.Tables(spark, dir, "embeddings")

@@ -55,8 +55,8 @@ object PqCodebooks {
   /** Per subspace: (code label, 8-dim centroid), sorted by label. */
   type SubTable = Seq[Seq[(Long, Seq[Double])]]
 
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), SubTable]
+  private val cache = SessionMemo.track(scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), SubTable])(_._1)
 
   // ---- shared encode / ADC builders -------------------------------------
   // ONE definition of the packing and tie-break rules for every consumer
@@ -171,7 +171,7 @@ object PqCodebooks {
 
   def apply(spark: SparkSession, dir: String): SubTable = {
     val target = layoutPath(dir)
-    cache.getOrElseUpdate((spark, target), {
+    SessionMemo.cachedStamped(cache, spark, target)({
       import org.apache.spark.sql.graft.SumExpressions.{decimal9_nanos, sum128Nanos}
       val df = DerivedLayout(spark, target) { tmp =>
         val emb = graft.Tables(spark, dir, "embeddings")

@@ -105,14 +105,21 @@ object ShinglePostings {
     * corpus dir's layout plus the doc_id-anti-join delta — skipping the
     * re-shingling of every pre-existing document, the dominant cost of a
     * full rebuild. Returns the (stamped) new layout; if it already
-    * exists, this is just a read.
+    * exists, this is just a read. The append-only caller contract is
+    * PROBED ([[DerivedLayout.appendOnly]]): a dropped/rewritten old doc
+    * falls back to the cold build over the new corpus's fingerprints.
     */
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
-      val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
-      val delta = graft.Tables(spark, newDir, "documents")
-        .join(oldDocs, Seq("doc_id"), "left_anti")
-      refreshFrom(apply(spark, oldDir), delta)
-        .write.mode("overwrite").parquet(tmp)
+      val out =
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+          graft.queries.TextOps.postingsFromFps(DocFingerprints(spark, newDir))
+        else {
+          val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
+          val delta = graft.Tables(spark, newDir, "documents")
+            .join(oldDocs, Seq("doc_id"), "left_anti")
+          refreshFrom(apply(spark, oldDir), delta)
+        }
+      out.write.mode("overwrite").parquet(tmp)
     }
 }

@@ -60,14 +60,23 @@ object TermStats {
 
   /** Build the NEW corpus dir's stamped layout from the OLD dir's plus
     * the doc_id-anti-join delta ([[ShinglePostings.refreshed]]'s
-    * contract: same stamped path a rebuild would land).
+    * contract: same stamped path a rebuild would land). The append-only
+    * precondition is PROBED, not trusted ([[DerivedLayout.appendOnly]]):
+    * a dropped/rewritten old doc falls back to the full rebuild — the
+    * [[ClusterAssignment]] guard pattern, pinned by DerivedRefreshSpec's
+    * dropped-doc case.
     */
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
-      val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
-      val delta = graft.Tables(spark, newDir, "documents")
-        .join(oldDocs, Seq("doc_id"), "left_anti")
-      refreshFrom(apply(spark, oldDir), delta)
-        .write.mode("overwrite").parquet(tmp)
+      val out =
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+          graft.queries.TextOps.termDfFrame(graft.Tables(spark, newDir, "documents"))
+        else {
+          val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")
+          val delta = graft.Tables(spark, newDir, "documents")
+            .join(oldDocs, Seq("doc_id"), "left_anti")
+          refreshFrom(apply(spark, oldDir), delta)
+        }
+      out.write.mode("overwrite").parquet(tmp)
     }
 }

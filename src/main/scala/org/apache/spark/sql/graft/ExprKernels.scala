@@ -510,6 +510,17 @@ object ExprKernels {
     * construction). Bit-identical to the interpreted HOF form by IEEE
     * determinism (BigramLmSpec pins it), ~50× faster (the lambdas do
     * not participate in codegen; this kernel does).
+    *
+    * Zero-count classes are guarded with the unigram path's
+    * `greatest(·, 1)` discipline: when the model trained on a corpus
+    * with no OOV tokens (cu[0] == 0) but a FROZEN-model consumer (stream
+    * twin, a stamped [[graft.sources.BigramLm]] scoring a refreshed doc
+    * set) meets an OOV prefix, the unguarded form computed 0.0/0.0 = NaN
+    * and quantized silently. Same-corpus scoring can never index a
+    * zero-count class (every class at a scored position occurred in
+    * training), so the floors are arithmetic no-ops there and batch
+    * bit-identity is untouched; both mirrors (bigramNllExpr, the DuckDB
+    * CTE) carry the identical greatest() so the pin still holds.
     */
   def bigramNll(cls: ArrayData, cb: ArrayData, cu: ArrayData): Double = {
     val c = cu.numElements()
@@ -523,8 +534,11 @@ object ExprKernels {
     while (i < n) {
       val a = cls.getLong(i - 1).toInt
       val b = cls.getLong(i).toInt
-      val term = 0.5 * (cb.getLong(a * c + b).toDouble / cu.getLong(a).toDouble) +
-        0.5 * (cu.getLong(b).toDouble / totalD)
+      val cua = cu.getLong(a)
+      val cub = cu.getLong(b)
+      val term = 0.5 * (cb.getLong(a * c + b).toDouble /
+          (if (cua > 0L) cua else 1L).toDouble) +
+        0.5 * ((if (cub > 0L) cub else 1L).toDouble / totalD)
       // StrictMath, not Math: Spark's SQL `ln` is StrictMath.log, and the
       // intrinsic Math.log differs by an ulp on some inputs — the kernel
       // must be bit-identical to the HOF formulation it replaces

@@ -310,6 +310,45 @@ class DerivedRefreshSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("a dropped old doc fails the append-only probe and routes refreshed() to a full rebuild") {
+    // "new" corpus that VIOLATES the append-only contract: doc 100 is
+    // gone, doc 3000 is added. The left-anti delta cannot see the drop,
+    // so an unguarded merge would keep doc 100's ghost rows (overcounted
+    // df, stale fingerprints) under a valid stamp — the r18 ADVICE
+    // finding. The probe must catch it and serve rebuild-exact layouts.
+    val badDocs = v1Docs.filterNot(_._1 == 100L) :+
+      docRow(3000L, "entirely fresh appended text with new tokens only")
+    val bad = writeCorpus(badDocs, "dropped")
+    assert(sources.DerivedLayout.appendOnly(spark, v2Dir, v1Dir, "documents", "doc_id"),
+      "true append must pass the probe")
+    assert(!sources.DerivedLayout.appendOnly(spark, bad, v1Dir, "documents", "doc_id"),
+      "a dropped doc must fail the probe")
+
+    def keyedDf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tsGot = keyedDf(sources.TermStats.refreshed(spark, bad, v1Dir))
+    val tsExpect = keyedDf(queries.TextOps.termDfFrame(Tables(spark, bad, "documents")))
+    assert(tsGot == tsExpect,
+      "TermStats.refreshed must rebuild (no ghost df) when the corpus dropped a doc")
+
+    val fpGot = sources.DocFingerprints.refreshed(spark, bad, v1Dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fpExpect = sources.DocFingerprints.fpsFrame(Tables(spark, bad, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fpGot == fpExpect && !fpGot.contains(100L),
+      "DocFingerprints.refreshed must rebuild (no ghost doc) when the corpus dropped a doc")
+
+    val pGot = keyedLists(sources.ShinglePostings.refreshed(spark, bad, v1Dir))
+    val pExpect = keyedLists(queries.TextOps
+      .postingsFrame(Tables(spark, bad, "documents")))
+    assert(pGot.keySet == pExpect.keySet,
+      "ShinglePostings.refreshed must rebuild when the corpus dropped a doc")
+    pExpect.foreach { case (fp, ds) =>
+      if (ds.length <= cap) assert(pGot(fp) == ds)
+      else assert(pGot(fp).length > cap)
+    }
+  }
+
   test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
     // v1 = first 400 embeddings, v2 = all: construct append-only dirs
     val emb = Tables(spark, sf, "embeddings")

@@ -124,4 +124,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(q.nonEmpty)
     graft.Caches.clearAll(spark)
   }
+
+  test("bigram_nll OOV-class guard: a frozen model with cu[0]=0 scores a foreign OOV doc finite, matching the HOF form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.TextExpressions.bigram_nll
+    import spark.implicits._
+    // model trained on a corpus whose top-V vocab covered EVERYTHING:
+    // cu = [0 (no OOV seen), 3, 2] over vocab (a, b); cb counts a→b etc.
+    val C = 3
+    val cu = Seq(0L, 3L, 2L)
+    val cb = Seq(0L, 0L, 0L, 0L, 1L, 2L, 0L, 2L, 0L)
+    // foreign doc: 'z' is OOV (class 0) — the unguarded form hit
+    // cb[0*C+1]/cu[0] = 0/0 = NaN at the z→a transition
+    val cls = Seq(0L, 1L, 2L) // z a b
+    val viaKernel = Seq(Tuple1(cls)).toDF("cls")
+      .select(bigram_nll(col("cls"), typedLit(cb), typedLit(cu)).as("nll"))
+      .head().getDouble(0)
+    assert(!viaKernel.isNaN && !viaKernel.isInfinite,
+      s"guarded kernel must stay finite on OOV prefix, got $viaKernel")
+    val viaHof = Seq((cls, cb, cu, cu.sum, cls.length.toLong))
+      .toDF("cls", "cb", "cu", "total", "dl")
+      .selectExpr(s"(${queries.TextOps.bigramNllExpr(C)}) AS nll")
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaKernel) ==
+      java.lang.Double.doubleToLongBits(viaHof),
+      s"guarded kernel diverged from guarded HOF: $viaKernel vs $viaHof")
+    // hand-computed: term(0→1) = 0.5*(cb[1]/max(cu[0],1)) + 0.5*(cu[1]/5)
+    //              = 0.5*0/1 + 0.5*3/5 = 0.3
+    // term(1→2) = 0.5*(cb[1*3+2]/cu[1]) + 0.5*(cu[2]/5) = 0.5*2/3 + 0.5*2/5
+    val expected = -(StrictMath.log(0.5 * (0.0 / 1.0) + 0.5 * (3.0 / 5.0)) +
+      StrictMath.log(0.5 * (2.0 / 3.0) + 0.5 * (2.0 / 5.0))) / 2.0
+    assert(java.lang.Double.doubleToLongBits(viaKernel) ==
+      java.lang.Double.doubleToLongBits(expected))
+  }
 }
