@@ -29,4 +29,22 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  // ---- py4j-friendly accessors (python/graft.py) --------------------------
+  // Scala Maps and function values don't cross the py4j bridge cleanly;
+  // these flat signatures do (the reference exposes its Scala core to
+  // CaffeOnSpark.py the same way — plain methods returning DataFrames,
+  // caffe-grid/src/main/python/com/yahoo/ml/caffe/CaffeOnSpark.py:28-63).
+
+  /** Registered query names, sorted (Java array → Python list). */
+  def queryNames: Array[String] = queries.keys.toArray.sorted
+
+  /** Run one registered query against an sf dir. */
+  def runQuery(spark: SparkSession, name: String, dir: String): DataFrame =
+    queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; see queryNames")) (spark, dir)
+
+  /** The query's DuckDB oracle SQL, or "" when rows-only checked. */
+  def oracleFor(name: String): String = oracleSql.getOrElse(name, "")
 }

@@ -463,22 +463,21 @@ object CurationStages {
     // back — no global sort, q110's exact shape). Docs the scorer cannot
     // score (no tokens) carry a null phase — unscorable is not phase 0.
     case "curriculum_order" =>
-      import org.apache.spark.sql.graft.PercentileLong.percentile_long
       val vocab = stage.int("vocabSize", graft.queries.TextOps.PplVocab)
-      val scored = graft.queries.TextOps.perplexityScored(docs, vocab)
-        .select(col("doc_id"),
-          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
-      val thr = scored.agg(
-        percentile_long(col("nll_n3"), 0.25).as("p25"),
-        percentile_long(col("nll_n3"), 0.5).as("p50"),
-        percentile_long(col("nll_n3"), 0.75).as("p75"))
-      val phases = scored.crossJoin(broadcast(thr))
-        .select(col("doc_id"),
-          when(col("nll_n3") <= col("p25"), 0L)
-            .when(col("nll_n3") <= col("p50"), 1L)
-            .when(col("nll_n3") <= col("p75"), 2L)
-            .otherwise(3L).as("phase"))
-      docs.join(phases, Seq("doc_id"), "left")
+      // the ONE derivation + scorer tail shared with q110 and the stream
+      // twin (TextOps.curriculumModel / curriculumScoredFrame) — trained
+      // on the FLOWING frame (stage semantics: the curriculum is over
+      // what survived upstream curation, not the raw corpus). The model
+      // collects at composition time (importance_resample's documented
+      // side-effect pattern), so the flow persists under a marker column
+      // for the stage's three reads — see the __dsir_flow note below for
+      // why the marker is load-bearing.
+      val cflow = docs.withColumn("__cur_flow", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = graft.queries.TextOps.curriculumModel(cflow, vocab)
+      val phases = graft.queries.TextOps.curriculumScoredFrame(cflow, m, vocab)
+        .select("doc_id", "phase")
+      cflow.join(phases, Seq("doc_id"), "left").drop("__cur_flow")
 
     // q49's consistent-hash gate with a declared per-language rate table
     case "stratified_sample" =>

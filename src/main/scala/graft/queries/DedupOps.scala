@@ -730,14 +730,27 @@ object DedupOps {
     * Plan shape: q31's candidate machinery (banded, never all-pairs)
     * plus one ≤17-row map-side-combined group — the meter costs one
     * signature zip per CANDIDATE, not per pair of documents.
+    *
+    * SAMPLING (r19): like q107, the meter keeps every banded candidate
+    * with no verify gate, so its candidate volume carries whatever the
+    * corpus's true-similarity mass is — docs gate on
+    * `fingerprint(doc_id) % [[calibSigMod]](N) = 0` (q89's membership
+    * rule — the rolling hash scatters any id distribution), 1 at every
+    * test SF, thinning candidates ~1/mod² beyond. Mirrored in the
+    * oracle's `smod` CTE; per-bucket means unbiased.
     */
   val q100MinhashCalibration: QueryDef = QueryDef.sql(
     "q100_minhash_calibration",
-    s"""WITH sh AS (
+    s"""WITH smod AS (
+       |  SELECT greatest(1, (count(*) + ${CalibSigTarget - 1}) // $CalibSigTarget) AS m
+       |  FROM documents),
+       |sh AS (
        |  SELECT DISTINCT doc_id, ${FingerprintSql("s")} AS fp
        |  FROM (SELECT doc_id, $WordBigramsOverT AS bg
        |        FROM (SELECT doc_id, $ToksSql AS t FROM documents)) x, unnest(x.bg) AS u(s)),
-       |fps AS (SELECT doc_id, list(fp ORDER BY fp) AS fps FROM sh GROUP BY doc_id),
+       |fps0 AS (SELECT doc_id, list(fp ORDER BY fp) AS fps FROM sh GROUP BY doc_id),
+       |fps AS (SELECT fps0.* FROM fps0, smod
+       |        WHERE ${FingerprintSql("CAST(doc_id AS VARCHAR)")} % smod.m = 0),
        |sig AS (
        |  SELECT doc_id,
        |    [list_min([($ADuck[j] * fp + $BDuck[j]) % $P for fp in fps])
@@ -778,7 +791,11 @@ object DedupOps {
     // from the layout by construction (its q100-rule filter), so for any
     // surviving pair szsum − inter ≥ max(|a|,|b|) ≥ 1 — the union
     // denominator below cannot be zero.
+    val mcal = calibSigMod(
+      graft.sources.CorpusStats.rowCount(s, dir, "documents"))
     val fps = graft.sources.DocFingerprints(s, dir)
+      .filter(graft.functions.TextFunctions
+        .fingerprint("cast(doc_id as string)") % mcal === 0)
     val sig = fps.select(col("doc_id"),
       org.apache.spark.sql.graft.SketchExpressions
         .minhash_signature(col("fps"), hashA, hashB, P).as("sig"))
@@ -946,10 +963,38 @@ object DedupOps {
     * unigram hashes) but carry no bigram set; both engines drop them at
     * the fps join (Spark: the explicit size > 0 guard; DuckDB: unnest
     * never produces them), q100's degenerate-input rule.
+    *
+    * SAMPLING (r19, the scale canary's one super-linear catch): unlike
+    * the verify-gated q39, this meter keeps EVERY banded candidate, and
+    * SimHash banding gives no geometric candidate bound — on a
+    * self-similar corpus the candidate volume is Θ(N²) (measured 63×
+    * wall at 10× corpus, output flat — tools/ScaleCanary). A meter earns
+    * its keep by SAMPLING (q89's rule): signatures gate on
+    * `simhash % [[calibSigMod]](N) = 0` — [[calibSigMod]] is 1 at every
+    * test SF (results bit-identical, the q89 floor discipline) and grows
+    * with N so sampled candidates stay ~bounded (cross-signature pairs
+    * thin by 1/mod², the dominant term). Signature-uniform membership,
+    * mirrored verbatim in the oracle's `smod` CTE; per-bucket jaccard
+    * means stay unbiased (inclusion is independent of the pair's
+    * similarity). The hamming-0 bucket samples at 1/mod (one signature
+    * decides), the rest at 1/mod² — cross-bucket n_pairs comparisons at
+    * mod > 1 read per-bucket, as any sampled meter's do.
     */
+  /** The calibration meters' signature-sample target: [[calibSigMod]]
+    * stays 1 for any corpus up to this many docs (every test SF —
+    * results unchanged) and thereafter thins candidates ~quadratically
+    * (the q89 floor discipline applied to the pair-generating side).
+    */
+  private[graft] val CalibSigTarget = 5000L
+  private[graft] def calibSigMod(n: Long): Long =
+    math.max(1L, (n + CalibSigTarget - 1) / CalibSigTarget)
+
   val q107SimhashCalibration: QueryDef = QueryDef.sql(
     "q107_simhash_calibration",
-    s"""WITH sig AS (
+    s"""WITH smod AS (
+       |  SELECT greatest(1, (count(*) + ${CalibSigTarget - 1}) // $CalibSigTarget) AS m
+       |  FROM documents),
+       |sig0 AS (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(0::BIGINT,
        |      [CASE WHEN list_sum([((th >> j) & 1)*2 - 1 for th in ths]) > 0
@@ -957,6 +1002,7 @@ object DedupOps {
        |      (a, b) -> a + b) AS simhash
        |  FROM (SELECT doc_id, [${FingerprintSql("t0")} for t0 in $ToksSql] AS ths
        |        FROM documents)),
+       |sig AS (SELECT sig0.* FROM sig0, smod WHERE sig0.simhash % smod.m = 0),
        |bands AS (
        |  SELECT doc_id, simhash, cid AS band, ${bhExpr(duckAt, duckShr, "cid+1")} AS bh
        |  FROM sig, unnest(range(0, 20)) AS t(cid)),
@@ -986,8 +1032,13 @@ object DedupOps {
        |ORDER BY 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
     val docs = Tables(s, dir, "documents")
+    // N is the ingest-time CorpusStats fact (q108's rule); the modulus is
+    // 1 at test SFs — the filter is then pass-through, same plan shape
+    val mcal = calibSigMod(
+      graft.sources.CorpusStats.rowCount(s, dir, "documents"))
     val sig = docs
       .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
+      .filter(pmod(col("simhash"), lit(mcal)) === 0)
     val clusters = sig.groupBy("simhash")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

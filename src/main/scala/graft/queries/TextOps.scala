@@ -1176,11 +1176,12 @@ object TextOps {
 
   /** [[bigramModel]] over an already-persisted tokenized dl≥2 frame —
     * the batch scorer passes its own persisted frame so the model build
-    * and the scoring pass share ONE corpus read.
+    * and the scoring pass share ONE corpus read. V is a parameter so the
+    * broadcast-form equivalence spec can exercise a larger vocabulary
+    * (the literal-ceiling rule on [[bigramPerplexityScoredFrame]]).
     */
-  private[graft] def bigramModelFrom(f: org.apache.spark.sql.DataFrame)
-      : (Seq[String], Seq[Long], Long, Seq[Long]) = {
-    val V = PplVocab
+  private[graft] def bigramModelFrom(f: org.apache.spark.sql.DataFrame,
+      V: Int = PplVocab): (Seq[String], Seq[Long], Long, Seq[Long]) = {
     val C = V + 1
     val dims = pplDimsFrom(f, V).head()
     val (vw, vc, total) =
@@ -1210,6 +1211,16 @@ object TextOps {
     * anywhere. Identical doubles either way (literal vs broadcast-column
     * arithmetic is the same codegen — the curriculumFlags equivalence
     * already pins the pattern).
+    *
+    * LITERAL CEILING (the q103 lesson in reverse): the dense table is
+    * (V+1)² longs riding inside the serialized plan of every task. At
+    * the fixed V=16 that is 289 longs (~2 KB) — free. The rule of thumb
+    * is ~1M entries (V ≈ 1000, ~8 MB of plan): above it the per-task
+    * plan shipping and driver planning costs dominate and the model must
+    * ride as a BROADCAST 1-row frame instead —
+    * [[bigramScoredBroadcast]] is that form, bit-identical by the shared
+    * kernel (BigramLmSpec pins literal ≡ broadcast at V=24), at the cost
+    * of one broadcast exchange in the plan.
     */
   private[graft] def bigramPerplexityScoredFrame(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -1232,6 +1243,31 @@ object TextOps {
     f
       .select(col("doc_id"), col("dl"),
         bigram_nll(class_seq(col("t"), typedLit(vw)), typedLit(cb), typedLit(cu))
+          .as("nll2_raw"))
+  }
+
+  /** The q118 scorer with the model riding as a BROADCAST 1-row frame —
+    * the form [[bigramPerplexityScoredFrame]]'s literal path must switch
+    * to above its documented V ceiling ((V+1)² ≳ 1M entries): the dense
+    * table crosses the cluster once as a broadcast variable instead of
+    * re-shipping inside every task's serialized plan. Same collected
+    * model, same native kernels on COLUMNS instead of literals — the
+    * scores are bit-identical (BigramLmSpec pins it at V=64), which is
+    * what makes the switch a pure plan decision.
+    */
+  private[graft] def bigramScoredBroadcast(docs: org.apache.spark.sql.DataFrame,
+      V: Int = PplVocab): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val f = tokenizedNonEmpty(docs)
+      .filter(col("dl") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vw, cu, _, cb) = bigramModelFrom(f, V)
+    val model = Seq((vw, cu, cb)).toDF("__vw", "__cu", "__cb")
+    f.crossJoin(broadcast(model))
+      .select(col("doc_id"), col("dl"),
+        bigram_nll(class_seq(col("t"), col("__vw")), col("__cb"), col("__cu"))
           .as("nll2_raw"))
   }
 
@@ -2158,6 +2194,70 @@ object TextOps {
       .filter(col("n_occ") >= 2)
   }
 
+  /** The curriculum model: the q66 unigram-LM dimensions PLUS the exact
+    * dyadic quartile thresholds of the milli-quantized corpus score —
+    * everything a curriculum phase assignment needs, collected once
+    * (driver-sized by construction: V strings, V+1 longs, 3 doubles).
+    * ONE derivation for the stamped [[graft.sources.CurriculumThresholds]]
+    * artifact (q110's source), the `curriculum_order` stage (trained on
+    * its FLOWING frame — stage semantics), and the stream twin.
+    */
+  private[graft] final case class CurriculumModel(vw: Seq[String],
+      vc: Seq[Long], total: Long, p25: Double, p50: Double, p75: Double)
+
+  private[graft] def curriculumModel(docs: org.apache.spark.sql.DataFrame,
+      V: Int = PplVocab): CurriculumModel = {
+    import org.apache.spark.sql.graft.PercentileLong.percentile_long
+    // one persisted tokenize pass feeds the dims action and the
+    // threshold action (the bigramModelFrom discipline)
+    val f = tokenizedNonEmpty(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dims = pplDimsFrom(f, V).head()
+      val (vw, vc, total) =
+        (dims.getSeq[String](0), dims.getSeq[Long](1), dims.getLong(2))
+      // thresholds over the LITERAL-model scores — identical doubles to
+      // the broadcast-column form (same codegen; the curriculumFlags
+      // equivalence pin), so the stored thresholds equal what the
+      // pre-artifact inline derivation produced
+      val thr = nllScore(
+          f.withColumn("vw", typedLit(vw)).withColumn("vc", typedLit(vc))
+            .withColumn("total", lit(total)), V)
+        .select(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long")
+          .as("nll_n3"))
+        .agg(percentile_long(col("nll_n3"), 0.25).as("p25"),
+          percentile_long(col("nll_n3"), 0.5).as("p50"),
+          percentile_long(col("nll_n3"), 0.75).as("p75"))
+        .head()
+      CurriculumModel(vw, vc, total,
+        thr.getDouble(0), thr.getDouble(1), thr.getDouble(2))
+    } finally f.unpersist(blocking = false)
+  }
+
+  /** The curriculum scorer tail — ONE implementation of (n_tokens,
+    * nll_n6, phase) against a frozen [[CurriculumModel]], shared by
+    * batch q110, the `curriculum_order` stage, and the stream twin
+    * ([[graft.streaming.DocumentStreams.curriculumFlags]]): MAP-ONLY
+    * (model and thresholds ride as literals — no join, no shuffle), the
+    * batch scorer's exact fixed-order fold via [[nllScore]]. The long
+    * score coerces to double against the interpolated thresholds exactly
+    * as the pre-artifact column-to-column compare did. Zero-token docs
+    * produce no row (unscorable is not phase 0).
+    */
+  private[graft] def curriculumScoredFrame(frame: org.apache.spark.sql.DataFrame,
+      m: CurriculumModel, V: Int = PplVocab): org.apache.spark.sql.DataFrame = {
+    val scored = nllScore(
+      tokenizedNonEmpty(frame)
+        .withColumn("vw", typedLit(m.vw))
+        .withColumn("vc", typedLit(m.vc))
+        .withColumn("total", lit(m.total)), V)
+    val n3 = floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long")
+    scored.select(col("doc_id"), col("n_tokens"),
+      floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
+      when(n3 <= m.p25, 0L).when(n3 <= m.p50, 1L).when(n3 <= m.p75, 2L)
+        .otherwise(3L).as("phase"))
+  }
+
   /** Q110 — curriculum schedule: the corpus split into four exact
     * difficulty quartiles of q66's LM score (easy → hard), with each
     * phase's document count, token budget, and difficulty span — the
@@ -2168,12 +2268,14 @@ object TextOps {
     * reader's one division yields mean difficulty), min/max score.
     *
     * Scale shape: q66's bucketing discipline extended to quartiles — NO
-    * global sort/ntile anywhere: thresholds are exact p25/p50/p75 over
-    * the milli-quantized score (bounded-cardinality PercentileLong
-    * state, dyadic percentages so both engines interpolate exactly),
-    * broadcast back, then ONE map-side-combined 4-row group. The scorer
-    * is [[perplexityScored]] — the same ONE implementation as q66 and
-    * the perplexity_filter stage.
+    * global sort/ntile anywhere, and since r19 NO per-query training
+    * either: the LM dims and the exact p25/p50/p75 thresholds are the
+    * ingest-stamped [[graft.sources.CurriculumThresholds]] artifact (the
+    * BigramLm posture), so the query is ONE map-only scoring pass over
+    * the corpus (model as literals) into a 4-row map-side-combined
+    * group — 15 jobs before, ≲5 after, values bit-identical (the
+    * artifact stores exactly what inline training produced;
+    * CurriculumThresholdsSpec pins it).
     */
   val q110CurriculumSchedule: QueryDef = {
     val V = PplVocab
@@ -2199,23 +2301,8 @@ object TextOps {
          |FROM ph
          |GROUP BY 1
          |ORDER BY 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.graft.PercentileLong.percentile_long
-      val scored = perplexityScored(Tables(s, dir, "documents"), V)
-        .select(col("doc_id"), col("n_tokens"),
-          floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
-          floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val thr = scored.agg(
-        percentile_long(col("nll_n3"), 0.25).as("p25"),
-        percentile_long(col("nll_n3"), 0.5).as("p50"),
-        percentile_long(col("nll_n3"), 0.75).as("p75"))
-      scored.crossJoin(broadcast(thr))
-        .select(
-          when(col("nll_n3") <= col("p25"), 0L)
-            .when(col("nll_n3") <= col("p50"), 1L)
-            .when(col("nll_n3") <= col("p75"), 2L)
-            .otherwise(3L).as("phase"),
-          col("n_tokens"), col("nll_n6"))
+      val m = graft.sources.CurriculumThresholds.model(s, dir)
+      curriculumScoredFrame(Tables(s, dir, "documents"), m, V)
         .groupBy("phase")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"),

@@ -47,13 +47,117 @@ object BigramLm {
     * memoized per session.
     */
   def model(spark: SparkSession, dir: String)
+      : (Seq[String], Seq[Long], Long, Seq[Long]) =
+    served(spark, dir)(graft.queries.TextOps
+      .bigramModel(graft.Tables(spark, dir, "documents")) match {
+        case (vw, cu, _, cb) => (vw, cu, cb)
+      })
+
+  /** Build the NEW corpus dir's stamped model from the OLD dir's plus a
+    * bounded delta pass WHEN EXACTNESS ALLOWS — the r18 rule was
+    * "rebuild by documented necessity (an append can reorder the top-V
+    * vocabulary, which re-keys every class)"; this adds the cheap
+    * sufficient condition under which it provably CANNOT ([[mergeable]]):
+    *
+    *   - the append-only precondition holds ([[DerivedLayout.appendOnly]]),
+    *   - the merged counts keep the old top-V vocabulary in the old
+    *     (count DESC, word) order — computable EXACTLY from the stored
+    *     vc plus one delta word-count pass, and
+    *   - no outside word can have entered the top V: an unselected old
+    *     word's count is ≤ min(vc_old) by the selection rule, so
+    *     min(vc_old) + max outsider delta count < min(merged vc) STRICTLY
+    *     bounds every outsider below the boundary, ties impossible.
+    *
+    * Under the condition the classes are unchanged, so every stored
+    * count merges by ADDITION (bigrams never cross document boundaries):
+    * cb += the delta's class-bigram counts against the HELD vocab, vc +=
+    * delta word counts, total += delta tokens — delta-sized work instead
+    * of two full-corpus passes. Any failure (dropped doc, reordering,
+    * boundary contention) falls back to the full rebuild; either path
+    * lands the same stamped dir ([[TermStats.refreshed]]'s contract) and
+    * DerivedRefreshSpec pins merged ≡ rebuilt on both a merge-eligible
+    * corpus and a vocabulary-reordering one that forces the fallback.
+    */
+  def refreshed(spark: SparkSession, newDir: String, oldDir: String)
+      : (Seq[String], Seq[Long], Long, Seq[Long]) =
+    served(spark, newDir)(refreshFrame(spark, newDir, oldDir)._1)
+
+  /** The refresh computation plus which path ran (true = delta merge,
+    * false = full rebuild) — split out so the spec can pin path choice,
+    * not just values ([[ClusterAssignment.refreshFrame]]'s shape).
+    */
+  private[graft] def refreshFrame(spark: SparkSession, newDir: String,
+      oldDir: String): ((Seq[String], Seq[Long], Seq[Long]), Boolean) = {
+    def rebuild: ((Seq[String], Seq[Long], Seq[Long]), Boolean) =
+      (graft.queries.TextOps
+        .bigramModel(graft.Tables(spark, newDir, "documents")) match {
+          case (vw, cu, _, cb) => (vw, cu, cb)
+        }, false)
+    if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+      rebuild
+    else mergeable(spark, newDir, oldDir).map((_, true)).getOrElse(rebuild)
+  }
+
+  /** The delta merge when the sufficient condition holds, None otherwise
+    * (see [[refreshed]] for the condition's proof sketch). All actions
+    * here are DELTA-sized: one word-count pass (split into the ≤V in-vocab
+    * counts, the 1-row outsider max, the 1-row token total) and one
+    * ≤(V+1)²-row class-bigram count against the held vocab.
+    */
+  private def mergeable(spark: SparkSession, newDir: String, oldDir: String)
+      : Option[(Seq[String], Seq[Long], Seq[Long])] = {
+    import org.apache.spark.sql.functions._
+    val C = graft.queries.TextOps.PplVocab + 1
+    val (vwOld, cuOld, totalOld, cbOld) = model(spark, oldDir)
+    val vcOld = cuOld.drop(1)
+    val delta = graft.Tables(spark, newDir, "documents")
+      .join(graft.Tables(spark, oldDir, "documents").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val f = graft.queries.TextOps.tokenizedNonEmpty(delta)
+      .filter(col("dl") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wcounts = f.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val inVocab = wcounts.filter(col("w").isInCollection(vwOld))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val outMax = wcounts.filter(!col("w").isInCollection(vwOld))
+        .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      val deltaTotal = f.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+      val mergedVc = vwOld.zip(vcOld).map { case (w, c) =>
+        c + inVocab.getOrElse(w, 0L) }
+      val orderKept = vwOld.zip(mergedVc)
+        .sortBy { case (w, c) => (-c, w) }.map(_._1) == vwOld
+      val boundary = vcOld.min + outMax < mergedVc.min
+      if (!orderKept || !boundary) None
+      else {
+        val cbDelta = f.select(explode(
+            org.apache.spark.sql.graft.TextExpressions.class_bigram_keys(
+              org.apache.spark.sql.graft.TextExpressions
+                .class_seq(col("t"), typedLit(vwOld)), C)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cbNew = cbOld.zipWithIndex.map { case (c, i) =>
+          c + cbDelta.getOrElse(i.toLong, 0L) }
+        val totalNew = totalOld + deltaTotal
+        Some((vwOld, (totalNew - mergedVc.sum) +: mergedVc, cbNew))
+      }
+    } finally f.unpersist(blocking = false)
+  }
+
+  /** Land `build`'s (vw, cu, cb) at the dir's stamped path (if absent)
+    * and serve the memoized collected model — the one store/read tail
+    * behind both [[model]] and [[refreshed]], so consumers cannot
+    * observe which build path produced their layout.
+    */
+  private def served(spark: SparkSession, dir: String)(
+      build: => (Seq[String], Seq[Long], Seq[Long]))
       : (Seq[String], Seq[Long], Long, Seq[Long]) = {
     val target = layoutPath(dir)
     SessionMemo.cachedStamped(cache, spark, target)({
       val df = DerivedLayout(spark, target) { tmp =>
         import spark.implicits._
-        val (vw, cu, _, cb) = graft.queries.TextOps
-          .bigramModel(graft.Tables(spark, dir, "documents"))
+        val (vw, cu, cb) = build
         Seq((vw, cu, cb)).toDF("vw", "cu", "cb")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
       }

@@ -248,35 +248,14 @@ object DocumentStreams {
   def curriculumFlags(stream: DataFrame, corpus: DataFrame,
       vocabSize: Int = graft.queries.TextOps.PplVocab): DataFrame = {
     import graft.queries.TextOps
-    import org.apache.spark.sql.graft.PercentileLong.percentile_long
-    val V = vocabSize
-    // frozen artifacts, batch-side: LM dims + quartile thresholds
-    val dims = TextOps.pplDimsFrom(TextOps.tokenizedNonEmpty(corpus), V).head()
-    val (vw, vc, total) =
-      (dims.getSeq[String](0), dims.getSeq[Long](1), dims.getLong(2))
-    val thr = TextOps.perplexityScored(corpus, V)
-      .select(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long").as("nll_n3"))
-      .agg(percentile_long(col("nll_n3"), 0.25).as("p25"),
-        percentile_long(col("nll_n3"), 0.5).as("p50"),
-        percentile_long(col("nll_n3"), 0.75).as("p75")).head()
-    // percentile_long interpolates → DOUBLE thresholds; the phase compare
-    // below coerces the long score to double exactly as the batch stage's
-    // column-to-column compare does, so the bucketing is bit-identical
-    val (p25, p50, p75) = (thr.getDouble(0), thr.getDouble(1), thr.getDouble(2))
-    val scored = TextOps.nllScore(
-      stream
-        .select(col("doc_id"), graft.functions.TextFunctions.tokens("text").as("t"))
-        .withColumn("dl", size(col("t")).cast("long"))
-        .filter(col("dl") > 0)
-        .withColumn("vw", typedLit(vw))
-        .withColumn("vc", typedLit(vc))
-        .withColumn("total", lit(total)), V)
-    scored.select(col("doc_id"), col("n_tokens"),
-      floor(col("nll_raw") * lit(1000000L) + lit(0.5)).cast("long").as("nll_n6"),
-      when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p25, 0L)
-        .when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p50, 1L)
-        .when(floor(col("nll_raw") * lit(1000L) + lit(0.5)).cast("long") <= p75, 2L)
-        .otherwise(3L).as("phase"))
+    // frozen artifacts, batch-side: LM dims + quartile thresholds — the
+    // ONE derivation (TextOps.curriculumModel) the stamped
+    // CurriculumThresholds layout stores and batch q110 consumes; the
+    // scorer tail below is likewise the shared implementation, so the
+    // streamed (n_tokens, nll_n6, phase) is bit-identical to batch by
+    // construction, not by parallel maintenance
+    val m = TextOps.curriculumModel(corpus, vocabSize)
+    TextOps.curriculumScoredFrame(stream, m, vocabSize)
   }
 
   /** Streaming twin of batch q118's interpolated bigram-LM scorer: each

@@ -27,4 +27,27 @@ class BigramLmSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       sources.BigramLm.layoutPath(sf), "_SUCCESS")))
   }
+
+  test("broadcast-form scoring == literal-form scoring bit-for-bit at V=24 (the literal-ceiling alternate path)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.TextExpressions.{bigram_nll, class_seq}
+    // larger than the shipped V=16, below the corpus's ~31 distinct words
+    // (the model's C = V+1 keying assumes a full top-V vocabulary)
+    val V = 24
+    val docs = Tables(spark, sf, "documents")
+    val f = queries.TextOps.tokenizedNonEmpty(docs).filter(col("dl") >= 2)
+    val (vw, cu, _, cb) = queries.TextOps.bigramModelFrom(f, V)
+    assert(vw.length == V && cu.length == V + 1 && cb.length == (V + 1) * (V + 1))
+    val viaLiteral = f.select(col("doc_id"),
+        bigram_nll(class_seq(col("t"), typedLit(vw)), typedLit(cb), typedLit(cu))
+          .as("nll"))
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val viaBroadcast = queries.TextOps.bigramScoredBroadcast(docs, V)
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(viaLiteral.nonEmpty && viaLiteral == viaBroadcast,
+      "the broadcast form must be a pure plan decision — same doubles bit-for-bit")
+    Caches.clearAll(spark)
+  }
 }

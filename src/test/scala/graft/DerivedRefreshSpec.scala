@@ -368,6 +368,60 @@ class DerivedRefreshSpec extends SparkSpec {
     assert(refreshed.size == emb.count())
   }
 
+  test("BigramLm delta merge: an order-preserving append merges by addition (and says so)") {
+    // strictly-decreasing word counts: w01 ×25 … w20 ×6 in one doc —
+    // top-16 counts 25..10, outsiders 9..6, so after doubling (delta =
+    // the same text under new ids) the boundary condition
+    // min(vc)+outMax = 10+9 < 20 = min(mergedVc) holds and the order is
+    // unchanged — the merge path MUST run and equal a full rebuild
+    val words = (1 to 20).map(i => f"w$i%02d")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(25 - i)(w) }.mkString(" ")
+    val b1 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text)), "blm1")
+    val b2 = writeCorpus(
+      Seq(docRow(0L, text), docRow(1L, text), docRow(100L, text)), "blm2")
+    val ((vw, cu, cb), merged) = sources.BigramLm.refreshFrame(spark, b2, b1)
+    assert(merged, "order-preserving append must take the delta-merge path")
+    val (evw, ecu, _, ecb) = queries.TextOps
+      .bigramModel(Tables(spark, b2, "documents"))
+    assert(vw == evw, "merged vocab diverged from rebuild")
+    assert(cu == ecu, "merged class counts diverged from rebuild")
+    assert(cb == ecb, "merged bigram table diverged from rebuild")
+    // and the stamped layout serves the merged model through model()
+    val viaLayout = sources.BigramLm.refreshed(spark, b2, b1)
+    assert(viaLayout == sources.BigramLm.model(spark, b2))
+  }
+
+  test("BigramLm delta merge falls back to rebuild when the append reorders the vocabulary") {
+    val words = (1 to 20).map(i => f"w$i%02d")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(25 - i)(w) }.mkString(" ")
+    // the delta floods a formerly-rare word past the whole top-16
+    val flood = Seq.fill(200)("w20").mkString(" ")
+    val c1 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text)), "blm3")
+    val c2 = writeCorpus(
+      Seq(docRow(0L, text), docRow(1L, text), docRow(100L, flood)), "blm4")
+    val ((vw, cu, cb), merged) = sources.BigramLm.refreshFrame(spark, c2, c1)
+    assert(!merged, "a vocabulary-reordering append must rebuild")
+    val (evw, ecu, _, ecb) = queries.TextOps
+      .bigramModel(Tables(spark, c2, "documents"))
+    assert(vw == evw && cu == ecu && cb == ecb)
+    assert(vw.head == "w20", "the flooded word must now lead the vocabulary")
+  }
+
+  test("BigramLm refresh probes append-only and rebuilds on a dropped doc") {
+    val words = (1 to 20).map(i => f"w$i%02d")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(25 - i)(w) }.mkString(" ")
+    val d1 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text)), "blm5")
+    val d2 = writeCorpus(Seq(docRow(0L, text), docRow(100L, text)), "blm6")
+    val ((vw, cu, cb), merged) = sources.BigramLm.refreshFrame(spark, d2, d1)
+    assert(!merged, "a dropped doc must fail the append-only probe")
+    val (evw, ecu, _, ecb) = queries.TextOps
+      .bigramModel(Tables(spark, d2, "documents"))
+    assert(vw == evw && cu == ecu && cb == ecb)
+  }
+
   test("IVF delta assignment: held codebook, assignments equal the map-only rule") {
     val emb = Tables(spark, sf, "embeddings")
     val delta = emb.filter(col("vec_id") >= 450)

@@ -392,12 +392,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "the rollups must map-side combine")
   }
 
-  test("q110: curriculum schedule — percentile thresholds, no global sort, 4-row group") {
+  test("q110: curriculum schedule — stamped model as literals, one map-only pass, 4-row group") {
     val p = planOf(queries.TextOps.q110CurriculumSchedule.fn(spark, sf))
-    assert(p.contains("percentile_long"),
-      "phase thresholds must be the bounded-state percentile aggregate")
-    assert(!p.contains("Window"), "no ntile/rank window — thresholds broadcast back")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("percentile_long"),
+      "thresholds are the ingest-stamped CurriculumThresholds artifact — " +
+        "no per-query percentile derivation")
+    assert(p.contains("tf_counts"), "the literal-model scorer must be in-plan")
+    assert(!p.contains("Window"), "no ntile/rank window")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "model rides as literals — the scoring pass is pure map, no join")
     assert(p.contains("partial_"), "the 4-row phase group must map-side combine")
     graft.Caches.clearAll(spark)
   }
@@ -671,6 +674,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "per-video stats are array folds, not aggregates")
   }
 
+  test("q23: one user-keyed exchange feeds sessionize AND the session aggregate") {
+    val p = planOf(queries.EventOps.q23Sessionize.fn(spark, sf))
+    // hashpartitioning(user_id) satisfies the (user_id, session_idx)
+    // group's ClusteredDistribution (subset partitioning), so the
+    // aggregate must reuse the window's placement — a second hash
+    // exchange would re-shuffle what sessionize already placed; the only
+    // other exchange is the ORDER BY's range partitioning
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the session aggregate must not add its own hash exchange")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "session rollup must partial-agg on the window's partitioning")
+  }
+
   test("q80: one user-keyed exchange feeds sessionize AND the transition window") {
     val p = planOf(queries.EventOps.q80EventFlow.fn(spark, sf))
     // hashpartitioning(user_id) satisfies the (user, session) transition
@@ -759,7 +776,8 @@ class PlanSpec extends SparkSpec {
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
-      "q110_curriculum_schedule", // 1-row quartile thresholds onto the scored corpus
+      // (q110 left the list in r19: model + thresholds are the stamped
+      // CurriculumThresholds artifact riding as literals — no 1-row cross)
       "q117_vocab_growth", // 1-row doc_id-quartile thresholds onto the vocab-sized layout scan
       "q119_lm_disagreement", // 1-row unigram dims onto the dual-scoring pass (bigram model is literals)
       "q112_retrieval_agreement", // 4-row k set onto the ≤50-row arm overlap

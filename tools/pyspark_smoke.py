@@ -11,7 +11,10 @@ spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions must
      sum128) from plain spark.sql with exact expected values,
   2. run the Scala driver contract through py4j (SparkEntry.entry and a
      registered query) and hand the result back as a PySpark DataFrame --
-     the same wrapping pattern the reference's Python API uses.
+     the same wrapping pattern the reference's Python API uses,
+  3. do both THROUGH the packaged python/graft.py module (Graft +
+     graft.functions), so the module the README points Python users at is
+     itself under the gate.
 
 Run:  python3 tools/pyspark_smoke.py   (exits 0 on pass)
 Requires `sbt compile` first (classes dir on the driver classpath).
@@ -22,6 +25,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CLASSES = os.path.join(ROOT, "target", "scala-2.13", "classes")
 SF = "/root/testdata/sf0.001"
+sys.path.insert(0, os.path.join(ROOT, "python"))
 
 
 def fail(msg):
@@ -79,6 +83,53 @@ def main():
     if q2.count() <= 0 or "l_orderkey" not in [c.lower() for c in q2.columns]:
         fail("registered query q2 returned nothing")
     print(f"PASS registered query q2_filter_project via py4j ({q2.count()} rows)")
+
+    # 3. the packaged module: python/graft.py (Graft + functions helpers)
+    import graft as graft_mod
+    from graft import Graft
+    from graft import functions as gf
+
+    g = Graft(spark)
+    names = g.query_names()
+    if len(names) < 100 or "q1_pricing_summary" not in names:
+        fail(f"Graft.query_names: {len(names)} names")
+    q1 = g.query("q1_pricing_summary", SF)
+    if q1.count() <= 0:
+        fail("Graft.query(q1) returned nothing")
+    sql = g.oracle_sql("q1_pricing_summary")
+    if "lineitem" not in sql.lower():
+        fail(f"Graft.oracle_sql(q1): {sql[:60]!r}")
+    if g.entry().count() <= 0:
+        fail("Graft.entry returned nothing")
+    try:
+        g.query("not_a_query", SF)
+        fail("Graft.query must raise on an unknown name")
+    except Exception:
+        pass
+    print(f"PASS python module Graft ({len(names)} queries; q1 via module)")
+
+    row2 = (
+        spark.createDataFrame([("Hello, World! 42",)], ["text"])
+        .select(
+            gf.tokenize("text").alias("t"),
+            gf.rolling_hash("text").alias("h"),
+        )
+        .head()
+    )
+    if list(row2.t) != ["hello", "world", "42"] or not isinstance(row2.h, int):
+        fail(f"graft.functions: {row2}")
+    vec = (
+        spark.sql(
+            "SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a, "
+            "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS b"
+        )
+        .select(gf.float_dot("a", "b").alias("d"))
+        .head()
+    )
+    if abs(vec.d - 11.0) > 1e-12:
+        fail(f"graft.functions.float_dot: {vec.d}")
+    g.clear_caches()
+    print("PASS python module functions (tokenize/rolling_hash/float_dot as Columns)")
 
     spark.stop()
     print("PASS pyspark smoke")
