@@ -16,7 +16,7 @@ because PySpark already IS the bridge. The Scala core is reached two ways:
 Usage:
 
     from graft import Graft, session
-    import graft.functions as gf          # or: from graft import functions
+    from graft import functions as gf    # graft is a single module, not a package
 
     spark = session(classes="target/scala-2.13/classes")
     g = Graft(spark)

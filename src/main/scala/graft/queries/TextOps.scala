@@ -812,7 +812,10 @@ object TextOps {
         struct((-col("c")).as("nc"), col("word"), col("c")))).as("v"))
       .select(expr("transform(v, x -> x.word)").as("vw"),
         expr("transform(v, x -> x.c)").as("vc"))
-    val stats = f.agg(sum(col("dl")).as("total"))
+    // coalesce: a corpus with NO dl>=2 docs sums to null, and the model
+    // readers (bigramModelFrom's getLong) must see an exact 0-total
+    // empty model, not a crash (the BigramLm empty-vocab rebuild path)
+    val stats = f.agg(coalesce(sum(col("dl")), lit(0L)).as("total"))
     // ONE one-row dimension frame (vw, vc, total): fusing the vocab and
     // corpus-total aggregates into a single broadcast halves the broadcast
     // job count — both subtrees read the same `f`, so the fused plan

@@ -93,7 +93,7 @@ object BigramLm {
         .bigramModel(graft.Tables(spark, newDir, "documents")) match {
           case (vw, cu, _, cb) => (vw, cu, cb)
         }, false)
-    if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+    if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id", Seq("text")))
       rebuild
     else mergeable(spark, newDir, oldDir).map((_, true)).getOrElse(rebuild)
   }
@@ -110,6 +110,10 @@ object BigramLm {
     val C = graft.queries.TextOps.PplVocab + 1
     val (vwOld, cuOld, totalOld, cbOld) = model(spark, oldDir)
     val vcOld = cuOld.drop(1)
+    // An old corpus with no dl>=2 docs stores an empty vocabulary;
+    // vcOld.min/mergedVc.min would throw instead of taking the documented
+    // rebuild fallback (r19 ADVICE), so short-circuit to rebuild here.
+    if (vwOld.isEmpty) return None
     val delta = graft.Tables(spark, newDir, "documents")
       .join(graft.Tables(spark, oldDir, "documents").select("doc_id"),
         Seq("doc_id"), "left_anti")

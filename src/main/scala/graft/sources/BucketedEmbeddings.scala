@@ -52,13 +52,13 @@ object BucketedEmbeddings {
     * stamped path a full rebuild would — consumers can't observe the
     * build path; DerivedRefreshSpec pins row-set equality with a rebuild.
     * The append-only precondition is PROBED ([[DerivedLayout.appendOnly]]
-    * over vec_id): a dropped/rewritten old vector would ride along as a
+    * over (vec_id, xxhash64(embedding))): a dropped/rewritten old vector would ride along as a
     * ghost row, so that case falls back to the full rebuild.
     */
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
       val out =
-        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "embeddings", "vec_id"))
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "embeddings", "vec_id", Seq("embedding")))
           graft.Tables(spark, newDir, "embeddings")
             .withColumn("bucket",
               graft.queries.VectorOps.lshBucket.cast("int"))

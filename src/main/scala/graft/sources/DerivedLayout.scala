@@ -65,19 +65,33 @@ object DerivedLayout {
 
   /** The append-only precondition every delta-merge refresh assumes,
     * PROBED instead of trusted (the [[ClusterAssignment]] exactness-guard
-    * discipline): true iff every old-table key survives into the new
-    * table. A dropped or rewritten old row breaks the disjoint-delta
-    * algebra — the left-anti delta misses it and the merged layout keeps
-    * stale rows (overcounted df, ghost fingerprints) under a valid stamp
-    * — so callers fall back to a full rebuild when this returns false.
-    * Cost: one take(1) over a key anti-join, trivial next to the merge
-    * it guards.
+    * discipline): true iff every old-table row survives into the new
+    * table with its derivation-input content UNCHANGED. Both failure
+    * modes break the disjoint-delta algebra — a dropped key leaves ghost
+    * rows, and an in-place REWRITE (same key, changed content) passes a
+    * key-only probe while the left-anti delta excludes it, silently
+    * keeping the old content's derived rows (stale fingerprints,
+    * overcounted df) under a valid stamp (the r19 ADVICE finding) — so
+    * the probe anti-joins on (key, xxhash64(contentCols)) and callers
+    * fall back to a full rebuild when it returns false. `contentCols`
+    * must list exactly the columns the layout derives from (`text` for
+    * the document layouts, `embedding` for the bucketed vectors): an
+    * edit to an unrelated column then correctly does NOT force a
+    * rebuild. Exact up to a 2^-64 per-row xxhash64 collision.
+    * Cost: one take(1) over an anti-join shuffling (key, sig) pairs —
+    * the content columns are read once on each side to hash, which is
+    * still far below the explode/shuffle cost of any rebuild it guards.
     */
   private[graft] def appendOnly(spark: SparkSession, newDir: String,
-      oldDir: String, table: String, key: String): Boolean =
-    graft.Tables(spark, oldDir, table).select(key)
-      .join(graft.Tables(spark, newDir, table).select(key), Seq(key), "left_anti")
+      oldDir: String, table: String, key: String,
+      contentCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    def keyed(dir: String) = graft.Tables(spark, dir, table)
+      .select(col(key), xxhash64(contentCols.map(col): _*).as("__content_sig"))
+    keyed(oldDir)
+      .join(keyed(newDir), Seq(key, "__content_sig"), "left_anti")
       .take(1).isEmpty
+  }
 
   private def getOrBuild(spark: SparkSession, target: String,
       build: String => Unit): DataFrame = {

@@ -79,7 +79,7 @@ object DocFingerprints {
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
       val out =
-        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id", Seq("text")))
           fpsFrame(graft.Tables(spark, newDir, "documents"))
         else {
           val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")

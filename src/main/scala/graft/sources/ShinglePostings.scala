@@ -112,7 +112,7 @@ object ShinglePostings {
   def refreshed(spark: SparkSession, newDir: String, oldDir: String): DataFrame =
     DerivedLayout(spark, layoutPath(newDir)) { tmp =>
       val out =
-        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id"))
+        if (!DerivedLayout.appendOnly(spark, newDir, oldDir, "documents", "doc_id", Seq("text")))
           graft.queries.TextOps.postingsFromFps(DocFingerprints(spark, newDir))
         else {
           val oldDocs = graft.Tables(spark, oldDir, "documents").select("doc_id")

@@ -319,9 +319,9 @@ class DerivedRefreshSpec extends SparkSpec {
     val badDocs = v1Docs.filterNot(_._1 == 100L) :+
       docRow(3000L, "entirely fresh appended text with new tokens only")
     val bad = writeCorpus(badDocs, "dropped")
-    assert(sources.DerivedLayout.appendOnly(spark, v2Dir, v1Dir, "documents", "doc_id"),
+    assert(sources.DerivedLayout.appendOnly(spark, v2Dir, v1Dir, "documents", "doc_id", Seq("text")),
       "true append must pass the probe")
-    assert(!sources.DerivedLayout.appendOnly(spark, bad, v1Dir, "documents", "doc_id"),
+    assert(!sources.DerivedLayout.appendOnly(spark, bad, v1Dir, "documents", "doc_id", Seq("text")),
       "a dropped doc must fail the probe")
 
     def keyedDf(df: org.apache.spark.sql.DataFrame) =
@@ -347,6 +347,70 @@ class DerivedRefreshSpec extends SparkSpec {
       if (ds.length <= cap) assert(pGot(fp) == ds)
       else assert(pGot(fp).length > cap)
     }
+  }
+
+  test("an in-place REWRITE fails the probe; an unrelated-column edit does not") {
+    // Same doc_id universe as v1 plus one append, but doc 100's TEXT is
+    // rewritten in place. A key-only probe passes this corpus, the
+    // left-anti delta excludes doc 100, and the merge keeps the OLD
+    // text's fingerprints/df under a valid stamp — the r19 ADVICE
+    // finding. The (key, xxhash64(text)) probe must fail it.
+    val rewritten = v1Docs.map {
+      case (100L, _) => docRow(100L, "completely rewritten body with disjoint tokens xqz")
+      case other => other
+    } :+ docRow(3001L, "an appended doc riding along with the rewrite")
+    val rw = writeCorpus(rewritten, "rewrite")
+    assert(!sources.DerivedLayout.appendOnly(spark, rw, v1Dir, "documents", "doc_id", Seq("text")),
+      "a rewritten doc must fail the content probe")
+
+    // ... and refreshed() must therefore serve rebuild-exact layouts:
+    // the OLD text's tokens ("again"/"often" bigram partners) are gone.
+    def keyedTs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tsGot = keyedTs(sources.TermStats.refreshed(spark, rw, v1Dir).select("w", "df"))
+    val tsExpect = keyedTs(queries.TextOps.termDfFrame(Tables(spark, rw, "documents"))
+      .select("w", "df"))
+    assert(tsGot == tsExpect,
+      "TermStats.refreshed must rebuild (no stale df from the old text) on a rewrite")
+
+    val fpGot = sources.DocFingerprints.refreshed(spark, rw, v1Dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fpExpect = sources.DocFingerprints.fpsFrame(Tables(spark, rw, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fpGot == fpExpect,
+      "DocFingerprints.refreshed must rebuild (fresh fingerprints for doc 100) on a rewrite")
+
+    // An edit to a column the layouts do NOT derive from (lang) must
+    // still pass the probe — contentCols scopes the signature to the
+    // derivation inputs, so metadata churn never forces a rebuild.
+    def writeWithLang(rows: Seq[(Long, String, String)], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"refresh-$tag").toString
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val base = v1Docs.take(20).map { case (id, t) => (id, t, "en") }
+    val langEdit = base.map { case (id, t, _) => (id, t, "de") } :+
+      ((5000L, "appended doc after a metadata-only edit", "en"))
+    val l1 = writeWithLang(base, "lang1")
+    val l2 = writeWithLang(langEdit, "lang2")
+    assert(sources.DerivedLayout.appendOnly(spark, l2, l1, "documents", "doc_id", Seq("text")),
+      "a non-content column edit must NOT fail the text-scoped probe")
+  }
+
+  test("BigramLm refresh with an empty old vocabulary rebuilds instead of crashing") {
+    // Every old doc has dl < 2 (single tokens are dropped by the dl>=2
+    // filter), so the stored vocabulary is EMPTY; mergeable's boundary
+    // condition (vcOld.min) would throw UnsupportedOperationException
+    // instead of taking the documented rebuild fallback (r19 ADVICE).
+    val e1 = writeCorpus(Seq(docRow(0L, "solo"), docRow(1L, "word")), "blmE1")
+    val e2 = writeCorpus(Seq(docRow(0L, "solo"), docRow(1L, "word"),
+      docRow(100L, "a real multi token document arrives later")), "blmE2")
+    val ((vw, cu, cb), merged) = sources.BigramLm.refreshFrame(spark, e2, e1)
+    assert(!merged, "an empty old vocabulary must route to rebuild, not merge")
+    val (evw, ecu, _, ecb) = queries.TextOps
+      .bigramModel(Tables(spark, e2, "documents"))
+    assert(vw == evw && cu == ecu && cb == ecb)
   }
 
   test("bucketed embeddings refresh == rebuild (delta pays the plane dots, rows identical)") {
