@@ -91,6 +91,42 @@ class Graft:
         """Release per-query persists (graft.Caches.clearAll)."""
         self._spark._jvm.graft.Caches.clearAll(self._spark._jsparkSession)
 
+    # ---- ML lifecycle (the reference CaffeOnSpark.py core methods) --------
+    # train/features/test driven by a JobConfig JSON path — the same
+    # document the `graft.jobs.JobRunner` CLI runs, so a job declared once
+    # drives Scala spark-submit AND this Python surface identically
+    # (reference: CaffeOnSpark.py's train(cfg)/features(cfg)/test(cfg)).
+    # `model` overrides the config's model path ('' keeps it).
+
+    def train(self, conf, model=""):
+        """Fit the declared job (optional interleaved validation), persist
+        the declared transform's computed mean, and snapshot weights to the
+        model path. Returns self for train→features→test chaining.
+        """
+        self._jobs().trainFromConfig(self._spark._jsparkSession, conf, model)
+        return self
+
+    def features(self, conf, model=""):
+        """Forward-pass frame (SampleID + declared blobs) for the declared
+        source, as a PySpark DataFrame — the reference's features() shape.
+        """
+        return DataFrame(
+            self._jobs().featuresFromConfig(self._spark._jsparkSession, conf, model),
+            self._spark,
+        )
+
+    def test(self, conf, model=""):
+        """Held-out metrics as a dict {blob: [per-dim means]} — the
+        reference's test_result document, parsed.
+        """
+        import json
+
+        return json.loads(
+            self._jobs().testFromConfig(self._spark._jsparkSession, conf, model))
+
+    def _jobs(self):
+        return self._spark._jvm.graft.jobs.JobRunner
+
 
 class functions:
     """Column builders over the SQL-registered native expressions — the

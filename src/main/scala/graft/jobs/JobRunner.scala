@@ -152,11 +152,6 @@ object JobRunner {
     */
   def run(spark: SparkSession, inv: Invocation): Unit = {
     val cfg = inv.cfg
-    // lazy: a curate-only job has no model dimensionality to declare
-    lazy val g = new Graft(spark, cfg.dim,
-      TrainConfig(lr = cfg.lr, iters = cfg.iters, l2 = cfg.l2,
-        validateEvery = cfg.validateEvery),
-      numClasses = cfg.classes)
     val src = cfg.source
 
     if (inv.ingest) {
@@ -224,71 +219,17 @@ object JobRunner {
       finally graft.Caches.clearCreatedSince(spark, before)
     }
 
-    if (inv.train) {
-      val raw = readSource(spark, src)
-      // declared transform: the SAME (mean, scale) applies to the training
-      // AND validation sources — normalizing train but not val would skew
-      // every interleaved metric
-      val norm: DataFrame => DataFrame = cfg.transform match {
-        case Some(t) =>
-          val mean = resolveMean(spark, cfg, t, training = Some(raw))
-          normalized(_, src.featureCol, mean, t.scale.toFloat)
-        case None => identity
-      }
-      val data = norm(raw)
-      val weights = cfg.validation match {
-        case Some(v) =>
-          val (w, metrics) =
-            g.trainWithValidation(data, norm(readSource(spark, v)), src.featureCol, src.labelCol)
-          // validation metric frame rides along with the snapshot (the
-          // reference's interleaved-validation output frame)
-          if (cfg.output.nonEmpty)
-            metrics.write.mode("overwrite").format(cfg.outputFormat)
-              .save(s"${cfg.output}/validation_metrics")
-          w
-        case None => g.train(data, src.featureCol, src.labelCol)
-      }
-      g.save(weights, cfg.model)
-    }
+    if (inv.train) trainJob(spark, cfg)
 
-    // features/test apply the model's transform: mean_value literals from
-    // the config, a computed mean from the blob persisted at -train
-    def applyTransform(df: DataFrame, featCol: String): DataFrame =
-      cfg.transform match {
-        case Some(t) =>
-          val mean = resolveMean(spark, cfg, t, training = None)
-          normalized(df, featCol, mean, t.scale.toFloat)
-        case None => df
-      }
-
-    if (inv.features) {
-      val w = g.load(cfg.model)
-      val full = g.features(applyTransform(readSource(spark, src), src.featureCol),
-        w, src.idCol, src.featureCol)
-      // declared blob subset (the reference's `-features ip1,ip2` list):
-      // SampleID always rides; empty declaration = all blobs
-      val out =
-        if (cfg.featureBlobs.isEmpty) full
-        else full.select(("SampleID" +: cfg.featureBlobs).map(
-          org.apache.spark.sql.functions.col): _*)
-      out.write.mode("overwrite").format(cfg.outputFormat)
+    if (inv.features)
+      featuresFrame(spark, cfg).write.mode("overwrite").format(cfg.outputFormat)
         .save(s"${cfg.output}/features")
-    }
 
     if (inv.test) {
-      val w = g.load(cfg.model)
-      // test evaluates the held-out source when one is declared (the
-      // reference's test mode reads its own test data source), falling back
-      // to the training source for single-source jobs
-      val testSrc = cfg.validation.getOrElse(src)
-      val metrics = g.test(applyTransform(readSource(spark, testSrc), testSrc.featureCol),
-        w, testSrc.idCol, testSrc.featureCol)
       // one small JSON document, like the reference's test_result file —
       // written through the job filesystem (FSUtils role) so hdfs://- and
       // s3://-style output URIs work under spark-submit, not just file://
-      val json = metrics.toSeq.sortBy(_._1).map { case (k, vs) =>
-        s"""  "$k": ${vs.mkString("[", ", ", "]")}"""
-      }.mkString("{\n", ",\n", "\n}\n")
+      val json = testJson(spark, cfg)
       val out = new org.apache.hadoop.fs.Path(s"${cfg.output}/test_result.json")
       val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stream = fs.create(out, true)
@@ -296,6 +237,119 @@ object JobRunner {
       finally stream.close()
     }
   }
+
+  private def graftOf(spark: SparkSession, cfg: JobConfig): Graft =
+    new Graft(spark, cfg.dim,
+      TrainConfig(lr = cfg.lr, iters = cfg.iters, l2 = cfg.l2,
+        validateEvery = cfg.validateEvery),
+      numClasses = cfg.classes)
+
+  // features/test apply the model's transform: mean_value literals from
+  // the config, a computed mean from the blob persisted at -train
+  private def applyTransform(spark: SparkSession, cfg: JobConfig,
+      df: DataFrame, featCol: String): DataFrame =
+    cfg.transform match {
+      case Some(t) =>
+        val mean = resolveMean(spark, cfg, t, training = None)
+        normalized(df, featCol, mean, t.scale.toFloat)
+      case None => df
+    }
+
+  /** The -train leg for a validated config: fit (with optional interleaved
+    * validation), persist the declared transform's computed mean, snapshot
+    * weights to cfg.model. Shared by [[run]] and the py4j bridge.
+    */
+  private[jobs] def trainJob(spark: SparkSession, cfg: JobConfig): Unit = {
+    val g = graftOf(spark, cfg)
+    val src = cfg.source
+    val raw = readSource(spark, src)
+    // declared transform: the SAME (mean, scale) applies to the training
+    // AND validation sources — normalizing train but not val would skew
+    // every interleaved metric
+    val norm: DataFrame => DataFrame = cfg.transform match {
+      case Some(t) =>
+        val mean = resolveMean(spark, cfg, t, training = Some(raw))
+        normalized(_, src.featureCol, mean, t.scale.toFloat)
+      case None => identity
+    }
+    val data = norm(raw)
+    val weights = cfg.validation match {
+      case Some(v) =>
+        val (w, metrics) =
+          g.trainWithValidation(data, norm(readSource(spark, v)), src.featureCol, src.labelCol)
+        // validation metric frame rides along with the snapshot (the
+        // reference's interleaved-validation output frame)
+        if (cfg.output.nonEmpty)
+          metrics.write.mode("overwrite").format(cfg.outputFormat)
+            .save(s"${cfg.output}/validation_metrics")
+        w
+      case None => g.train(data, src.featureCol, src.labelCol)
+    }
+    g.save(weights, cfg.model)
+  }
+
+  /** The -features output frame (model loaded, declared transform applied,
+    * declared blob subset selected — SampleID always rides; empty
+    * declaration = all blobs). [[run]] writes it; the py4j bridge returns
+    * it (the reference's features() returns the FRAME, CaffeOnSpark.py).
+    */
+  private[jobs] def featuresFrame(spark: SparkSession, cfg: JobConfig): DataFrame = {
+    val g = graftOf(spark, cfg)
+    val src = cfg.source
+    val w = g.load(cfg.model)
+    val full = g.features(
+      applyTransform(spark, cfg, readSource(spark, src), src.featureCol),
+      w, src.idCol, src.featureCol)
+    if (cfg.featureBlobs.isEmpty) full
+    else full.select(("SampleID" +: cfg.featureBlobs).map(
+      org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** The -test metric map rendered as the one JSON document (the
+    * reference's test_result shape). Test evaluates the held-out source
+    * when one is declared, falling back to the training source for
+    * single-source jobs.
+    */
+  private[jobs] def testJson(spark: SparkSession, cfg: JobConfig): String = {
+    val g = graftOf(spark, cfg)
+    val w = g.load(cfg.model)
+    val testSrc = cfg.validation.getOrElse(cfg.source)
+    val metrics = g.test(
+      applyTransform(spark, cfg, readSource(spark, testSrc), testSrc.featureCol),
+      w, testSrc.idCol, testSrc.featureCol)
+    metrics.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"""  "$k": ${vs.mkString("[", ", ", "]")}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+  }
+
+  // ---- py4j lifecycle bridge (python/graft.py) -----------------------------
+  // The reference's CaffeOnSpark.py centers on train/features/test over a
+  // declared config (caffe-grid/src/main/python/com/yahoo/ml/caffe/
+  // CaffeOnSpark.py:28-63); these flat signatures are that surface for
+  // py4j — one config path plus an optional model-path override per call
+  // (empty string = keep the config's), the CLI's validation rules, and
+  // features returning the FRAME (the reference returns a DataFrame, not
+  // a written path). Train snapshots weights to the config's model path;
+  // test returns the metric JSON for the Python side to parse.
+
+  private def loadLifecycleCfg(confPath: String, model: String): JobConfig = {
+    var cfg = JobConfig.load(confPath)
+    if (model.nonEmpty) cfg = cfg.copy(model = model)
+    if (cfg.model.isEmpty)
+      usage("a model path is required (config 'model' or the model argument)")
+    if (cfg.dim <= 0)
+      usage("train/features/test need a positive 'dim' in the config")
+    cfg
+  }
+
+  def trainFromConfig(spark: SparkSession, confPath: String, model: String): Unit =
+    trainJob(spark, loadLifecycleCfg(confPath, model))
+
+  def featuresFromConfig(spark: SparkSession, confPath: String, model: String): DataFrame =
+    featuresFrame(spark, loadLifecycleCfg(confPath, model))
+
+  def testFromConfig(spark: SparkSession, confPath: String, model: String): String =
+    testJson(spark, loadLifecycleCfg(confPath, model))
 
   def main(args: Array[String]): Unit = {
     val inv = parse(args)

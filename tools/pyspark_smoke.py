@@ -131,6 +131,48 @@ def main():
     g.clear_caches()
     print("PASS python module functions (tokenize/rolling_hash/float_dot as Columns)")
 
+    # 4. the config-declared ML lifecycle from Python (the reference
+    #    CaffeOnSpark.py core: train/features/test over one declared job) —
+    #    same JobConfig document the JobRunner CLI runs
+    import json
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="graft-smoke-job")
+    (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .selectExpr(
+            "vec_id", "embedding",
+            "CAST(CASE WHEN embedding[0] + embedding[1] > 0 THEN 1 ELSE 0 END AS INT) AS y",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{work}/train")
+    )
+    conf = f"{work}/job.json"
+    with open(conf, "w") as fh:
+        json.dump(
+            {
+                "source": {"path": f"{work}/train", "labelCol": "y"},
+                "dim": 64,
+                "lr": 2.0,
+                "iters": 10,
+                "model": f"{work}/model",
+            },
+            fh,
+        )
+    g.train(conf)
+    if not os.path.isdir(f"{work}/model"):
+        fail("Graft.train did not snapshot the model")
+    feats = g.features(conf)
+    if feats.columns != ["SampleID", "ip1", "prob"] or feats.count() <= 0:
+        fail(f"Graft.features: {feats.columns}")
+    p = feats.selectExpr("min(prob[0]) AS lo", "max(prob[0]) AS hi").head()
+    if not (0.0 <= p.lo <= p.hi <= 1.0):
+        fail(f"Graft.features prob out of [0,1]: {p}")
+    metrics = g.test(conf)
+    if set(metrics) != {"ip1", "prob"} or not (0.0 <= metrics["prob"][0] <= 1.0):
+        fail(f"Graft.test: {metrics}")
+    print(f"PASS python ML lifecycle train->features->test ({feats.count()} feature rows)")
+
     spark.stop()
     print("PASS pyspark smoke")
 
