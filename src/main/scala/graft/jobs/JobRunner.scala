@@ -194,7 +194,13 @@ object JobRunner {
       graft.sources.IvfCentroids(spark, dir)
       graft.sources.PqCodebooks(spark, dir)
       graft.sources.BpeMerges(spark, dir)
-      graft.sources.BigramLm.model(spark, dir)
+      // BigramLm refresh is CONDITIONAL (merge only when the top-V vocab
+      // provably survives, else rebuild — BigramLm.mergeable); either
+      // path lands the same stamped model
+      inv.ingestFrom match {
+        case Some(old) => graft.sources.BigramLm.refreshed(spark, dir, old)
+        case None => graft.sources.BigramLm.model(spark, dir)
+      }
     }
 
     if (inv.curate) {

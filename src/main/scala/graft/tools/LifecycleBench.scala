@@ -178,10 +178,17 @@ object LifecycleBench {
       "delta-refreshed cluster labels diverge from cold rebuild")
     val mergedPath = graft.sources.ClusterAssignment
       .refreshFrame(spark, fullDir, prevDir)._2
+    // r20: the bigram LM's CONDITIONAL merge (r19) — which path its
+    // guard chose on this append, and model identity either way
+    val bigramMerged = graft.sources.BigramLm.refreshFrame(spark, fullDir, prevDir)._2
+    require(graft.sources.BigramLm.model(spark, fullDir) ==
+      graft.sources.BigramLm.model(spark, fullColdDir),
+      "delta-refreshed bigram model diverges from cold rebuild")
     println(f"""{"metric":"lifecycle_refresh","sf":"$sfDir",""" +
       f""""ingest_delta_sec":${times("ingest_delta")}%.2f,""" +
       f""""ingest_cold_sec":${times("ingest_cold")}%.2f,""" +
-      f""""cluster_merge_path":$mergedPath}""")
+      f""""cluster_merge_path":$mergedPath,""" +
+      f""""bigram_merge_path":$bigramMerged}""")
     spark.stop()
   }
 }
