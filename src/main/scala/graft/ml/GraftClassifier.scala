@@ -34,6 +34,16 @@ private[ml] trait GraftClassifierParams extends Params {
   protected def validateAndTransformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(featuresCol)),
       s"features column '${$(featuresCol)}' missing from ${schema.fieldNames.mkString(",")}")
+    // fail-loud on the likeliest migration mistake: an MLlib VectorUDT
+    // (or double-array) features column — the engine's head reads
+    // Array[Float], and without this check the mismatch surfaces as a
+    // ClassCastException inside an executor task
+    schema($(featuresCol)).dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"features column '${$(featuresCol)}' must be array<float>, got $other" +
+          " (use graft.functions.Interop / cast from vector before this stage)")
+    }
     require(!schema.fieldNames.contains("ip1") && !schema.fieldNames.contains("prob"),
       "input already has an ip1/prob column — rename it before this stage")
     StructType(schema.fields :+
@@ -82,6 +92,9 @@ class GraftClassifier(override val uid: String)
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(labelCol)),
       s"label column '${$(labelCol)}' missing")
+    require(schema($(labelCol)).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"label column '${$(labelCol)}' must be numeric, got ${schema($(labelCol)).dataType}")
     validateAndTransformSchema(schema)
   }
 
@@ -107,12 +120,17 @@ class GraftClassifierModel private[ml] (
         s"weight vector is ${weights.length} doubles, expected ${$(dim)}")
       val z = org.apache.spark.sql.graft.VectorExpressions
         .float_dot(feat, lit(weights.map(_.toFloat)))
-      ds.toDF.withColumn("__z", z)
-        .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-col("__z"))))
-        .withColumn("ip1", array(col("__z").cast(FloatType)))
-        .withColumn("prob", array(col("__p").cast(FloatType),
-          (lit(1.0) - col("__p")).cast(FloatType)))
-        .drop("__z", "__p")
+      // uid-derived temp names: a bare "__z" would CLOBBER a same-named
+      // input column and then drop it, contradicting the declared
+      // input-columns-ride-along output schema (r20 review finding)
+      val zc = s"__${uid}_z"
+      val pc = s"__${uid}_p"
+      ds.toDF.withColumn(zc, z)
+        .withColumn(pc, lit(1.0) / (lit(1.0) + exp(-col(zc))))
+        .withColumn("ip1", array(col(zc).cast(FloatType)))
+        .withColumn("prob", array(col(pc).cast(FloatType),
+          (lit(1.0) - col(pc)).cast(FloatType)))
+        .drop(zc, pc)
     } else {
       val k = $(numClasses)
       require(weights.length == k * $(dim),

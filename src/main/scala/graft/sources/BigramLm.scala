@@ -133,7 +133,14 @@ object BigramLm {
       val orderKept = vwOld.zip(mergedVc)
         .sortBy { case (w, c) => (-c, w) }.map(_._1) == vwOld
       val boundary = vcOld.min + outMax < mergedVc.min
-      if (!orderKept || !boundary) None
+      // UNDER-FULL vocabulary (< V distinct old words): the rebuild's
+      // top-V limit has room, so ANY new delta word enters the rebuilt
+      // vocabulary regardless of count — the outsider boundary above
+      // only argues about displacing a held word, not about filling an
+      // empty slot. Merge is provably vocab-preserving here only when
+      // the delta introduces no new word at all (r20 review finding).
+      val vocabFull = vwOld.length >= graft.queries.TextOps.PplVocab || outMax == 0L
+      if (!orderKept || !boundary || !vocabFull) None
       else {
         val cbDelta = f.select(explode(
             org.apache.spark.sql.graft.TextExpressions.class_bigram_keys(

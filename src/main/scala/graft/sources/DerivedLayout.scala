@@ -78,9 +78,18 @@ object DerivedLayout {
     * the document layouts, `embedding` for the bucketed vectors): an
     * edit to an unrelated column then correctly does NOT force a
     * rebuild. Exact up to a 2^-64 per-row xxhash64 collision.
-    * Cost: one take(1) over an anti-join shuffling (key, sig) pairs —
-    * the content columns are read once on each side to hash, which is
-    * still far below the explode/shuffle cost of any rebuild it guards.
+    *
+    * The survival anti-join alone still passes a DUPLICATE-KEY append
+    * (a new row reusing an old key while the old row also survives):
+    * every delta merge's left-anti would silently drop that row even
+    * though a rebuild counts it, so a second leg requires the count of
+    * new rows carrying an old key to equal the old row count — under
+    * the per-table unique-key invariant, exactly "old rows survive and
+    * nothing else wears their keys" (r20 review finding).
+    * Cost: one take(1) anti-join plus two counts, all shuffling only
+    * (key, sig) pairs — the content columns are read once per side to
+    * hash, still far below the explode/shuffle cost of any rebuild it
+    * guards.
     */
   private[graft] def appendOnly(spark: SparkSession, newDir: String,
       oldDir: String, table: String, key: String,
@@ -88,9 +97,10 @@ object DerivedLayout {
     import org.apache.spark.sql.functions.{col, xxhash64}
     def keyed(dir: String) = graft.Tables(spark, dir, table)
       .select(col(key), xxhash64(contentCols.map(col): _*).as("__content_sig"))
-    keyed(oldDir)
-      .join(keyed(newDir), Seq(key, "__content_sig"), "left_anti")
-      .take(1).isEmpty
+    val oldK = keyed(oldDir)
+    val newK = keyed(newDir)
+    oldK.join(newK, Seq(key, "__content_sig"), "left_anti").take(1).isEmpty &&
+      newK.join(oldK.select(key), Seq(key), "left_semi").count() == oldK.count()
   }
 
   private def getOrBuild(spark: SparkSession, target: String,

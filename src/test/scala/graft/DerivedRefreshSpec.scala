@@ -398,6 +398,61 @@ class DerivedRefreshSpec extends SparkSpec {
       "a non-content column edit must NOT fail the text-scoped probe")
   }
 
+  test("a duplicate-key append fails the probe (the left-anti delta would drop the row)") {
+    // New corpus keeps EVERY old row unchanged and appends a second row
+    // wearing an existing doc_id with different text. The survival
+    // anti-join passes (all old (key, sig) pairs survive), but every
+    // delta merge's left-anti excludes the appended row while a rebuild
+    // counts it — the r20 review finding; the count leg must catch it.
+    val dup = v1Docs :+ docRow(100L, "a second body wearing an existing id")
+    val dupDir = writeCorpus(dup, "dupkey")
+    assert(!sources.DerivedLayout.appendOnly(spark, dupDir, v1Dir, "documents", "doc_id", Seq("text")),
+      "a duplicate-key append must fail the probe")
+    // ... and the same for an exact duplicate (same id, same text): the
+    // rebuild double-counts it, so the merge must not claim exactness
+    val dupExact = v1Docs :+ v1Docs.find(_._1 == 100L).get
+    val dupExactDir = writeCorpus(dupExact, "dupexact")
+    assert(!sources.DerivedLayout.appendOnly(spark, dupExactDir, v1Dir, "documents", "doc_id", Seq("text")),
+      "an exact-duplicate append must fail the probe")
+    // TermStats.refreshed must therefore rebuild and include the new body
+    def keyedTs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tsGot = keyedTs(sources.TermStats.refreshed(spark, dupDir, v1Dir).select("w", "df"))
+    val tsExpect = keyedTs(queries.TextOps
+      .termDfFrame(Tables(spark, dupDir, "documents")).select("w", "df"))
+    assert(tsGot == tsExpect,
+      "TermStats.refreshed must rebuild (count the duplicate-keyed row) on a dup-key append")
+  }
+
+  test("BigramLm merge declines when the old vocabulary is UNDER-FULL and the delta adds a word") {
+    // 5 distinct old words (< V=16): a rebuild's top-V has room, so ANY
+    // new delta word enters the rebuilt vocabulary — the outsider
+    // boundary (which argues about displacement, not empty slots) is
+    // insufficient and the merge must bail (r20 review finding).
+    val words = (1 to 5).map(i => f"u$i%02d")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(25 - 3 * i)(w) }.mkString(" ")
+    val u1 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text)), "blmU1")
+    // the delta repeats the old text AND adds a brand-new rare word pair
+    val u2 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text),
+      docRow(100L, text + " zebra zebra")), "blmU2")
+    val ((vw, cu, cb), merged) = sources.BigramLm.refreshFrame(spark, u2, u1)
+    assert(!merged, "an under-full vocab + new delta word must route to rebuild")
+    val (evw, ecu, _, ecb) = queries.TextOps
+      .bigramModel(Tables(spark, u2, "documents"))
+    assert(vw == evw && cu == ecu && cb == ecb)
+    assert(vw.contains("zebra"), "the rebuild must admit the new word (room in top-V)")
+    // control: the same under-full vocab with a delta of ONLY old words
+    // is provably vocab-preserving — the merge path must still run
+    val u3 = writeCorpus(Seq(docRow(0L, text), docRow(1L, text),
+      docRow(100L, text)), "blmU3")
+    val ((vw3, cu3, cb3), merged3) = sources.BigramLm.refreshFrame(spark, u3, u1)
+    assert(merged3, "an under-full vocab with no new words must still merge")
+    val (evw3, ecu3, _, ecb3) = queries.TextOps
+      .bigramModel(Tables(spark, u3, "documents"))
+    assert(vw3 == evw3 && cu3 == ecu3 && cb3 == ecb3)
+  }
+
   test("BigramLm refresh with an empty old vocabulary rebuilds instead of crashing") {
     // Every old doc has dl < 2 (single tokens are dropped by the dl>=2
     // filter), so the stored vocabulary is EMPTY; mergeable's boundary

@@ -79,6 +79,19 @@ class GraftClassifierSpec extends SparkSpec {
     assert(model.weights.length == 3 * 64)
   }
 
+  test("transform's temp columns never clobber same-named input columns") {
+    // the binary head's intermediate z/p columns are uid-derived; a user
+    // column named __z must ride through untouched (r20 review finding)
+    val gc = new ml.GraftClassifier()
+      .setDim(64).setMaxIter(5).setFeaturesCol("embedding").setLabelCol("y")
+    val model = gc.fit(labeled)
+    val withZ = labeled.withColumn("__z", lit(42))
+    val out = model.transform(withZ)
+    assert(out.columns.toSeq == withZ.columns.toSeq ++ Seq("ip1", "prob"))
+    assert(out.select(col("__z")).distinct().collect().map(_.getInt(0)).toSeq == Seq(42),
+      "the user's __z column must survive transform unchanged")
+  }
+
   test("schema validation fails loud: missing columns, blob-name collisions") {
     val gc = new ml.GraftClassifier().setDim(64).setLabelCol("y")
     intercept[IllegalArgumentException] {

@@ -163,7 +163,8 @@ def main():
     if not os.path.isdir(f"{work}/model"):
         fail("Graft.train did not snapshot the model")
     feats = g.features(conf)
-    if feats.columns != ["SampleID", "ip1", "prob"] or feats.count() <= 0:
+    n_feats = feats.count()
+    if feats.columns != ["SampleID", "ip1", "prob"] or n_feats <= 0:
         fail(f"Graft.features: {feats.columns}")
     p = feats.selectExpr("min(prob[0]) AS lo", "max(prob[0]) AS hi").head()
     if not (0.0 <= p.lo <= p.hi <= 1.0):
@@ -171,7 +172,7 @@ def main():
     metrics = g.test(conf)
     if set(metrics) != {"ip1", "prob"} or not (0.0 <= metrics["prob"][0] <= 1.0):
         fail(f"Graft.test: {metrics}")
-    print(f"PASS python ML lifecycle train->features->test ({feats.count()} feature rows)")
+    print(f"PASS python ML lifecycle train->features->test ({n_feats} feature rows)")
 
     spark.stop()
     print("PASS pyspark smoke")
