@@ -58,6 +58,11 @@ object ScaleCanary {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 16 targets × 2 corpora × 3 reps thrash the default 100-entry
+      // Janino cache (the Bench.scala pitfall) — without this the warm
+      // rows of job-heavy queries (q77's driver assembly) re-pay codegen
+      // compilation every rep and read 5× their bench cost
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
