@@ -153,4 +153,34 @@ class GraftClassifierModel private[ml] (
 
   override def copy(extra: ParamMap): GraftClassifierModel =
     copyValues(new GraftClassifierModel(uid, weights), extra).setParent(parent)
+
+  /** Persist the fitted model in the engine's snapshot posture (K5, the
+    * flattened-weights parquet the JobRunner lifecycle shares) plus the
+    * head geometry and column params — one 1-row parquet, readable by
+    * [[GraftClassifierModel.load]]. Deliberately NOT MLWritable: the
+    * reference's MyMLPipeline persists only the downstream MLlib model,
+    * and the engine's one snapshot format keeps a shim-trained and a
+    * job-trained model interchangeable.
+    */
+  def save(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq((uid, weights.toSeq, $(dim), $(numClasses), $(featuresCol), $(labelCol)))
+      .toDF("uid", "weights", "dim", "numClasses", "featuresCol", "labelCol")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+}
+
+object GraftClassifierModel {
+
+  /** Rehydrate a model written by [[GraftClassifierModel.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): GraftClassifierModel = {
+    val r = spark.read.parquet(path).head()
+    val m = new GraftClassifierModel(r.getString(0), r.getSeq[Double](1).toArray)
+    m.set(m.dim, r.getInt(2))
+    m.set(m.numClasses, r.getInt(3))
+    m.set(m.featuresCol, r.getString(4))
+    m.set(m.labelCol, r.getString(5))
+    m
+  }
 }

@@ -79,6 +79,19 @@ class GraftClassifierSpec extends SparkSpec {
     assert(model.weights.length == 3 * 64)
   }
 
+  test("model save -> load round-trips: identical params, weights, and transform output") {
+    val gc = new ml.GraftClassifier()
+      .setDim(64).setMaxIter(5).setFeaturesCol("embedding").setLabelCol("y")
+    val model = gc.fit(labeled)
+    val path = java.nio.file.Files.createTempDirectory("gcm").toString + "/model"
+    model.save(path)
+    val back = ml.GraftClassifierModel.load(spark, path)
+    assert(back.uid == model.uid && back.weights.toSeq == model.weights.toSeq)
+    val a = model.transform(labeled).select("vec_id", "ip1", "prob").collect().toSeq
+    val b = back.transform(labeled).select("vec_id", "ip1", "prob").collect().toSeq
+    assert(a == b, "reloaded model must transform bit-identically")
+  }
+
   test("transform's temp columns never clobber same-named input columns") {
     // the binary head's intermediate z/p columns are uid-derived; a user
     // column named __z must ride through untouched (r20 review finding)
