@@ -28,6 +28,8 @@ Usage:
 Exercised end-to-end by tools/pyspark_smoke.py (the parity gate).
 """
 
+import json
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,8 +121,6 @@ class Graft:
         """Held-out metrics as a dict {blob: [per-dim means]} — the
         reference's test_result document, parsed.
         """
-        import json
-
         return json.loads(
             self._jobs().testFromConfig(self._spark._jsparkSession, conf, model))
 
