@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for the LLM-data-pipeline surface
@@ -78,6 +78,26 @@ object TextFunctions {
 
   /** DuckDB bigram comprehension over an aliased token list `t`. */
   val WordBigramsOverT: String = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
+
+  /** Explode a string-array column into its per-row DISTINCT elements
+    * with occurrence counts, as a struct column `p(<keyField>, occ)` —
+    * ONE array_sort + run-length pass INSIDE the row (the q102-twin
+    * trick): the (element, row) level never shuffles, so a downstream
+    * `groupBy(key).agg(sum(occ), count(*))` computes (n_occ, n_docs)
+    * with the element-level rollup as the ONLY exchange. Every other
+    * column is dropped — callers aggregate on the element alone. Shared
+    * by q105's SpanStats build and q121's CDC-chunk rollup.
+    */
+  def runLengthExplode(df: DataFrame, arr: Column, keyField: String): DataFrame =
+    df.select(array_sort(arr).as("__gs"))
+      .withColumn("__starts", expr(
+        "CASE WHEN size(__gs) = 0 THEN array() ELSE " +
+          "filter(sequence(0, size(__gs) - 1), i -> i = 0 OR __gs[i] <> __gs[i-1]) END"))
+      .select(explode(expr(
+        "zip_with(__starts, " +
+          "concat(slice(__starts, 2, size(__starts)), array(size(__gs))), " +
+          s"(a, b) -> named_struct('$keyField', __gs[a], 'occ', CAST(b - a AS BIGINT)))"))
+        .as("p"))
 
   /** DuckDB word-n-gram comprehension over an aliased token list `t`
     * (space-joined windows; empty when the list is shorter than n) — the

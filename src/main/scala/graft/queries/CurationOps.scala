@@ -337,6 +337,93 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** The q120 gate threshold — dyadic (5/64, exactly representable) so the
+    * flag comparison is bit-stable cross-engine; sits near this corpus's
+    * median concentration so both branches are oracle-exercised.
+    */
+  private[graft] val CharConcGate = 0.078125
+
+  /** q120's scoring projection over a documents-shaped frame — ONE
+    * derivation shared by batch q120 and the streaming twin
+    * ([[graft.streaming.DocumentStreams.charConcentrationFlags]]):
+    * (doc_id, n_chars_counted, n_distinct_chars, char_concentration,
+    * is_flagged). Map-only by construction — the per-doc statistic
+    * computes INSIDE the row via the native char_stats kernel — which is
+    * what makes the stream twin stateless and the streamed rows
+    * bit-identical to batch.
+    */
+  private[graft] def charConcentrationScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      // the n > 0 edge rule as a PUSHABLE predicate: n (code points) > 0
+      // iff the string is non-empty — filtering on length(text) before
+      // the kernel keeps char_stats evaluated ONCE per row (a filter on
+      // cs[0] gets pushed below the project and re-evaluates the kernel
+      // in the predicate; seen in the plan dump)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.TextExpressions.char_stats(col("text"))
+          .as("cs"))
+      .select(col("doc_id"),
+        col("cs").getItem(0).as("n_chars_counted"),
+        col("cs").getItem(1).as("n_distinct_chars"),
+        (col("cs").getItem(2).cast("double") /
+          (col("cs").getItem(0) * col("cs").getItem(0)).cast("double"))
+          .as("char_concentration"))
+      .withColumn("is_flagged", col("char_concentration") > CharConcGate)
+
+  /** Q120 — character-distribution concentration (gibberish/corruption
+    * gate): per document, the Simpson collision probability of its
+    * character distribution — Σ countᶜ² / n² over code points — plus the
+    * exact integer dimensions behind it (n, distinct chars, Σ count²).
+    * Low-entropy junk (repeated characters, binary spill rendered as one
+    * glyph, padding runs) concentrates mass on few code points and spikes
+    * the statistic; the published gate flags concentration > 5/64
+    * (dyadic, exactly representable — on this corpus the threshold sits
+    * near the median so both branches are exercised by the oracle
+    * compare). Complements q18/q56 (token-level quality) and q47/q96
+    * (token repetition): this one sees CHARACTER-level damage that
+    * tokenizes away — a 10k-char `aaaa…` run is ONE token to q47 but
+    * concentration ≈ 1 here.
+    *
+    * Determinism: n, k, s2 are exact integers (native one-pass
+    * [[org.apache.spark.sql.graft.ExprKernels.charStats]], sort +
+    * run-length per row vs the oracle's char-explode histogram), the
+    * ratio divides two identical correctly-rounded doubles, and the flag
+    * compares against a dyadic literal — bit-exact cross-engine. The
+    * n > 0 filter owns the empty-text edge (Spark's 0/0 is NULL,
+    * DuckDB's is inf — an empty doc has no distribution to score).
+    *
+    * Scale: map-only (the per-doc statistic is computed INSIDE the row —
+    * no char explode, no shuffle), so the gate runs at scan bandwidth at
+    * any corpus size; the oracle's explode→GROUP BY recompute is the
+    * usual from-scratch audit form.
+    */
+  val q120CharConcentration: QueryDef = QueryDef.sql(
+    "q120_char_concentration",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+      |  FROM documents),
+      |hist AS (
+      |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ch GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      |  FROM hist GROUP BY 1)
+      |SELECT doc_id, n_chars_counted, n_distinct_chars,
+      |  CAST(s2 AS DOUBLE) / CAST(n_chars_counted * n_chars_counted AS DOUBLE)
+      |    AS char_concentration,
+      |  CAST(s2 AS DOUBLE) / CAST(n_chars_counted * n_chars_counted AS DOUBLE)
+      |    > 0.078125 AS is_flagged
+      |FROM agg
+      |WHERE n_chars_counted > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    charConcentrationScored(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q55PiiScrub, q56QualityFilter,
-    q57TemperatureMix, q94BlocklistFilter, q96RepetitionFilter)
+    q57TemperatureMix, q94BlocklistFilter, q96RepetitionFilter,
+    q120CharConcentration)
 }

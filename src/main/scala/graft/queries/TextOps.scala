@@ -2151,6 +2151,82 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Q121 — content-defined chunking + chunk-level dedup: each document's
+    * tokens are cut into variable-size chunks AT every token whose q17
+    * rolling hash ≡ 0 (mod 8) — expected chunk ≈ 8 tokens — and the
+    * report is the top-20 chunks repeated across the corpus (rank, chunk,
+    * n_tokens, n_occ, n_docs). The cut rule is the storage-dedup CDC
+    * property q69's fixed windows lack: an insertion shifts every
+    * downstream fixed window, but hash-cut boundaries RE-SYNCHRONIZE at
+    * the next cut token, so unchanged regions re-produce byte-identical
+    * chunks and chunk-hash dedup still finds them. No minimum-length
+    * floor (real CDC systems add one): single-token chunks — tokens that
+    * are themselves cut points — are honest chunks here and dominate the
+    * top ranks on a high-collision corpus; the scaladoc'd extension is a
+    * min/max window like restic/LBFS, which changes only the kernel.
+    *
+    * Plan shape at 100 TB: chunking is the native codegen'd
+    * [[org.apache.spark.sql.graft.ExprKernels.cdcChunks]] (one rolling
+    * hash per token, map-only), the per-(chunk, doc) level never
+    * shuffles ([[graft.functions.TextFunctions.runLengthExplode]] — each
+    * doc emits its DISTINCT chunks with in-row counts), and the only
+    * exchange is the chunk-level rollup feeding a TakeOrdered head —
+    * exactly q105's scale posture with content-defined keys. The oracle
+    * reconstructs the chunks relationally (position unnest → boundary
+    * prefix-sum window → string_agg) from the same hash fold.
+    */
+  val q121CdcChunks: QueryDef = QueryDef.sql(
+    "q121_cdc_chunks",
+    s"""WITH tk AS (
+       |  SELECT doc_id, ts[u.i] AS tok, CAST(u.i AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents) x,
+       |       unnest(range(1, len(x.ts) + 1)) AS u(i)),
+       |b AS (
+       |  SELECT doc_id, tok, pos,
+       |    CASE WHEN (${FingerprintSql("tok")}) % 8 = 0 THEN 1 ELSE 0 END AS isb
+       |  FROM tk),
+       |cid AS (
+       |  SELECT doc_id, tok, pos,
+       |    COALESCE(sum(isb) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |  FROM cid GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM chunks GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, chunk) AS BIGINT) AS rank,
+       |  chunk, CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+       |  n_occ, n_docs
+       |FROM agg
+       |WHERE n_occ >= 2
+       |ORDER BY n_occ DESC, chunk
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val spread = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      // q105's explicit-width spread: the chunk explode is the heaviest
+      // per-row work and must not serialize on one scan split
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    graft.functions.TextFunctions.runLengthExplode(
+        spread,
+        org.apache.spark.sql.graft.TextExpressions.cdc_chunks(toks, 8), "chunk")
+      .groupBy(col("p.chunk").as("chunk"))
+      .agg(sum(col("p.occ")).cast("long").as("n_occ"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("chunk")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("chunk")))
+          .cast("long"))
+      .select(col("rank"), col("chunk"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        col("n_occ"), col("n_docs"))
+      .orderBy("rank")
+  }
+
   /** The repeated-span statistics relation (span, n_occ, n_docs), n_occ
     * ≥ 2 — q105's rollup and the defining computation of the
     * [[graft.sources.SpanStats]] layout. The ≥2 gate is part of the
@@ -2164,7 +2240,7 @@ object TextOps {
     */
   private[graft] def spanStatsFrame(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val dtf = docs
+    val spread = docs
       .select(col("doc_id"), col("text"))
       // explicit-width spread BEFORE the span explode (the q67/q51/q90
       // parallelism pin): the corpus scan is one small split at bench SF,
@@ -2173,24 +2249,13 @@ object TextOps {
       // fused single-task stage ran 2.4 s of a 3.0 s wall)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
-      // per-doc tf WITHIN the row (one array_sort + run-length pass, the
-      // q102-twin trick): the (span, doc) level never shuffles — each doc
-      // emits its DISTINCT spans with counts, and the only exchange is
-      // the span-level rollup (measured vs the explode→groupBy(span,doc)
-      // form: 1.04 → 0.93 s warm at sf0.1; the spread above was the big
-      // lever, 3.0 → 1.04 s)
-      .select(col("doc_id"),
-        array_sort(graft.functions.TextFunctions.wordNgrams(tokens("text"), 8))
-          .as("__gs"))
-      .withColumn("__starts", expr(
-        "CASE WHEN size(__gs) = 0 THEN array() ELSE " +
-          "filter(sequence(0, size(__gs) - 1), i -> i = 0 OR __gs[i] <> __gs[i-1]) END"))
-      .select(explode(expr(
-        "zip_with(__starts, " +
-          "concat(slice(__starts, 2, size(__starts)), array(size(__gs))), " +
-          "(a, b) -> named_struct('span', __gs[a], 'occ', CAST(b - a AS BIGINT)))"))
-        .as("p"))
-    dtf
+    // per-doc tf WITHIN the row (runLengthExplode): the (span, doc) level
+    // never shuffles — each doc emits its DISTINCT spans with counts, and
+    // the only exchange is the span-level rollup (measured vs the
+    // explode→groupBy(span,doc) form: 1.04 → 0.93 s warm at sf0.1; the
+    // spread above was the big lever, 3.0 → 1.04 s)
+    graft.functions.TextFunctions.runLengthExplode(
+        spread, graft.functions.TextFunctions.wordNgrams(tokens("text"), 8), "span")
       .groupBy(col("p.span").as("span"))
       .agg(sum(col("p.occ")).cast("long").as("n_occ"),
         count(lit(1)).as("n_docs"))
@@ -2420,5 +2485,5 @@ object TextOps {
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
     q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
     q115DfSpectrum, q117VocabGrowth, q118BigramPerplexity,
-    q119LmDisagreement)
+    q119LmDisagreement, q121CdcChunks)
 }

@@ -92,6 +92,24 @@ object DocumentStreams {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming character-concentration flags — q120's gibberish/
+    * encoding-corruption gate over an unbounded source: stateless and
+    * shuffle-free (the Simpson concentration is a per-document property
+    * computed INSIDE the row by the native char_stats kernel), so
+    * arriving docs gate in the micro-batch they land in. Emits the
+    * FLAGGED docs — the review queue — with (doc_id, n_chars_counted,
+    * n_distinct_chars, char_concentration) bit-identical to batch q120's
+    * flagged subset: the scorer IS the shared
+    * [[graft.queries.CurationOps.charConcentrationScored]] derivation
+    * (integer dims + one double division + a dyadic-literal compare, no
+    * order-sensitive arithmetic anywhere). StreamingSpec pins the
+    * equality.
+    */
+  def charConcentrationFlags(stream: DataFrame): DataFrame =
+    graft.queries.CurationOps.charConcentrationScored(stream)
+      .filter(col("is_flagged"))
+      .drop("is_flagged")
+
   /** Streaming repetition flags — q96's Gopher-rule gate over an
     * unbounded source: stateless and shuffle-free (repetition is a
     * per-document property; the native `dup_run_stats` kernel computes

@@ -548,6 +548,72 @@ object ExprKernels {
     -acc / (n - 1).toDouble
   }
 
+  /** Character-distribution statistics `[n, k, s2]` over a string's code
+    * points (see CharStats): n = total code points, k = distinct code
+    * points, s2 = Σ countᶜ² — the exact integers behind the Simpson
+    * collision concentration s2/n² (q120's gibberish/corruption gate).
+    * Sort + run-length like [[dupRunStats]] (O(n log n) per row, zero
+    * hashing, map-only), vs the oracle's explode→GROUP BY histogram.
+    * Empty input → [0, 0, 0]; the CONSUMER owns the n = 0 division rule
+    * (Spark and DuckDB disagree on 0/0, so q120 filters n > 0).
+    */
+  def charStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = new Array[Int](str.length)
+    var i = 0
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, n)
+    var k = 0L
+    var s2 = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && cps(j) == cps(i)) j += 1
+      val run = (j - i).toLong
+      k += 1L
+      s2 += run * run
+      i = j
+    }
+    new GenericArrayData(Array(n.toLong, k, s2))
+  }
+
+  /** Content-defined chunking of a token array (see CdcChunks): a chunk
+    * ends AT every token whose [[RollingHash]] is ≡ 0 (mod divisor) — the
+    * storage-dedup cut rule with the synchronization property fixed-width
+    * windows (q69) lack: an insertion shifts every downstream fixed
+    * window but CDC boundaries re-align at the next cut token, so
+    * unchanged regions re-produce identical chunks. Chunks come back as
+    * space-joined strings in document order; a trailing run with no cut
+    * token is the final chunk; empty input → no chunks. One pass, one
+    * hash per token (the q17 fingerprint fold), map-only.
+    */
+  def cdcChunks(toks: ArrayData, divisor: Int): ArrayData = {
+    if (divisor <= 0) throw new IllegalArgumentException(
+      s"cdc_chunks: divisor $divisor must be positive")
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      if (sb.length > 0) sb.append(' ')
+      sb.append(t)
+      if (RollingHash.hash(t) % divisor == 0L) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** (x[i] − mean[i mod mean.length]) · scale per element (see
     * VecNormalize): mean.length == channels covers the per-channel
     * `mean_value` mode on interleaved HWC data, mean.length == x.length

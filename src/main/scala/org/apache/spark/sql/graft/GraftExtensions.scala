@@ -121,6 +121,16 @@ object GraftExtensions {
         case Seq(fps) => DupRunStats(fps)
         case _ => throw new IllegalArgumentException("dup_run_stats(fps)")
       }),
+    ("char_stats", classOf[CharStats].getName,
+      (c: Seq[Expression]) => CharStats(c.head)),
+    ("cdc_chunks", classOf[CdcChunks].getName,
+      (c: Seq[Expression]) => c match {
+        case Seq(toks, d) =>
+          // divisor must be a literal; evaluated once at resolution
+          CdcChunks(toks, d.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunks(tokens, divisor)")
+      }),
     ("linear_count_buckets", classOf[LinearCountBuckets].getName,
       (c: Seq[Expression]) => c match {
         case Seq(child, m) => LinearCountBuckets(child,

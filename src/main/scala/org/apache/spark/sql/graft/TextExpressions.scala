@@ -280,6 +280,56 @@ case class BigramNll(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Character-distribution statistics `[n, k, s2]` of a string — the exact
+  * integers behind q120's Simpson collision concentration s2/n² (see
+  * [[ExprKernels.charStats]]): one sort + run-length pass per row vs the
+  * oracle's char-explode → two-level GROUP BY histogram, so the Spark
+  * side is MAP-ONLY (the per-doc statistic never shuffles characters).
+  */
+case class CharStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.charStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.charStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking of a token array: space-joined chunks cut
+  * AFTER every token whose rolling hash ≡ 0 (mod divisor) — expected
+  * chunk length ≈ divisor tokens, boundaries chosen by CONTENT so edits
+  * re-synchronize (see [[ExprKernels.cdcChunks]]; q121). One hash per
+  * token, codegen-capable like [[Tokenize]].
+  */
+case class CdcChunks(child: Expression, divisor: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(divisor >= 1, s"cdc_chunks divisor must be >= 1, got $divisor")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.cdcChunks(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.cdcChunks($c, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
@@ -327,4 +377,12 @@ object TextExpressions {
   def bigram_nll(cls: Column, cb: Column, cu: Column): Column =
     ExpressionUtils.column(BigramNll(ExpressionUtils.expression(cls),
       ExpressionUtils.expression(cb), ExpressionUtils.expression(cu)))
+
+  /** Character-distribution stats [n, k, Σcount²] (q120's concentration). */
+  def char_stats(c: Column): Column =
+    ExpressionUtils.column(CharStats(ExpressionUtils.expression(c)))
+
+  /** Content-defined chunks of a token array, cut at hash ≡ 0 (mod d). */
+  def cdc_chunks(toks: Column, divisor: Int): Column =
+    ExpressionUtils.column(CdcChunks(ExpressionUtils.expression(toks), divisor))
 }

@@ -621,6 +621,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming char-concentration flags equal batch q120's flagged set bit-for-bit") {
+    import graft.streaming.DocumentStreams
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_conc")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val streamed = EventStreams.runToMemory(
+      DocumentStreams.charConcentrationFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s")),
+      "conc_t").collect().map(key).toMap
+    val batch = queries.CurationOps.q120CharConcentration.fn(spark, sf)
+      .filter(col("is_flagged")).drop("is_flagged").collect().map(key).toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming keyword flags equal batch q102 exactly against the frozen stats") {
     // the twin scores arriving docs against (df, N) frozen from the SAME
     // corpus batch q102 computes them from, so every (doc, rank) row must
