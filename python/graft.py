@@ -194,6 +194,16 @@ class functions:
         """Interpolated class-bigram LM per-doc average -ln P (q118)."""
         return functions._call("bigram_nll", cls, cb, cu)
 
+    @staticmethod
+    def char_stats(col):
+        """[n, k, sum(count^2)] over a string's code points (q120's gate)."""
+        return functions._call("char_stats", col)
+
+    @staticmethod
+    def cdc_chunks(tokens, divisor):
+        """Content-defined chunks cut at rolling hash == 0 (mod divisor)."""
+        return functions._call("cdc_chunks", tokens, divisor)
+
     # ---- vectors ----------------------------------------------------------
     @staticmethod
     def float_dot(a, b):

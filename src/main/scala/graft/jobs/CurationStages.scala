@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   * exact-dot verify → the same components/canonicalize (duplication in
   * meaning-space); decontaminate = q51's capped bipartite posting lists;
   * pii_scrub = q55's fused native RegexScrub; quality_filter = q56's
-  * published linear model; perplexity_filter = q66's corpus-trained
+  * published linear model; char_concentration_filter = q120's Simpson
+  * concentration gibberish gate (kept set = the unflagged set, shared
+  * concentrationCol definition); perplexity_filter = q66's corpus-trained
   * unigram-LM scorer, keeping docs at or below a declared perplexity
   * percentile; curriculum_order = q110's exact difficulty-quartile
   * bucketing written as a per-doc `phase` column (the schedule a
@@ -90,6 +92,7 @@ object CurationStages {
     "blocklist_filter" -> Set("terms"),
     "pii_scrub" -> Set.empty,
     "quality_filter" -> Set("minScore"),
+    "char_concentration_filter" -> Set("maxConcentration"),
     "perplexity_filter" -> Set("maxPercentile", "vocabSize", "order"),
     "stratified_sample" -> Set("rates", "default"),
     "importance_resample" -> Set("budgetDocs", "targetSources"),
@@ -402,6 +405,23 @@ object CurationStages {
       docs.withColumn("text",
         org.apache.spark.sql.graft.RegexScrub
           .regex_scrub(col("text"), graft.queries.CurationOps.PiiRules)("scrubbed"))
+
+    // q120's character-distribution gate, as a filter: drop docs whose
+    // Simpson collision concentration exceeds the bar (default the
+    // published 5/64 gate — the kept set is exactly q120's unflagged set
+    // via the shared concentrationCol definition). Map-only through the
+    // native char_stats kernel; empty docs have no distribution and drop
+    // (quality_filter's token-less contract, one character down).
+    case "char_concentration_filter" =>
+      val maxConc = stage.dbl("maxConcentration",
+        graft.queries.CurationOps.CharConcGate)
+      docs
+        .filter(length(col("text")) > 0)
+        .withColumn("__cs", org.apache.spark.sql.graft.TextExpressions
+          .char_stats(col("text")))
+        .filter(!(graft.queries.CurationOps.concentrationCol(col("__cs")) >
+          maxConc))
+        .drop("__cs")
 
     // q56's published linear model; keeps rows whose logit clears the bar
     case "quality_filter" =>

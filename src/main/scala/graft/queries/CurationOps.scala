@@ -343,6 +343,16 @@ object CurationOps {
     */
   private[graft] val CharConcGate = 0.078125
 
+  /** The Simpson collision concentration over a char_stats array column
+    * (s2/n², both sides cast to double first) — the ONE ratio definition
+    * shared by [[charConcentrationScored]] and the
+    * `char_concentration_filter` stage.
+    */
+  private[graft] def concentrationCol(cs: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    cs.getItem(2).cast("double") /
+      (cs.getItem(0) * cs.getItem(0)).cast("double")
+
   /** q120's scoring projection over a documents-shaped frame — ONE
     * derivation shared by batch q120 and the streaming twin
     * ([[graft.streaming.DocumentStreams.charConcentrationFlags]]):
@@ -367,9 +377,7 @@ object CurationOps {
       .select(col("doc_id"),
         col("cs").getItem(0).as("n_chars_counted"),
         col("cs").getItem(1).as("n_distinct_chars"),
-        (col("cs").getItem(2).cast("double") /
-          (col("cs").getItem(0) * col("cs").getItem(0)).cast("double"))
-          .as("char_concentration"))
+        concentrationCol(col("cs")).as("char_concentration"))
       .withColumn("is_flagged", col("char_concentration") > CharConcGate)
 
   /** Q120 — character-distribution concentration (gibberish/corruption

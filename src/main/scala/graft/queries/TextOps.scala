@@ -2205,18 +2205,7 @@ object TextOps {
        |ORDER BY n_occ DESC, chunk
        |LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val spread = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      // q105's explicit-width spread: the chunk explode is the heaviest
-      // per-row work and must not serialize on one scan split
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-    graft.functions.TextFunctions.runLengthExplode(
-        spread,
-        org.apache.spark.sql.graft.TextExpressions.cdc_chunks(toks, 8), "chunk")
-      .groupBy(col("p.chunk").as("chunk"))
-      .agg(sum(col("p.occ")).cast("long").as("n_occ"),
-        count(lit(1)).as("n_docs"))
-      .filter(col("n_occ") >= 2)
+    cdcChunkStats(Tables(s, dir, "documents"))
       .orderBy(col("n_occ").desc, col("chunk")).limit(20)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_occ").desc, col("chunk")))
@@ -2225,6 +2214,32 @@ object TextOps {
         size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
         col("n_occ"), col("n_docs"))
       .orderBy("rank")
+  }
+
+  /** The repeated-CDC-chunk statistics relation (chunk, n_occ, n_docs),
+    * n_occ ≥ 2 — q121's rollup and the corpus side of the
+    * `boilerplateChunkFlags` stream twin's Bloom index (SpanStats'
+    * ≥2-gate rationale applies: unique chunks are the storage majority
+    * and carry no repetition signal). Chunking is the native cdc_chunks
+    * kernel; per-(chunk, doc) counts stay in-row (runLengthExplode), the
+    * chunk-level rollup is the only exchange.
+    */
+  private[graft] def cdcChunkStats(docs: org.apache.spark.sql.DataFrame,
+      divisor: Int = 8): org.apache.spark.sql.DataFrame = {
+    val spread = docs
+      .select(col("doc_id"), col("text"))
+      // q105's explicit-width spread: the chunk explode is the heaviest
+      // per-row work and must not serialize on one scan split
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+    graft.functions.TextFunctions.runLengthExplode(
+        spread,
+        org.apache.spark.sql.graft.TextExpressions.cdc_chunks(toks, divisor),
+        "chunk")
+      .groupBy(col("p.chunk").as("chunk"))
+      .agg(sum(col("p.occ")).cast("long").as("n_occ"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_occ") >= 2)
   }
 
   /** The repeated-span statistics relation (span, n_occ, n_docs), n_occ

@@ -92,6 +92,46 @@ object DocumentStreams {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming boilerplate-chunk flags — q121's chunk-level dedup signal
+    * over an unbounded source: flag arriving documents that carry ≥
+    * `minHits` content-defined chunks ALREADY REPEATED in a reference
+    * corpus, by membership against a Bloom filter of the corpus's
+    * repeated-chunk hashes (q121's `cdcChunkStats` relation, built once
+    * batch side). The continuous form of boilerplate/near-dup detection
+    * at chunk granularity — and because CDC boundaries re-synchronize
+    * after edits (the q121 property), an arriving LIGHTLY-EDITED copy of
+    * corpus text still hits on its unchanged chunks where fixed windows
+    * would all miss.
+    *
+    * Stream side is MAP-ONLY (contaminationFlags' shape): per row, the
+    * native cdc_chunks → token_hashes chain produces the doc's distinct
+    * chunk fingerprints in-row, and the codegen'd bloom_hits counts
+    * membership — no state, no shuffle, the index travels as the
+    * filter's bits. Bloom semantics: no false negatives (every doc truly
+    * carrying a repeated chunk is flagged); `fpp` inflates hit counts
+    * slightly, so `minHits` thresholds an upper bound.
+    */
+  def boilerplateChunkFlags(stream: DataFrame, corpus: DataFrame,
+      minHits: Int = 1, divisor: Int = 8,
+      expectedChunks: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.graft.TextExpressions.cdc_chunks
+    import org.apache.spark.sql.graft.SketchExpressions.token_hashes
+    val bf = graft.queries.TextOps.cdcChunkStats(corpus, divisor)
+      .select(org.apache.spark.sql.graft.SketchExpressions
+        .rolling_hash(col("chunk")).as("fp"))
+      .stat.bloomFilter("fp", expectedChunks, fpp)
+    val hits = org.apache.spark.sql.graft.SketchExpressions.bloom_hits(_, bf)
+    stream
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(token_hashes(cdc_chunks(tokens("text"), divisor)))
+          .as("fps"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("fps")).cast("long").as("n_chunks"),
+        hits(col("fps")).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Streaming character-concentration flags — q120's gibberish/
     * encoding-corruption gate over an unbounded source: stateless and
     * shuffle-free (the Simpson concentration is a per-document property

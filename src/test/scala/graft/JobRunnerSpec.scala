@@ -713,6 +713,15 @@ class JobRunnerSpec extends SparkSpec {
     val q56 = graft.queries.CurationOps.q56QualityFilter.fn(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(qf == q56)
+    // char_concentration_filter at the published gate keeps exactly
+    // q120's unflagged set (the shared concentrationCol definition)
+    val cf = CurationStages(docs,
+        StageSpec("char_concentration_filter", Map.empty))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q120keep = graft.queries.CurationOps.q120CharConcentration.fn(spark, sf)
+      .filter(!col("is_flagged"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cf == q120keep && q120keep.nonEmpty)
     // stratified_sample with q49's rate table keeps exactly q49's rows
     val ss = CurationStages(docs, StageSpec("stratified_sample",
         Map("rates" -> Map("en" -> 25.0, "de" -> 60.0), "default" -> 80.0)))

@@ -621,6 +621,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming boilerplate-chunk flags: no false negatives vs the exact chunk join") {
+    import graft.streaming.DocumentStreams
+    import org.apache.spark.sql.graft.TextExpressions.cdc_chunks
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables(spark, sf, "documents")
+    // exact truth: docs whose distinct CDC chunks intersect the corpus's
+    // repeated-chunk relation (q121's rollup)
+    val repeated = queries.TextOps.cdcChunkStats(docs).select("chunk")
+    val exact = docs
+      .select(col("doc_id"),
+        explode(array_distinct(cdc_chunks(tokens("text"), 8))).as("chunk"))
+      .join(repeated, "chunk").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("docs_bpc")
+    docs.write.mode("overwrite").parquet(dir.toString + "/s")
+    val flagged = EventStreams.runToMemory(
+      DocumentStreams.boilerplateChunkFlags(
+        spark.readStream.schema(DocumentStreams.schema).parquet(dir.toString + "/s"),
+        corpus = docs), "bpc_t")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty && exact.subsetOf(flagged),
+      s"bloom flags missed repeated-chunk docs: ${exact -- flagged}")
+    // fpp sanity: flags are not wildly inflated beyond the exact set
+    assert(flagged.size <= exact.size + math.max(5, docs.count() / 10),
+      s"false-positive volume unreasonable: ${flagged.size} vs exact ${exact.size}")
+  }
+
   test("streaming char-concentration flags equal batch q120's flagged set bit-for-bit") {
     import graft.streaming.DocumentStreams
     val docs = Tables(spark, sf, "documents")

@@ -113,11 +113,17 @@ def main():
         .select(
             gf.tokenize("text").alias("t"),
             gf.rolling_hash("text").alias("h"),
+            gf.char_stats("text").alias("cs"),
+            gf.cdc_chunks(gf.tokenize("text"), 1).alias("ch"),
         )
         .head()
     )
     if list(row2.t) != ["hello", "world", "42"] or not isinstance(row2.h, int):
         fail(f"graft.functions: {row2}")
+    # char_stats: n = 16 chars of "Hello, World! 42"; divisor 1 cuts at
+    # every token, so cdc_chunks == the token list itself
+    if row2.cs[0] != 16 or list(row2.ch) != ["hello", "world", "42"]:
+        fail(f"graft.functions char_stats/cdc_chunks: {row2.cs} {row2.ch}")
     vec = (
         spark.sql(
             "SELECT array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS a, "
@@ -129,7 +135,8 @@ def main():
     if abs(vec.d - 11.0) > 1e-12:
         fail(f"graft.functions.float_dot: {vec.d}")
     g.clear_caches()
-    print("PASS python module functions (tokenize/rolling_hash/float_dot as Columns)")
+    print("PASS python module functions "
+          "(tokenize/rolling_hash/char_stats/cdc_chunks/float_dot as Columns)")
 
     # 4. the config-declared ML lifecycle from Python (the reference
     #    CaffeOnSpark.py core: train/features/test over one declared job) —
