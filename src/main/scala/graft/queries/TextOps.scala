@@ -2216,6 +2216,78 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Q122 — chunk-dedup ROI: what chunk-level (CDC) dedup would save,
+    * priced in tokens — q101's price-the-choice discipline applied to
+    * the q121 family. Per chunk-length bucket (1..7 tokens, 8 = the ≥8
+    * tail): repeated-chunk count, total occurrences, and the removable
+    * token mass Σ(n_occ − 1)·len — every occurrence past the first is
+    * what chunk-store dedup strips — plus each bucket's share of the
+    * whole corpus's tokens. The readout a curation owner uses to decide
+    * whether CDC dedup pays on this corpus and at which min-chunk-length
+    * floor (the single-token bucket is high-occurrence noise; the long
+    * tail is real boilerplate).
+    *
+    * Determinism: counts and token masses are exact BIGINTs; the share
+    * divides two identical longs as doubles. Scale: the stats relation
+    * is q121's (chunk rollup the only exchange); the corpus token total
+    * is ONE map-side aggregate broadcast back (q102's N pattern) — two
+    * linear passes, nothing pairwise.
+    */
+  val q122CdcSavings: QueryDef = QueryDef.sql(
+    "q122_cdc_savings",
+    s"""WITH tk AS (
+       |  SELECT doc_id, ts[u.i] AS tok, CAST(u.i AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, $ToksSql AS ts FROM documents) x,
+       |       unnest(range(1, len(x.ts) + 1)) AS u(i)),
+       |b AS (
+       |  SELECT doc_id, tok, pos,
+       |    CASE WHEN (${FingerprintSql("tok")}) % 8 = 0 THEN 1 ELSE 0 END AS isb
+       |  FROM tk),
+       |cid AS (
+       |  SELECT doc_id, tok, pos,
+       |    COALESCE(sum(isb) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk,
+       |    CAST(count(*) AS BIGINT) AS n_toks
+       |  FROM cid GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT chunk, min(n_toks) AS n_toks, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM chunks GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(len($ToksSql)) AS BIGINT) AS total_tokens
+       |  FROM documents)
+       |SELECT CAST(least(n_toks, 8) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(n_occ) AS BIGINT) AS n_occ,
+       |  CAST(sum((n_occ - 1) * n_toks) AS BIGINT) AS removable_tokens,
+       |  total_tokens,
+       |  CAST(CAST(sum((n_occ - 1) * n_toks) AS BIGINT) AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE) AS removable_share
+       |FROM agg, tot
+       |WHERE n_occ >= 2
+       |GROUP BY 1, total_tokens
+       |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val totalDf = docs.select(sum(size(toks)).cast("long").as("total_tokens"))
+    cdcChunkStats(docs)
+      .withColumn("n_toks", size(split(col("chunk"), " ")).cast("long"))
+      .withColumn("bucket", least(col("n_toks"), lit(8L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_occ")).cast("long").as("n_occ"),
+        sum((col("n_occ") - 1) * col("n_toks")).cast("long")
+          .as("removable_tokens"))
+      .crossJoin(broadcast(totalDf))
+      .withColumn("removable_share",
+        col("removable_tokens").cast("double") /
+          col("total_tokens").cast("double"))
+      .select("bucket", "n_chunks", "n_occ", "removable_tokens",
+        "total_tokens", "removable_share")
+      .orderBy("bucket")
+  }
+
   /** The repeated-CDC-chunk statistics relation (chunk, n_occ, n_docs),
     * n_occ ≥ 2 — q121's rollup and the corpus side of the
     * `boilerplateChunkFlags` stream twin's Bloom index (SpanStats'
@@ -2500,5 +2572,5 @@ object TextOps {
     q84BpeApply, q93ImportanceResample, q95BpeFertility, q97BigramZipf,
     q102DocKeywords, q105BoilerplateSpans, q110CurriculumSchedule,
     q115DfSpectrum, q117VocabGrowth, q118BigramPerplexity,
-    q119LmDisagreement, q121CdcChunks)
+    q119LmDisagreement, q121CdcChunks, q122CdcSavings)
 }

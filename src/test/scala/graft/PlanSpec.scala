@@ -774,6 +774,7 @@ class PlanSpec extends SparkSpec {
       "q57_temperature_mix", "q65_bm25", "q66_perplexity", "q73_hybrid_rrf",
       "q77_lexical_knn", // 1-row corpus count onto the vocab dimension + 1-row query norm
       "q81_split_drift", // 1-row split totals onto the 10-bucket dimension
+      "q122_cdc_savings", // 1-row corpus token total onto the 8-bucket dimension
       "q97_bigram_zipf", // 1-row corpus denominators onto the 100-row head
       "q108_ivf_cell_audit", // 1-row share total onto the |cells|-row audit
       // (q110 left the list in r19: model + thresholds are the stamped
