@@ -44,7 +44,8 @@ object ScaleCanary {
     "q77_lexical_knn", "q93_importance_resample",
     "q100_minhash_calibration", "q102_doc_keywords",
     "q107_simhash_calibration", "q110_curriculum_schedule",
-    "q118_bigram_perplexity", "q120_char_concentration", "q121_cdc_chunks")
+    "q118_bigram_perplexity", "q120_char_concentration", "q121_cdc_chunks",
+    "q122_cdc_savings")
 
   private val Base = "/root/testdata/sf0.1"
 
