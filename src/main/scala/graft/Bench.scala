@@ -125,6 +125,7 @@ object Bench {
       () => graft.sources.DocFingerprints(spark, sfDir),
       () => graft.sources.TermStats(spark, sfDir),
       () => graft.sources.SpanStats(spark, sfDir),
+      () => graft.sources.ChunkStats(spark, sfDir),
       () => graft.sources.ShinglePostings(spark, sfDir),
       () => graft.sources.PairGraph(spark, sfDir),
       () => graft.sources.ClusterAssignment(spark, sfDir),

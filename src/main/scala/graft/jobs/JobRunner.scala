@@ -177,9 +177,10 @@ object JobRunner {
           graft.sources.ShinglePostings(spark, dir)
           graft.sources.BucketedEmbeddings(spark, dir)
       }
-      // SpanStats rebuilds even on -from: its n_occ ≥ 2 gate makes delta
-      // merge impossible from the stored rows (see its scaladoc)
+      // SpanStats/ChunkStats rebuild even on -from: their n_occ ≥ 2 gates
+      // make delta merge impossible from the stored rows (see scaladocs)
       graft.sources.SpanStats(spark, dir)
+      graft.sources.ChunkStats(spark, dir)
       graft.sources.CorpusStats.rowCount(spark, dir)
       graft.sources.CorpusStats.rowCount(spark, dir, "documents")
       graft.sources.PairGraph(spark, dir)

@@ -2165,15 +2165,17 @@ object TextOps {
     * top ranks on a high-collision corpus; the scaladoc'd extension is a
     * min/max window like restic/LBFS, which changes only the kernel.
     *
-    * Plan shape at 100 TB: chunking is the native codegen'd
-    * [[org.apache.spark.sql.graft.ExprKernels.cdcChunks]] (one rolling
-    * hash per token, map-only), the per-(chunk, doc) level never
-    * shuffles ([[graft.functions.TextFunctions.runLengthExplode]] — each
-    * doc emits its DISTINCT chunks with in-row counts), and the only
-    * exchange is the chunk-level rollup feeding a TakeOrdered head —
-    * exactly q105's scale posture with content-defined keys. The oracle
-    * reconstructs the chunks relationally (position unnest → boundary
-    * prefix-sum window → string_agg) from the same hash fold.
+    * Plan shape at 100 TB: the corpus-scale chunking — the native
+    * codegen'd [[org.apache.spark.sql.graft.ExprKernels.cdcChunks]] (one
+    * rolling hash per token, map-only), per-(chunk, doc) counts in-row
+    * ([[graft.functions.TextFunctions.runLengthExplode]]), chunk-level
+    * rollup the only exchange — runs ONCE at ingest into the stamped
+    * [[graft.sources.ChunkStats]] layout ([[cdcChunkStats]] is the
+    * defining computation); the query is a layout scan whose head is
+    * TakeOrderedAndProject — exactly q105's scale posture with
+    * content-defined keys. The oracle reconstructs the chunks
+    * relationally (position unnest → boundary prefix-sum window →
+    * string_agg) from the same hash fold.
     */
   val q121CdcChunks: QueryDef = QueryDef.sql(
     "q121_cdc_chunks",
@@ -2205,7 +2207,11 @@ object TextOps {
        |ORDER BY n_occ DESC, chunk
        |LIMIT 20""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    cdcChunkStats(Tables(s, dir, "documents"))
+    // the chunk rollup comes from the ingest-stamped ChunkStats layout
+    // (the SpanStats posture): the corpus-scale chunking ran once at
+    // ingest, the query is a layout scan + TakeOrdered head. The oracle
+    // recomputes from scratch (q101's discipline).
+    graft.sources.ChunkStats(s, dir)
       .orderBy(col("n_occ").desc, col("chunk")).limit(20)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_occ").desc, col("chunk")))
@@ -2271,7 +2277,7 @@ object TextOps {
        |ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val totalDf = docs.select(sum(size(toks)).cast("long").as("total_tokens"))
-    cdcChunkStats(docs)
+    graft.sources.ChunkStats(s, dir)
       .withColumn("n_toks", size(split(col("chunk"), " ")).cast("long"))
       .withColumn("bucket", least(col("n_toks"), lit(8L)))
       .groupBy("bucket")
