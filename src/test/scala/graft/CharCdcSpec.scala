@@ -128,6 +128,19 @@ class CharCdcSpec extends SparkSpec {
     }
   }
 
+  test("ChunkStats layout equals the inline cdcChunkStats relation row-for-row") {
+    // the BigramLm posture pin: the stamped artifact IS the defining
+    // computation's output, so layout consumers (q121/q122) and
+    // frame-based consumers (boilerplateChunkFlags) see one relation
+    val docs = Tables(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("chunk", "n_occ", "n_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val layout = rows(graft.sources.ChunkStats(spark, sf))
+    val inline = rows(graft.queries.TextOps.cdcChunkStats(docs))
+    assert(layout.nonEmpty && layout == inline)
+  }
+
   test("cdc token hash is THE q17 fingerprint (one hash definition engine-wide)") {
     val words = Seq("value", "Ωé", "x9")
     val viaExpr = words.toDF("w")
