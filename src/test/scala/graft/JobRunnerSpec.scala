@@ -481,6 +481,8 @@ class JobRunnerSpec extends SparkSpec {
            sources.IvfCentroids.layoutPath(dir),
            sources.PqCodebooks.layoutPath(dir),
            sources.BucketedEmbeddings.layoutPath(dir),
+           sources.SpanStats.layoutPath(dir),
+           sources.ChunkStats.layoutPath(dir),
            sources.BpeMerges.layoutPath(dir)))
       assert(Files.exists(Paths.get(p, "_SUCCESS")), s"missing layout $p")
     // the refreshed corpus's split covers every v2 document
