@@ -91,15 +91,17 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verify: |∩| via array_intersect of the two (distinct, sorted)
-    // fingerprint sets — map-side per candidate, no inverted-index
-    // re-shuffle; the fps relation is small (one row per doc) so both
-    // joins broadcast/shuffle O(docs), not O(shingles)
+    // exact verify: |∩| via one sorted-merge per candidate (the sets are
+    // sorted distinct by construction — sorted_intersect_count's
+    // contract) — map-side per candidate, no inverted-index re-shuffle;
+    // the fps relation is small (one row per doc) so both joins
+    // broadcast/shuffle O(docs), not O(shingles)
     cand
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("fpsa"), col("fpsb"))).as("inter"),
+        org.apache.spark.sql.graft.SketchExpressions
+          .sorted_intersect_count(col("fpsa"), col("fpsb")).as("inter"),
         size(col("fpsa")).as("na"), size(col("fpsb")).as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .select("a", "b", "inter", "na", "nb", "jaccard")
@@ -411,20 +413,26 @@ object DedupOps {
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
     val t = docs.repartition(par, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // sequence(1, n-(k-1)) would generate DESCENDING for n < k — guard first.
     // occ feeds two consumers (duplicate-discovery build, removal probe) but
     // is deliberately NOT persisted: it is O(corpus tokens × k) wide — the
     // one relation here you must never materialize at 100 TB — and a
     // measured A/B (solo sf0.1, 3 runs) put the persist within this box's
     // noise (2.13 → 1.95 s). The residual vs the oracle is the fixed
     // multi-job floor, not recompute.
-    val occ = t.filter(size(col("w")) >= k)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        org.apache.spark.sql.graft.SketchExpressions
-          .rolling_hash(concat_ws(" ", slice(col("w"), col("i"), lit(k))))
-          .as("fp"))
+    // Span fingerprints come from the FUSED k-gram kernel (r21): the
+    // slice+concat_ws+rolling_hash form materialized the 8-token string
+    // and re-hashed ~8 tokens per span; ngram_hashes hashes each token
+    // once and composes windows in O(arity) modmuls — bit-identical to
+    // RollingHash over the space-joined window (ShingleHashes contract,
+    // property-pinned for arity 8 in TextFunctionsSpec), and it runs in
+    // BOTH occ evaluations since the subtree is recomputed by design.
+    // posexplode's 0-based p maps to the 1-based span start i = p + 1;
+    // docs under k tokens emit no windows (kernel contract), exactly the
+    // old size(w) >= k guard.
+    val occ = t
+      .select(col("doc_id"), posexplode(org.apache.spark.sql.graft
+        .TextExpressions.ngram_hashes(col("w"), k)).as(Seq("p", "fp")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("fp"))
     val dup = occ.groupBy("fp")
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("i"))).as("keep"))
@@ -813,12 +821,15 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
-      // intersect ONCE per candidate (it walks both fingerprint sets),
-      // then derive the quantized ratio from the scalar
+      // intersect ONCE per candidate via the allocation-free sorted
+      // merge (layout rows are sorted distinct — sorted_intersect_count's
+      // contract), then derive the quantized ratio from the scalar
       .select(
         expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
           .cast("long").as("est_matches"),
-        expr("CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT)").as("inter"),
+        org.apache.spark.sql.graft.SketchExpressions
+          .sorted_intersect_count(col("fpsa"), col("fpsb"))
+          .cast("long").as("inter"),
         (size(col("fpsa")) + size(col("fpsb"))).cast("long").as("szsum"))
       .select(col("est_matches"),
         expr("inter * 1000000000L div (szsum - inter)").as("j_n9"))
@@ -1085,7 +1096,12 @@ object DedupOps {
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
       .select(col("hamming"),
-        expr("CAST(size(array_intersect(fpsa, fpsb)) AS BIGINT)").as("inter"),
+        // allocation-free sorted-merge intersect (layout rows are sorted
+        // distinct — sorted_intersect_count's contract): this runs once
+        // per banded candidate, the query's dominant per-row cost
+        org.apache.spark.sql.graft.SketchExpressions
+          .sorted_intersect_count(col("fpsa"), col("fpsb"))
+          .cast("long").as("inter"),
         (size(col("fpsa")) + size(col("fpsb"))).cast("long").as("szsum"))
       .select(col("hamming"),
         expr("inter * 1000000000L div (szsum - inter)").as("j_n9"))

@@ -202,6 +202,27 @@ object ExprKernels {
     new GenericArrayData(Array(top, dup))
   }
 
+  /** |A ∩ B| of two SORTED-ascending long arrays by linear merge — no
+    * hash set, no intersection array materialized (see
+    * SortedIntersectCount for the equivalence contract vs
+    * `size(array_intersect)`).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Count of array elements that test positive against a Bloom filter
     * (see BloomHits) — the streaming flaggers' membership probe as one
     * pass over the long array, no per-element Scala-UDF boxing.

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -229,7 +229,49 @@ case class DupRunStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact |A ∩ B| over two SORTED-ascending `array<long>` columns as one
+  * linear merge per row — the per-candidate verify kernel of the dedup
+  * calibration family (q31/q100/q107's exact-Jaccard intersects over
+  * [[graft.sources.DocFingerprints]]-shaped sets).
+  *
+  * Equivalence contract: for inputs that are sorted ascending with
+  * DISTINCT elements — which every call site guarantees by construction
+  * (`sort_array(array_distinct(…))` or the DocFingerprints layout, whose
+  * rows are exactly that) — the result equals
+  * `size(array_intersect(a, b))` bit-for-bit (property-tested in
+  * SketchSpec against random sorted-distinct arrays). The built-in pays
+  * an OpenHashSet build over one side plus a materialized intersection
+  * array per ROW-PAIR; candidate verifies run this millions of times per
+  * query, so the allocation-free merge is the hot-path win (guide-§4
+  * "per-task work" after the §2 candidate bounding is already in place).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.sortedIntersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.ExprKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SketchExpressions {
+
+  /** One-merge |A ∩ B| over two sorted-distinct array<long> columns. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** One-pass per-bucket counts over an array<long> column. */
   def bucket_counts(keys: Column, m: Int): Column =

@@ -129,6 +129,34 @@ class CodegenGuardSpec extends SparkSpec {
       s"expected the fail-loud message, got: $e")
   }
 
+  test("sorted_intersect_count: compiles and equals size(array_intersect) " +
+      "on sorted-distinct arrays") {
+    // the equivalence contract the dedup verifies rely on: for sorted
+    // ascending DISTINCT inputs the merge count is bit-identical to the
+    // built-in's hash-set intersect — property-checked over 200 random
+    // sorted-distinct pairs (including empty and disjoint shapes)
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 200).map { i =>
+      def arr() = rnd.shuffle((0L until 60L).toList)
+        .take(rnd.nextInt(12) * rnd.nextInt(5)).distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    // parquet round-trip (the `base` discipline): a LocalRelation input
+    // constant-folds the projection away and nothing reaches codegen
+    val tmp = java.nio.file.Files.createTempDirectory("sic").toString + "/t.parquet"
+    spark.createDataFrame(rows).toDF("id", "xs", "ys")
+      .write.mode("overwrite").parquet(tmp)
+    val df0 = spark.read.parquet(tmp)
+    val df = df0.select(col("id"),
+      SketchExpressions.sorted_intersect_count(col("xs"), col("ys")).as("mc"),
+      size(array_intersect(col("xs"), col("ys"))).as("bi"))
+    assertCodegen(df, "ExprKernels.sortedIntersectCount")
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"row ${r.getLong(0)}: " +
+        s"merge=${r.getInt(1)} builtin=${r.getInt(2)}")
+    }
+  }
+
   test("bloom_hits: generated stage compiles and counts exactly") {
     // a small filter over known longs: the expression must compile into
     // the fused stage AND agree with a direct membership count (no false

@@ -180,6 +180,31 @@ class PropertySpec extends SparkSpec {
     assert(fused.toSeq.map(_.toSeq) == composed.toSeq)
   }
 
+  test("arity-8 ShingleHashes over RAW space-split tokens equals " +
+      "RollingHash of the space-joined window (q67's span fingerprint)") {
+    // q67's spans hash split(text, ' ') words — unfiltered case/punct and
+    // possible empty tokens from double spaces — so the pin runs over
+    // exactly that token grammar, not tokenize()'s
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.fill(120) {
+      Seq.fill(rnd.nextInt(14))(
+        Seq.fill(rnd.nextInt(7))((33 + rnd.nextInt(90)).toChar).mkString)
+    } ++ Seq(Seq(), Seq.fill(7)("x"), Seq.fill(8)("Y!"), Seq.fill(9)(""))
+    import org.apache.spark.sql.functions.{col, split}
+    val df = docs.map(_.mkString(" ")).toDF("text")
+    val fused = df.select(org.apache.spark.sql.graft.TextExpressions
+        .ngram_hashes(split(col("text"), " "), 8).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val tokLists = df.select(split(col("text"), " ").as("t"))
+      .collect().map(_.getSeq[String](0))
+    val composed = tokLists.map { toks =>
+      if (toks.length < 8) Seq.empty[Long]
+      else toks.sliding(8).map(w =>
+        org.apache.spark.sql.graft.RollingHash.hash(w.mkString(" "))).toSeq
+    }
+    assert(fused.toSeq.map(_.toSeq) == composed.toSeq)
+  }
+
   test("fingerprint expression matches the reference Scala fold on random ASCII") {
     val rnd = new scala.util.Random(42)
     val texts = Seq.fill(50) {
