@@ -617,6 +617,13 @@ object DedupOps {
       tau: Double): org.apache.spark.sql.DataFrame = {
     val selfDot = org.apache.spark.sql.graft.VectorExpressions
       .float_dot(col("embedding"), col("embedding"))
+    // r21 MEASURED NEGATIVE: replacing this groupBy + rejoin with a
+    // min-over-(cell, embedding) window (one reusable exchange, 19 → 14
+    // jobs) ran 2.5× SLOWER isolated (1.29 → 3.31 s min) — WindowExec
+    // sorts every partition by the float-ARRAY key with per-comparison
+    // array walks and does no partial aggregation, where the hash
+    // aggregate collapses identical vectors map-side. The rejoin shape
+    // stands.
     val grp = w.groupBy(col("cell"), col("embedding"))
       .agg(min(col("vec_id")).as("rep"), min(col("cdot")).as("cdot"))
     val x = grp.select(col("rep").as("id_a"), col("cell"),

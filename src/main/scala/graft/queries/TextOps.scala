@@ -742,7 +742,18 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"),
         sum(col("tf") * coalesce(col("qtf"), lit(0L))).as("num"))
-    val qn = agg.filter(col("doc_id") === 0).select(col("n2").as("qn2"))
+    // query norm DIRECTLY from the query-side frame (r21): qn² = Σ qtf²
+    // over doc 0's kept terms — exactly agg's n2 row for doc 0 (qSide IS
+    // that doc's kept tf vector), but as a qSide-sized subtree. The
+    // previous `agg.filter(doc_id = 0)` physically re-derived the ENTIRE
+    // corpus tf+df+join+agg pipeline for one scalar
+    // (plans/r21/q77_lexical_knn_before.txt duplicates nodes 1–55 as
+    // 56–110, including two more df builds). A persist of `agg` was
+    // measured FIRST and lost (17 → 14 jobs but 1.39 → 1.76 s min
+    // isolated — the materialization barrier beats recompute at this
+    // size, the standing q67/q82 lesson); deriving the scalar from the
+    // small side removes the duplication without any barrier.
+    val qn = qSide.agg(sum(col("qtf") * col("qtf")).as("qn2"))
     agg.filter(col("doc_id") =!= 0 && col("num") > 0)
       .crossJoin(broadcast(qn))
       .select(col("doc_id"), col("num"),

@@ -125,11 +125,17 @@ object GraftExtensions {
       (c: Seq[Expression]) => CharStats(c.head)),
     ("cdc_chunks", classOf[CdcChunks].getName,
       (c: Seq[Expression]) => c match {
-        case Seq(toks, d) =>
-          // divisor must be a literal; evaluated once at resolution
-          CdcChunks(toks, d.eval().asInstanceOf[Number].intValue())
+        // divisor must be a FOLDABLE non-null numeric literal, checked
+        // before eval(): a column reference or NULL divisor previously
+        // surfaced as an opaque ClassCastException/NPE from the cast
+        case Seq(toks, d) if d.foldable =>
+          d.eval() match {
+            case n: Number => CdcChunks(toks, n.intValue())
+            case _ => throw new IllegalArgumentException(
+              "cdc_chunks(tokens, divisor): divisor must be a non-null numeric literal")
+          }
         case _ => throw new IllegalArgumentException(
-          "cdc_chunks(tokens, divisor)")
+          "cdc_chunks(tokens, divisor): divisor must be a non-null numeric literal")
       }),
     ("linear_count_buckets", classOf[LinearCountBuckets].getName,
       (c: Seq[Expression]) => c match {

@@ -239,7 +239,7 @@ case class DupRunStats(child: Expression)
   * (`sort_array(array_distinct(…))` or the DocFingerprints layout, whose
   * rows are exactly that) — the result equals
   * `size(array_intersect(a, b))` bit-for-bit (property-tested in
-  * SketchSpec against random sorted-distinct arrays). The built-in pays
+  * CodegenGuardSpec against random sorted-distinct arrays). The built-in pays
   * an OpenHashSet build over one side plus a materialized intersection
   * array per ROW-PAIR; candidate verifies run this millions of times per
   * query, so the allocation-free merge is the hot-path win (guide-§4

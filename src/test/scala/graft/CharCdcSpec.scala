@@ -126,6 +126,17 @@ class CharCdcSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT cdc_chunks(array('a'), 0)").head()
     }
+    // non-foldable or NULL divisors get the clean usage error, not the
+    // opaque ClassCastException/NPE the bare eval() cast used to throw
+    spark.sql("SELECT array('a', 'b') AS t, 2 AS d").createOrReplaceTempView("__cdc")
+    val eCol = intercept[Exception] {
+      spark.sql("SELECT cdc_chunks(t, d) FROM __cdc").head()
+    }
+    assert(eCol.getMessage.contains("cdc_chunks(tokens, divisor)"), eCol.getMessage)
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT cdc_chunks(array('a'), CAST(NULL AS INT))").head()
+    }
+    assert(eNull.getMessage.contains("cdc_chunks(tokens, divisor)"), eNull.getMessage)
   }
 
   test("ChunkStats layout equals the inline cdcChunkStats relation row-for-row") {
