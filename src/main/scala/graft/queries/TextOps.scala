@@ -708,11 +708,14 @@ object TextOps {
        |ORDER BY cosine DESC, doc_id
        |LIMIT 10""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // per-doc tf IN-ROW (r21, native fp_run_counts — the multiset
+    // identity with explode → groupBy(doc_id, term) → count): removes
+    // the (doc_id, term) exchange, the widest shuffle this query paid
     val tf = docs
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft
+        .TextExpressions.fp_run_counts(org.apache.spark.sql.graft
+          .TextExpressions.shingle_hashes(toks))).as("kv"))
+      .select(col("doc_id"), col("kv.fp").as("term"), col("kv.c").as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfKept = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -732,10 +735,10 @@ object TextOps {
     // posting-join semantics (tf and qtf positive) — identical to the
     // oracle's join.
     val qSide = docs.filter(col("doc_id") === 0)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks)).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft
+        .TextExpressions.fp_run_counts(org.apache.spark.sql.graft
+          .TextExpressions.shingle_hashes(toks))).as("kv"))
+      .select(col("kv.fp").as("term"), col("kv.c").as("tf"))
       .join(dfKept, "term")
       .select(col("term"), col("tf").as("qtf"))
     val agg = kept.join(broadcast(qSide), Seq("term"), "left")
@@ -2003,8 +2006,16 @@ object TextOps {
       .select(col("doc_id"), col("text"))
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"))
-      .select(col("doc_id"), explode(wordBigrams(tokens("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // per-doc tf IN-ROW (r21, native term_run_counts — bit-identical
+      // rows to explode → groupBy(doc_id, w) → count by the multiset
+      // identity): tf is a per-document statistic, so the (doc_id, w)
+      // exchange the groupBy form paid was pure overhead — and dropping
+      // it leaves this frame hash-partitioned by doc_id from the spread,
+      // which is exactly the clustering the keyword rank window needs
+      // (one fewer exchange there too).
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft
+        .TextExpressions.term_run_counts(wordBigrams(tokens("text")))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("w"), col("kv.c").as("tf"))
 
   /** The word-bigram document-frequency relation (w, df) over a
     * documents-shaped frame — distinct (doc, term) pairs counted per

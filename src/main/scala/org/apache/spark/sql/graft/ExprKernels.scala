@@ -202,6 +202,49 @@ object ExprKernels {
     new GenericArrayData(Array(top, dup))
   }
 
+  /** Per-row term-frequency rollup over a string array: sorted-distinct
+    * (term, count) struct rows by one sort + run-length pass (see
+    * TermRunCounts). Exploded downstream, this IS
+    * `explode(terms) → groupBy(doc_id, term) → count` computed inside
+    * the row — the (doc_id, term) exchange disappears from the plan.
+    */
+  def termRunCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a) // UTF8String is Comparable (binary order)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a(i).asInstanceOf[UTF8String].clone(), (j - i).toLong))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[termRunCounts]] for 64-bit fingerprint terms (see FpRunCounts). */
+  def fpRunCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a(i), (j - i).toLong))
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** |A ∩ B| of two SORTED-ascending long arrays by linear merge — no
     * hash set, no intersection array materialized (see
     * SortedIntersectCount for the equivalence contract vs

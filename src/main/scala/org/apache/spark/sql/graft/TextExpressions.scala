@@ -330,9 +330,76 @@ case class CdcChunks(child: Expression, divisor: Int)
     copy(child = newChild)
 }
 
+/** Per-row term-frequency rollup: the DISTINCT terms of a string array
+  * with their multiplicities, as sorted (term, c) struct rows — one sort
+  * + run-length pass per row ([[ExprKernels.termRunCounts]]). Exploding
+  * the result downstream yields EXACTLY the rows of
+  * `explode(terms) → groupBy(doc_id, term) → count(*)` (multiset
+  * identity; property-pinned in CodegenGuardSpec), but computed inside
+  * the row — term frequency is a PER-DOCUMENT statistic, so the
+  * (doc_id, term) exchange the groupBy form pays is pure overhead at any
+  * corpus size. Row order within the array is sorted-by-term (binary
+  * order), which no consumer reads (the rows feed joins/windows keyed on
+  * the term value).
+  */
+case class TermRunCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_run_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.termRunCounts(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.termRunCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[TermRunCounts]] over 64-bit fingerprint terms: sorted (fp, c)
+  * struct rows from an `array<long>` ([[ExprKernels.fpRunCounts]]) —
+  * the same in-row groupBy elimination for hash-keyed term spaces
+  * (q77's bigram-fingerprint tf).
+  */
+case class FpRunCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "fp_run_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.fpRunCounts(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.fpRunCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
+
+  /** Sorted (term, c) multiplicity rows of a string array, in-row. */
+  def term_run_counts(c: Column): Column =
+    ExpressionUtils.column(TermRunCounts(ExpressionUtils.expression(c)))
+
+  /** Sorted (fp, c) multiplicity rows of a long array, in-row. */
+  def fp_run_counts(c: Column): Column =
+    ExpressionUtils.column(FpRunCounts(ExpressionUtils.expression(c)))
 
   def shingle_hashes(c: Column): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(c)))

@@ -157,6 +157,38 @@ class CodegenGuardSpec extends SparkSpec {
     }
   }
 
+  test("term_run_counts / fp_run_counts: compile and equal the " +
+      "explode+groupBy multiset rollup") {
+    import org.apache.spark.sql.graft.TextExpressions.{term_run_counts, fp_run_counts}
+    // random multisets with deliberate repeats, incl. an empty-array row
+    val rnd = new scala.util.Random(23)
+    val tmp = java.nio.file.Files.createTempDirectory("trc").toString + "/t.parquet"
+    val rows = (0 until 150).map { i =>
+      val ws = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(8)}")
+      (i.toLong, ws, ws.map(w => (w.hashCode % 5).toLong))
+    }
+    spark.createDataFrame(rows).toDF("id", "ws", "fps")
+      .write.mode("overwrite").parquet(tmp)
+    val df0 = spark.read.parquet(tmp)
+    val df = df0.select(col("id"),
+      term_run_counts(col("ws")).as("tc"), fp_run_counts(col("fps")).as("fc"))
+    assertCodegen(df, "ExprKernels.termRunCounts", "ExprKernels.fpRunCounts")
+    val inRowT = df.select(col("id"), explode(col("tc")).as("kv"))
+      .select(col("id"), col("kv.term"), col("kv.c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val grpT = df0.select(col("id"), explode(col("ws")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(inRowT == grpT)
+    val inRowF = df.select(col("id"), explode(col("fc")).as("kv"))
+      .select(col("id"), col("kv.fp"), col("kv.c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grpF = df0.select(col("id"), explode(col("fps")).as("fp"))
+      .groupBy("id", "fp").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inRowF == grpF)
+  }
+
   test("bloom_hits: generated stage compiles and counts exactly") {
     // a small filter over known longs: the expression must compile into
     // the fused stage AND agree with a direct membership count (no false
