@@ -440,19 +440,27 @@ object DedupOps {
     val rm = occ.join(dup, "fp")
       .filter(col("doc_id") =!= col("keep.doc_id") || col("i") =!= col("keep.i"))
       .select("doc_id", "i")
-    val cover = rm
+    // Reassembly IN-ROW (r21): the covered positions collapse to one
+    // sorted-distinct int array per doc (collect_set bounds at the doc's
+    // own token count), broadcast/hash-joined back onto the tokenized
+    // corpus, and the surviving text re-joins in a single merge pass
+    // (native remove_tokens — an empty drop set reproduces
+    // array_join(w, ' ') exactly, so untouched docs round-trip). The
+    // previous tail exploded EVERY corpus token, left-joined the cover
+    // marks on (doc_id, j), and re-collected + sorted every token into
+    // an ObjectHashAggregate buffer — a corpus-token-wide exchange and a
+    // per-doc sort whose only purpose was to undo the explode.
+    val coverArr = rm
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("j"))
-      .distinct().withColumn("dropped", lit(true))
-    val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
-      .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
-    tok.join(cover, Seq("doc_id", "j"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(
-          sort_array(collect_list(when(col("dropped").isNull,
-            struct(col("j"), col("tok"))))),
-          x => x.getField("tok")), " ").as("kept_text"))
+      .agg(sort_array(collect_set(col("j"))).as("drops"))
+    t.join(coverArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("drops")), lit(0)).cast("long").as("n_dropped"),
+        org.apache.spark.sql.graft.TextExpressions.remove_tokens(col("w"),
+          coalesce(col("drops"), expr("CAST(array() AS ARRAY<INT>)")))
+          .as("kept_text"))
   }
 
   val q67SpanDedup: QueryDef = QueryDef.sql(

@@ -1714,12 +1714,19 @@ object TextOps {
     */
   private def dsirBucketCounts(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
+    // per-doc bucket counts IN-ROW (r21): the same native `bucket_counts`
+    // pass the scorer already uses (one array walk, key % B inside the
+    // kernel), exploded to the present buckets — bit-identical rows to
+    // the explode → groupBy(doc_id, source, bucket) form, without its
+    // doc-keyed exchange (per-doc statistic, q102/q77's rule)
     docs
       .select(col("doc_id"), col("source"),
-        explode(org.apache.spark.sql.graft.TextExpressions
-          .shingle_hashes(toks)).as("fp"))
-      .select(col("doc_id"), col("source"), (col("fp") % DsirBuckets).as("bucket"))
-      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+        posexplode(org.apache.spark.sql.graft.SketchExpressions.bucket_counts(
+          org.apache.spark.sql.graft.TextExpressions.shingle_hashes(toks),
+          DsirBuckets)).as(Seq("bucket0", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("source"),
+        col("bucket0").cast("long").as("bucket"), col("cnt"))
 
   /** The B-row Laplace-smoothed log-ratio dimension from a bucket-count
     * frame: lr(b) = ln p̂_target(b) − ln p̂_corpus(b). Total over ALL B

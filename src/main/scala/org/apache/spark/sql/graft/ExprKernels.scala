@@ -245,6 +245,28 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Space-rejoin of the tokens whose 1-based position is NOT in
+    * `drops` (sorted-ascending distinct ints) — q67's document
+    * reassembly as one merge pass per row (see RemoveTokens). With empty
+    * `drops` this is exactly `array_join(w, ' ')`.
+    */
+  def removeTokens(w: ArrayData, drops: ArrayData): UTF8String = {
+    val n = w.numElements()
+    val m = drops.numElements()
+    val kept = new Array[UTF8String](n)
+    var nk = 0
+    var i = 0
+    var d = 0
+    while (i < n) {
+      val pos = i + 1
+      if (d < m && drops.getInt(d) == pos) d += 1
+      else { kept(nk) = w.getUTF8String(i); nk += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, nk): _*)
+  }
+
   /** |A ∩ B| of two SORTED-ascending long arrays by linear merge — no
     * hash set, no intersection array materialized (see
     * SortedIntersectCount for the equivalence contract vs

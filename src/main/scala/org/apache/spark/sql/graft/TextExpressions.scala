@@ -389,9 +389,44 @@ case class FpRunCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Space-rejoin of the tokens whose 1-based position is NOT in the
+  * sorted-distinct int array `drops` — q67's document reassembly
+  * ([[ExprKernels.removeTokens]]) as one in-row merge. Bit-identical to
+  * the explode → anti-mark → ordered re-collect formulation: surviving
+  * tokens keep original order and single-space joining, and an empty
+  * drop set reproduces `array_join(w, ' ')` exactly (empty tokens from
+  * consecutive spaces round-trip).
+  */
+case class RemoveTokens(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_tokens"
+
+  override def nullSafeEval(w: Any, drops: Any): Any =
+    ExprKernels.removeTokens(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      drops.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, d) =>
+      s"org.apache.spark.sql.graft.ExprKernels.removeTokens($w, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   def tokenize(c: Column): Column =
     ExpressionUtils.column(Tokenize(ExpressionUtils.expression(c)))
+
+  /** Tokens not at the given sorted 1-based positions, space-joined. */
+  def remove_tokens(w: Column, drops: Column): Column =
+    ExpressionUtils.column(RemoveTokens(
+      ExpressionUtils.expression(w), ExpressionUtils.expression(drops)))
 
   /** Sorted (term, c) multiplicity rows of a string array, in-row. */
   def term_run_counts(c: Column): Column =

@@ -189,6 +189,32 @@ class CodegenGuardSpec extends SparkSpec {
     assert(inRowF == grpF)
   }
 
+  test("remove_tokens: compiles and equals the explode/anti-mark/re-collect " +
+      "reassembly") {
+    import org.apache.spark.sql.graft.TextExpressions.remove_tokens
+    val rnd = new scala.util.Random(31)
+    val tmp = java.nio.file.Files.createTempDirectory("rmt").toString + "/t.parquet"
+    val rows = (0 until 120).map { i =>
+      val n = rnd.nextInt(14)
+      val w = Seq.fill(n)(if (rnd.nextInt(6) == 0) "" else s"t${rnd.nextInt(9)}")
+      val drops = (1 to n).filter(_ => rnd.nextInt(3) == 0)
+      (i.toLong, w, drops)
+    } :+ ((999L, Seq.empty[String], Seq.empty[Int]))
+    spark.createDataFrame(rows).toDF("id", "w", "drops")
+      .write.mode("overwrite").parquet(tmp)
+    val df0 = spark.read.parquet(tmp)
+    val df = df0.select(col("id"), remove_tokens(col("w"), col("drops")).as("kept"))
+    assertCodegen(df, "ExprKernels.removeTokens")
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    df0.collect().foreach { r =>
+      val w = r.getSeq[String](1)
+      val drops = r.getSeq[Int](2).toSet
+      val want = w.zipWithIndex.collect { case (t, i) if !drops(i + 1) => t }
+        .mkString(" ")
+      assert(got(r.getLong(0)) == want, s"row ${r.getLong(0)}")
+    }
+  }
+
   test("bloom_hits: generated stage compiles and counts exactly") {
     // a small filter over known longs: the expression must compile into
     // the fused stage AND agree with a direct membership count (no false
