@@ -412,13 +412,18 @@ object TextOps {
        |  GROUP BY doc_id)
        |WHERE n_tokens > 0
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // MAP-ONLY (r21): repetition is a per-document property — the native
+    // token_stats pass computes [n, k, top] inside the row, each value
+    // exactly its two-level-aggregate twin (sum/count/max over
+    // explode → groupBy(doc, tok)); the previous shape paid two
+    // doc-keyed exchanges for numbers that never crossed documents
     Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), org.apache.spark.sql.graft
+        .TextExpressions.token_stats(toks).as("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), 1).as("n_tokens"),
+        element_at(col("ts"), 2).as("n_distinct"),
+        element_at(col("ts"), 3).as("top_cnt"))
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
@@ -1494,9 +1499,13 @@ object TextOps {
       val docs = Tables(s, dir, "documents")
       val symCount = bpeSymCounts(docs,
         merges.map { case (_, pa, pb, _, _) => (pa, pb) })
-      docs.select(col("doc_id"), explode(toks).as("word"))
-        .groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("cnt"))
+      // per-doc word counts IN-ROW (r21, term_run_counts — the q102/q47
+      // rule): the (doc_id, word) exchange carried a per-document
+      // statistic; the vocabulary-sized symCount join is the only
+      // exchange-worthy step left before the doc rollup
+      docs.select(col("doc_id"), explode(org.apache.spark.sql.graft
+          .TextExpressions.term_run_counts(toks)).as("kv"))
+        .select(col("doc_id"), col("kv.term").as("word"), col("kv.c").as("cnt"))
         .join(symCount, "word")
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_tok"),

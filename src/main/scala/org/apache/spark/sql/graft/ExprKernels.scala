@@ -226,6 +226,30 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-row token statistics `[n, k, top]` — total tokens, distinct
+    * tokens, highest single-token multiplicity — by the same sort +
+    * run-length pass as [[termRunCounts]] (see TokenStats; q47's
+    * repetition signals with no token ever leaving its row).
+    */
+  def tokenStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var k = 0L
+    var top = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && a(j) == a(i)) j += 1
+      k += 1L
+      if ((j - i).toLong > top) top = (j - i).toLong
+      i = j
+    }
+    new GenericArrayData(Array(n.toLong, k, top))
+  }
+
   /** [[termRunCounts]] for 64-bit fingerprint terms (see FpRunCounts). */
   def fpRunCounts(arr: ArrayData): ArrayData = {
     val n = arr.numElements()

@@ -363,6 +363,32 @@ case class TermRunCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row token statistics `[n, k, top]` (total, distinct, max
+  * multiplicity) — one sort + run-length pass
+  * ([[ExprKernels.tokenStats]]). Each value equals its two-level
+  * aggregate twin (`sum(c)` / `count(*)` / `max(c)` over
+  * explode → groupBy(doc, tok) → count) exactly; computing them in-row
+  * makes q47's repetition audit MAP-ONLY.
+  */
+case class TokenStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenStats(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ExprKernels.tokenStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** [[TermRunCounts]] over 64-bit fingerprint terms: sorted (fp, c)
   * struct rows from an `array<long>` ([[ExprKernels.fpRunCounts]]) —
   * the same in-row groupBy elimination for hash-keyed term spaces
@@ -431,6 +457,10 @@ object TextExpressions {
   /** Sorted (term, c) multiplicity rows of a string array, in-row. */
   def term_run_counts(c: Column): Column =
     ExpressionUtils.column(TermRunCounts(ExpressionUtils.expression(c)))
+
+  /** [n_tokens, n_distinct, top multiplicity] of a string array, in-row. */
+  def token_stats(c: Column): Column =
+    ExpressionUtils.column(TokenStats(ExpressionUtils.expression(c)))
 
   /** Sorted (fp, c) multiplicity rows of a long array, in-row. */
   def fp_run_counts(c: Column): Column =

@@ -189,6 +189,29 @@ class CodegenGuardSpec extends SparkSpec {
     assert(inRowF == grpF)
   }
 
+  test("token_stats: compiles and equals the two-level aggregate twin") {
+    import org.apache.spark.sql.graft.TextExpressions.token_stats
+    val rnd = new scala.util.Random(37)
+    val tmp = java.nio.file.Files.createTempDirectory("tks").toString + "/t.parquet"
+    val rows = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))(s"w${rnd.nextInt(6)}"))
+    }
+    spark.createDataFrame(rows).toDF("id", "ws")
+      .write.mode("overwrite").parquet(tmp)
+    val df0 = spark.read.parquet(tmp)
+    val df = df0.select(col("id"), token_stats(col("ws")).as("ts"))
+    assertCodegen(df, "ExprKernels.tokenStats")
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df0.select(col("id"), explode(col("ws")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n"), count(lit(1)).as("k"), max("c").as("top"))
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    df0.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(got(id) == want.getOrElse(id, Seq(0L, 0L, 0L)), s"row $id")
+    }
+  }
+
   test("remove_tokens: compiles and equals the explode/anti-mark/re-collect " +
       "reassembly") {
     import org.apache.spark.sql.graft.TextExpressions.remove_tokens
