@@ -91,9 +91,10 @@ class PlanSpec extends SparkSpec {
       .contains("float_vector_dot"))
   }
 
-  test("q31: exact verify via array_intersect — no shingle-level join") {
+  test("q31: exact verify via the sorted-merge intersect — no shingle-level join") {
     val p = planOf(queries.DedupOps.q31MinhashLsh.fn(spark, sf))
-    assert(p.contains("array_intersect"), p.take(400))
+    // r21: the allocation-free merge kernel replaced size(array_intersect)
+    assert(p.contains("sorted_intersect_count"), p.take(400))
     assert(p.contains("minhash_signature"), "signatures must use the native expression")
   }
 
@@ -261,7 +262,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
     // the exchange must carry the 64-bit span fingerprint, never the span
     // string (~8× the shuffle width) — the string stays map-side only
-    assert(p.contains("rolling_hash"), "span keys must be fingerprinted")
+    // (r21: fingerprints come from the fused window-composition kernel)
+    assert(p.contains("shingle_hashes"), "span keys must be fingerprinted")
     assert(!p.contains("hashpartitioning(span"),
       "span STRING must not be a shuffle key")
     // removal/coverage/token joins are all keyed — never a cross product
@@ -541,7 +543,9 @@ class PlanSpec extends SparkSpec {
 
   test("q102: keywords — one tf pass, df from the TermStats layout, doc-keyed window") {
     val p = planOf(queries.TextOps.q102DocKeywords.fn(spark, sf))
-    assert(p.contains("partial_count"), "tf must map-side combine before the exchange")
+    // r21: tf is the IN-ROW term_run_counts rollup — no (doc, w) exchange
+    // exists to combine before anymore
+    assert(p.contains("term_run_counts"), "tf must be the in-row rollup")
     assert(p.contains("graft-layout"),
       "df must come from the ingest-stamped TermStats store")
     // ONE corpus explode (the tf pass) — the r17 self-stats form paid a
@@ -746,7 +750,16 @@ class PlanSpec extends SparkSpec {
     }
     def rawGenerateUnder(n: SparkPlan): Boolean = unwrap(n) match {
       case _: BaseAggregateExec => false // an agg below here bounds the rows
-      case _: GenerateExec => true
+      case g: GenerateExec =>
+        // r21: an explode of the IN-ROW term_run_counts/fp_run_counts
+        // rollup is the aggregate, computed inside the row — its output
+        // is already bounded at distinct (group, term) pairs, exactly
+        // what the pre-aggregation rule exists to guarantee
+        !g.generator.exists {
+          case _: org.apache.spark.sql.graft.TermRunCounts => true
+          case _: org.apache.spark.sql.graft.FpRunCounts => true
+          case _ => false
+        }
       case other => other.children.exists(rawGenerateUnder)
     }
     for (q <- Seq(queries.TextOps.q84BpeApply, queries.TextOps.q95BpeFertility,
