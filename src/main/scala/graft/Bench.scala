@@ -232,6 +232,21 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), detailLine + "\n" + summaryLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    // Durable per-topology detail record (r21 verdict item 2): the driver
+    // invokes the bench at several core counts and each invocation
+    // overwrites BENCH.json, so the 32-core per-query detail was lost to
+    // whichever run wrote last and PERF_r21's per-query comparison came up
+    // empty. A cpus-stamped sibling (timestamp-free, so successive rounds
+    // diff cleanly) keeps the LAST detail record per topology. Additive
+    // only — stdout contract and BENCH.json behavior are unchanged.
+    val stamped = {
+      val p = java.nio.file.Paths.get(outFile)
+      val dir = Option(p.getParent).map(_.toString).getOrElse(".")
+      java.nio.file.Paths.get(dir, s"BENCH_detail_c$cpus.json")
+    }
+    try java.nio.file.Files.writeString(
+      stamped, detailLine + "\n" + summaryLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $stamped: $e") }
     spark.stop()
   }
 }

@@ -212,7 +212,14 @@ object ExprKernels {
     val n = arr.numElements()
     val a = new Array[AnyRef](n)
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) {
+      a(i) = arr.getUTF8String(i)
+      if (a(i) eq null) throw new IllegalArgumentException(
+        "term_run_counts: input array contains a null element — terms " +
+          "must be non-null (the aggregate twin groupBy(term) it replaces " +
+          "would key a null group; no call site produces one)")
+      i += 1
+    }
     java.util.Arrays.sort(a) // UTF8String is Comparable (binary order)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     i = 0
@@ -235,7 +242,14 @@ object ExprKernels {
     val n = arr.numElements()
     val a = new Array[AnyRef](n)
     var i = 0
-    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) {
+      a(i) = arr.getUTF8String(i)
+      if (a(i) eq null) throw new IllegalArgumentException(
+        "token_stats: input array contains a null element — tokens must " +
+          "be non-null (fail-loud per the bucket_counts discipline; an " +
+          "NPE from Arrays.sort would be opaque)")
+      i += 1
+    }
     java.util.Arrays.sort(a)
     var k = 0L
     var top = 0L
@@ -283,6 +297,11 @@ object ExprKernels {
     var d = 0
     while (i < n) {
       val pos = i + 1
+      // advance defensively past any out-of-contract drop values (0,
+      // negative, duplicate, unsorted) instead of letting a stuck cursor
+      // silently disable all subsequent drops (ADVICE r21); for in-contract
+      // sorted-distinct 1-based drops this loop runs at most once per pos
+      while (d < m && drops.getInt(d) < pos) d += 1
       if (d < m && drops.getInt(d) == pos) d += 1
       else { kept(nk) = w.getUTF8String(i); nk += 1 }
       i += 1
@@ -742,4 +761,5 @@ object ExprKernels {
     }
     new GenericArrayData(out)
   }
+
 }
