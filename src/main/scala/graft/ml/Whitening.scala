@@ -40,11 +40,14 @@ object Whitening {
     val d = emb.select(size(col(featCol))).head().getInt(0)
     val vm = udaf(new graft.agg.VectorMean(d))
     val mean = emb.agg(vm(col(featCol))).head().getSeq[Double](0).toArray
-    // q90's shared term generator — one implementation of the moment pass
+    // q90's shared moment aggregate — one implementation of the moment pass
+    // (r22: MomentCellsAgg partial vectors, no per-term explode)
     val cells = emb
-      .select(graft.queries.VectorOps.momentTerms(featCol).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s"))
+      .agg(org.apache.spark.sql.graft.MomentCellsAgg
+        .moment_cells(col(featCol), wide = false).as("mc"))
+      .select(explode(col("mc")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.n").as("n"), col("c.s_n9").as("s"))
       .collect()
     val cov = Array.ofDim[Double](d, d)
     cells.foreach { r =>

@@ -88,14 +88,16 @@ object MlStreams {
   def momentCells(stream: DataFrame, featCol: String = "embedding",
       wide: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sN9 =
-      if (wide) org.apache.spark.sql.graft.SumExpressions
-        .sum128(col("t.p")).cast("long")
-      else sum(col("t.p"))
+    // r22: the SAME MomentCellsAgg the batch q90 aggregates with (one
+    // implementation, both move) — per-row partial moment vectors, no
+    // per-term explode; streaming state is ONE (sums, nlen) buffer pair
+    // instead of d·(d+1)/2 keyed cell rows, still O(d²) total.
     stream
-      .select(graft.queries.VectorOps.momentTerms(featCol).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(count(lit(1)).as("n"), sN9.as("s_n9"))
+      .agg(org.apache.spark.sql.graft.MomentCellsAgg
+        .moment_cells(col(featCol), wide).as("mc"))
+      .select(explode(col("mc")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.n").as("n"), col("c.s_n9").as("s_n9"))
   }
 
   /** Streaming maintenance of q106's PQ distortion cells: arriving

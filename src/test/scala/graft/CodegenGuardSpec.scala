@@ -284,6 +284,75 @@ class CodegenGuardSpec extends SparkSpec {
       "RegexScrub$.MODULE$.scrub")
   }
 
+  test("moment_cells: bit-equal to the explode+groupBy twin (ragged, both widths) and compiles") {
+    // r22: q90/streaming/whitening aggregate with MomentCellsAgg (per-row
+    // partial moment vectors). The equivalence contract — explode the
+    // aggregate's cell array and you get EXACTLY
+    // explode(momentTerms) → groupBy(i, j) → (count, sum) — is pinned over
+    // a RAGGED corpus (lengths 0..11, incl. empty arrays and null rows)
+    // through a parquet round-trip so the generated stage actually runs,
+    // for BOTH accumulator widths.
+    // lengths 1..11 for the twin comparison: the explode twin ERRORS on
+    // empty arrays (Spark's sequence(0, size-1) at size 0 is [0, -1] and
+    // indexes out of bounds) where the oracle's range(0, 0) is empty —
+    // the aggregate follows the ORACLE (empty rows contribute nothing),
+    // checked separately below.
+    import org.apache.spark.sql.graft.MomentCellsAgg.moment_cells
+    val rnd = new scala.util.Random(90)
+    val rows = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(11)
+      val arr =
+        if (i % 37 == 5) null
+        else Array.fill(d)((rnd.nextGaussian() * 2).toFloat)
+      (i.toLong, arr)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mcells").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val emb = spark.read.parquet(dir)
+    val twin = emb
+      .select(queries.VectorOps.momentTerms("embedding").as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("t.p")).as("s_n9"))
+      .orderBy("i", "j").collect()
+    assert(twin.nonEmpty)
+    Seq(false, true).foreach { wide =>
+      val viaAgg = emb
+        .agg(moment_cells(col("embedding"), wide).as("mc"))
+        .select(explode(col("mc")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"),
+          col("c.n").as("n"), col("c.s_n9").as("s_n9"))
+        .orderBy("i", "j").collect()
+      assert(viaAgg.length == twin.length, s"wide=$wide cell-count mismatch")
+      viaAgg.zip(twin).foreach { case (a, b) =>
+        assert(a == b, s"wide=$wide: $a != $b")
+      }
+    }
+    // empty arrays and null rows contribute NOTHING (oracle semantics:
+    // unnest(range(0, 0)) is empty) — an all-degenerate corpus yields an
+    // empty cell array
+    val degDir = java.nio.file.Files.createTempDirectory("mcells0").toString
+    spark.createDataFrame(Seq(
+        (1L, Array.empty[Float]), (2L, null.asInstanceOf[Array[Float]])))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(degDir)
+    val deg = spark.read.parquet(degDir)
+      .agg(moment_cells(col("embedding"), wide = true).as("mc"))
+      .select(explode(col("mc"))).count()
+    assert(deg == 0L, s"degenerate rows produced $deg cells")
+    // physicality: ObjectHashAggregate over the in-place MomentBuf, no
+    // Generate fan-out. (Whole-stage codegen of the aggregate itself is
+    // IMPOSSIBLE for any 2080-slot buffer formulation — Spark 4.1's
+    // AggregateCodegenSupport gates on UnsafeRow-mutable buffer types —
+    // so the guard here is the plan shape plus the bit-equivalence above;
+    // the scan/project stages below the aggregate must still compile.)
+    val cg = emb.agg(moment_cells(col("embedding"), wide = false).as("mc"))
+    cg.collect()
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Generate"), plan)
+    compiledSources(cg)
+  }
+
   test("q71/q72/q79 multimodal pipelines: every codegen stage compiles") {
     // the three registered queries whose hot path rides the image/audio
     // expressions — the exact stage that silently de-codegen'd in round 12

@@ -102,12 +102,18 @@ class Sum128Spec extends SparkSpec {
     assert(narrow.nonEmpty)
     assert(narrow.length == wide.length)
     narrow.zip(wide).foreach { case (a, b) => assert(a == b, s"$a != $b") }
-    // and the wide plan keeps the narrow plan's aggregate physicality:
-    // primitive-buffer HashAggregate, no ObjectHashAggregate fallback
+    // and the wide plan keeps the narrow plan's aggregate physicality
+    // (r22: MomentCellsAgg — in-place MomentBuf ObjectHashAggregate,
+    // partial+final, NO Generate fan-out; the d·(d+1)/2-term explode and
+    // its per-term hash probes are gone. The aggregate cannot be inside
+    // whole-stage codegen in ANY formulation — Spark 4.1 gates aggregate
+    // codegen on UnsafeRow-mutable buffer types — so the pin here is the
+    // shape; bit-equivalence to the explode twin is CodegenGuardSpec's.)
     val plan = queries.VectorOps.q90MomentsPlan(emb, wide = true)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate"), plan)
-    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_moment_cells"), plan)
+    assert(!plan.contains("Generate explode(flatten"), plan)
   }
 
   test("registered as a SQL function and stays inside whole-stage codegen") {
