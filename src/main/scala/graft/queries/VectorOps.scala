@@ -31,6 +31,14 @@ object VectorOps {
     */
   @volatile private[graft] var topKAggTop10 = true
 
+  /** q53 arm assembly: `true` (default) fuses the arms into two tagged-union
+    * actions (one for the direct arms, one for the PQ re-rank pair — 28 → ~13
+    * jobs); `false` keeps the per-arm Future-per-collect assembly. Same rows
+    * either way (groups never mix methods); the knob exists for
+    * tools/Q53Ab's interleaved A/B.
+    */
+  @volatile private[graft] var q53FusedArms = true
+
   private def fdot(a: String, b: String) =
     org.apache.spark.sql.graft.VectorExpressions.float_dot(col(a), col(b))
   private def fdot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -1086,36 +1094,112 @@ object VectorOps {
           .select("qid", "vec_id", "embedding")
       }
     val pqtCands = pqtCand.join(broadcast(queries), "qid")
-    // the six corpus passes run as CONCURRENT driver jobs: each arm's
-    // single wide stage leaves cores idle in its scheduling/collect tail,
-    // and the FIFO scheduler interleaves them on local[32] exactly like a
-    // multi-tenant cluster would — the arms are independent by
-    // construction, so result assembly is order-free
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val exactF = Future {
-      val (ids, scans) = armSets(corpus.crossJoin(broadcast(queries)))
-      val n = if (topKAggTop10) scans.values.headOption.getOrElse(0L)
-        else corpus.count()
-      (ids, n)
-    }
-    val armFs = Seq("ivf" -> ivfCands, "lsh" -> lshCands,
-      "lsh12" -> lsh12Cands, "pq" -> pqCands, "pqt" -> pqtCands)
-      .map { case (m, cands) => Future((m, armSets(cands))) }
-    val (exactIds, corpusN) =
-      Await.result(exactF, scala.concurrent.duration.Duration.Inf)
-    val armResults = armFs.map(f =>
-      Await.result(f, scala.concurrent.duration.Duration.Inf))
-    // overlap/recall/read_frac are plain arithmetic over ≤400 driver
-    // values; the divisions are the same long→double IEEE ops the oracle's
-    // BIGINT divisions perform, so the compare stays bit-exact
-    val outRows = armResults.sortBy(_._1).flatMap { case (m, (ids, scans)) =>
-      exactIds.keys.toSeq.sorted.map { qid =>
-        val overlap =
-          exactIds(qid).toSet.intersect(ids.getOrElse(qid, Nil).toSet).size.toLong
-        val scanned = scans.getOrElse(qid, 0L)
-        (m, qid, overlap, overlap.toDouble / 10.0,
-          scanned.toDouble / corpusN.toDouble)
+    // r22 (verdict item 3): in the aggregate mode the six arms FUSE into
+    // ONE action — each arm's candidate stream is tagged with its method
+    // name and unioned, so a single groupBy(method, qid) bounded-top-k
+    // aggregate reduces every arm map-side and ONE exchange + ONE collect
+    // replaces six concurrent collect jobs (28 jobs → 8; the r13 lesson —
+    // tiny-result assembly belongs in as few actions as possible — applied
+    // to the arms themselves). Grouping by (method, qid) instead of qid
+    // cannot change any arm's selection: groups never mix methods, and the
+    // per-group (score DESC, id ASC) order is the window form's. The six
+    // scans are still six scans (Spark does not share subtrees across
+    // union branches) but they now co-schedule inside one job, which is
+    // exactly what the Future-per-arm machinery existed to approximate.
+    // The window twin (topKAggTop10 = false, tools/TopKAb) and the
+    // q53FusedArms = false baseline keep the original per-arm assembly
+    // below.
+    val outRows = if (topKAggTop10 && q53FusedArms) {
+      def tagged(m: String, cands: org.apache.spark.sql.DataFrame) =
+        cands.select(lit(m).as("method"), col("qid"), col("vec_id"),
+          col("embedding"), col("qv"))
+      // the two ADC top-100 selections fuse the same way: one
+      // (method, qid)-grouped bounded aggregate over the tagged union of
+      // both coded scans, then ONE ≤1600-row broadcast rejoin recovers the
+      // re-rank vectors for both PQ arms
+      val coded100 = pqRanked
+        .select(lit("pq").as("method"), col("qid"), col("vec_id"), col("adc"))
+        .unionAll(pqtRanked
+          .select(lit("pqt").as("method"), col("qid"), col("vec_id"), col("adc")))
+        .groupBy("method", "qid")
+        .agg(org.apache.spark.sql.graft.TopK
+          .topk_by_score(col("adc"), col("vec_id"), 100).as("tk"))
+        .select(col("method"), col("qid"), explode(col("tk")).as("h"))
+        .select(col("method"), col("qid"), col("h.id").as("vec_id"))
+      val rerank = corpus.select("vec_id", "embedding")
+        .join(broadcast(coded100), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select(col("method"), col("qid"), col("vec_id"),
+          col("embedding"), col("qv"))
+      def fusedTop10(all: org.apache.spark.sql.DataFrame) = all
+        .groupBy("method", "qid")
+        .agg(org.apache.spark.sql.graft.TopK
+          .topk_by_score(fdot("embedding", "qv"), col("vec_id"), 10).as("tk"),
+          count(lit(1)).as("n_scanned"))
+        .collect()
+      // TWO concurrent actions, not one: folding the re-rank branch into
+      // the direct union was measured SLOWER (1.33 → 1.65 s min isolated)
+      // because the union's map stage depends on the coded100 broadcast —
+      // the two ADC corpus scans would gate the exact/ivf/lsh scans
+      // instead of overlapping them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val directF = Future(fusedTop10(
+        tagged("exact", corpus.crossJoin(broadcast(queries)))
+          .unionAll(tagged("ivf", ivfCands))
+          .unionAll(tagged("lsh", lshCands))
+          .unionAll(tagged("lsh12", lsh12Cands))))
+      val pqF = Future(fusedTop10(rerank))
+      val collected =
+        Await.result(directF, scala.concurrent.duration.Duration.Inf) ++
+          Await.result(pqF, scala.concurrent.duration.Duration.Inf)
+      val ids = collected.map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getAs[Long]("id"))).toMap
+      val scans = collected.map(r =>
+        (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val exactIds = ids.collect { case ((m, q), v) if m == "exact" => q -> v }
+      // the exact comb's n_scanned IS |corpus| — no corpus.count() job
+      val corpusN = scans.collect { case ((m, _), v) if m == "exact" => v }.head
+      // overlap/recall/read_frac are plain arithmetic over ≤400 driver
+      // values; the divisions are the same long→double IEEE ops the
+      // oracle's BIGINT divisions perform, so the compare stays bit-exact
+      Seq("ivf", "lsh", "lsh12", "pq", "pqt").flatMap { m =>
+        exactIds.keys.toSeq.sorted.map { qid =>
+          val overlap = exactIds(qid).toSet
+            .intersect(ids.getOrElse((m, qid), Nil).toSet).size.toLong
+          val scanned = scans.getOrElse((m, qid), 0L)
+          (m, qid, overlap, overlap.toDouble / 10.0,
+            scanned.toDouble / corpusN.toDouble)
+        }
+      }
+    } else {
+      // window-twin assembly (the measured A/B baseline): six concurrent
+      // per-arm collects — each arm's single wide stage leaves cores idle
+      // in its scheduling/collect tail, and the FIFO scheduler interleaves
+      // them on local[32] exactly like a multi-tenant cluster would
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val exactF = Future {
+        val (ids, scans) = armSets(corpus.crossJoin(broadcast(queries)))
+        val n = if (topKAggTop10) scans.values.headOption.getOrElse(0L)
+          else corpus.count()
+        (ids, n)
+      }
+      val armFs = Seq("ivf" -> ivfCands, "lsh" -> lshCands,
+        "lsh12" -> lsh12Cands, "pq" -> pqCands, "pqt" -> pqtCands)
+        .map { case (m, cands) => Future((m, armSets(cands))) }
+      val (exactIds, corpusN) =
+        Await.result(exactF, scala.concurrent.duration.Duration.Inf)
+      val armResults = armFs.map(f =>
+        Await.result(f, scala.concurrent.duration.Duration.Inf))
+      armResults.sortBy(_._1).flatMap { case (m, (ids, scans)) =>
+        exactIds.keys.toSeq.sorted.map { qid =>
+          val overlap =
+            exactIds(qid).toSet.intersect(ids.getOrElse(qid, Nil).toSet).size.toLong
+          val scanned = scans.getOrElse(qid, 0L)
+          (m, qid, overlap, overlap.toDouble / 10.0,
+            scanned.toDouble / corpusN.toDouble)
+        }
       }
     }
     s.createDataFrame(outRows)
