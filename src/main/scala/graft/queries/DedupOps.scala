@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** q67/span_dedup measurement knob (tools/SpanPersistAb ONLY): persist
+    * the twice-consumed `occ` relation instead of recomputing it. Default
+    * false — recompute is the production answer (see spanDeduped's scaladoc
+    * and the §7b receipt in OPTIMIZATION_r22.md).
+    */
+  @volatile private[graft] var q67PersistOcc = false
+
   private val P = 1000000007L
   /** Fixed MinHash family: 16 odd multipliers/offsets (deterministic, spliced
     * into both engines as literals).
@@ -423,7 +430,9 @@ object DedupOps {
     // one relation here you must never materialize at 100 TB — and a
     // measured A/B (solo sf0.1, 3 runs) put the persist within this box's
     // noise (2.13 → 1.95 s). The residual vs the oracle is the fixed
-    // multi-job floor, not recompute.
+    // multi-job floor, not recompute. r22 re-ran the A/B at 10× corpus in
+    // ONE JVM (tools/SpanPersistAb, q67PersistOcc knob): see
+    // OPTIMIZATION_r22.md §7b for the scale-shaped receipt.
     // Span fingerprints come from the FUSED k-gram kernel (r21): the
     // slice+concat_ws+rolling_hash form materialized the 8-token string
     // and re-hashed ~8 tokens per span; ngram_hashes hashes each token
@@ -434,10 +443,18 @@ object DedupOps {
     // posexplode's 0-based p maps to the 1-based span start i = p + 1;
     // docs under k tokens emit no windows (kernel contract), exactly the
     // old size(w) >= k guard.
-    val occ = t
+    val occ0 = t
       .select(col("doc_id"), posexplode(org.apache.spark.sql.graft
         .TextExpressions.ngram_hashes(col("w"), k)).as(Seq("p", "fp")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("fp"))
+    // measurement knob ONLY (tools/SpanPersistAb): persist occ to price the
+    // recompute-vs-materialize trade at larger corpora in one JVM. Default
+    // off — the production answer. Not a bare-scan-canonicalizable frame
+    // (repartition → split → posexplode), so the r16 cache-substitution
+    // hazard does not apply; Caches.clearAll releases it after each run.
+    val occ = if (q67PersistOcc)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else occ0
     val dup = occ.groupBy("fp")
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("i"))).as("keep"))
@@ -1032,6 +1049,72 @@ object DedupOps {
   private[graft] def calibSigMod(n: Long): Long =
     math.max(1L, (n + CalibSigTarget - 1) / CalibSigTarget)
 
+  // ---- q107's pipeline stages, factored for tools/Q107Profile ----------
+  // One implementation: the query fn composes exactly these (r22 refactor,
+  // plan byte-identical — the stages were previously inline vals).
+
+  /** Stage 1: per-doc 32-bit simhash signatures, sampled by calibSigMod. */
+  private[graft] def q107Sig(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
+    // N is the ingest-time CorpusStats fact (q108's rule); the modulus is
+    // 1 at test SFs — the filter is then pass-through, same plan shape
+    val mcal = calibSigMod(
+      graft.sources.CorpusStats.rowCount(s, dir, "documents"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
+      .filter(pmod(col("simhash"), lit(mcal)) === 0)
+  }
+
+  /** Stage 2: exact-signature clustering (persisted — feeds both the
+    * banding join and the intra-cluster expansion within one execution).
+    */
+  private[graft] def q107Clusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    q107Sig(s, dir).groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Stage 3: 20-band self-join to DISTINCT candidate signature pairs. */
+  private def q107SigPairsFrom(clusters: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = clusters
+      .select(col("simhash"), col("ds"), explode(sequence(lit(0), lit(19))).as("band"))
+      .withColumn("bh", expr(bhExpr(sparkAt, sparkShr, "band+1")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.simhash") < col("y.simhash"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .groupBy(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .agg(first(col("x.ds")).as("dsa"), first(col("y.ds")).as("dsb"),
+        first(col("hamming")).as("hamming"))
+  }
+
+  private[graft] def q107SigPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    q107SigPairsFrom(q107Clusters(s, dir))
+
+  /** Stage 4: signature pairs expanded to (a, b, hamming) doc pairs —
+    * cross-signature candidates plus intra-cluster (hamming 0) pairs.
+    */
+  private[graft] def q107DocPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val clusters = q107Clusters(s, dir)
+    val sigPairs = q107SigPairsFrom(clusters)
+    val cross = sigPairs
+      .select(explode(col("dsa")).as("a0"), col("dsb"), col("hamming"))
+      .select(col("a0"), explode(col("dsb")).as("b0"), col("hamming"))
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"), col("hamming"))
+    val intra = clusters
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).cast("int").as("hamming"))
+    cross.unionAll(intra)
+  }
+
   val q107SimhashCalibration: QueryDef = QueryDef.sql(
     "q107_simhash_calibration",
     s"""WITH smod AS (
@@ -1073,46 +1156,13 @@ object DedupOps {
        |FROM m
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.graft.SketchExpressions.{simhash32, token_hashes}
-    val docs = Tables(s, dir, "documents")
-    // N is the ingest-time CorpusStats fact (q108's rule); the modulus is
-    // 1 at test SFs — the filter is then pass-through, same plan shape
-    val mcal = calibSigMod(
-      graft.sources.CorpusStats.rowCount(s, dir, "documents"))
-    val sig = docs
-      .select(col("doc_id"), simhash32(token_hashes(tokens("text"))).as("simhash"))
-      .filter(pmod(col("simhash"), lit(mcal)) === 0)
-    val clusters = sig.groupBy("simhash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = clusters
-      .select(col("simhash"), col("ds"), explode(sequence(lit(0), lit(19))).as("band"))
-      .withColumn("bh", expr(bhExpr(sparkAt, sparkShr, "band+1")))
-    val sigPairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.simhash") < col("y.simhash"))
-      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
-      .groupBy(col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .agg(first(col("x.ds")).as("dsa"), first(col("y.ds")).as("dsb"),
-        first(col("hamming")).as("hamming"))
-    val cross = sigPairs
-      .select(explode(col("dsa")).as("a0"), col("dsb"), col("hamming"))
-      .select(col("a0"), explode(col("dsb")).as("b0"), col("hamming"))
-      .select(least(col("a0"), col("b0")).as("a"),
-        greatest(col("a0"), col("b0")).as("b"), col("hamming"))
-    val intra = clusters
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> named_struct('a', a, 'b', b))))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).cast("int").as("hamming"))
     // q100's rule, served by the same ingest-stamped layout: docs that
     // banded on their unigram simhash but carry no bigram set are simply
     // absent here, so the fps joins drop them — and the layout scan is
     // deliberately NOT persisted (bare-scan-shaped plan; r16 cache-
     // substitution lesson)
     val fps = graft.sources.DocFingerprints(s, dir)
-    cross.unionAll(intra)
+    q107DocPairs(s, dir)
       .join(fps.select(col("doc_id").as("a"), col("fps").as("fpsa")), "a")
       .join(fps.select(col("doc_id").as("b"), col("fps").as("fpsb")), "b")
       .select(col("hamming"),

@@ -135,8 +135,10 @@ object ScaleCanary {
     spark.stop()
   }
 
-  /** Build (once; stamped by _SUCCESS) the mult× synthetic corpus. */
-  private def ensureCorpus(spark: SparkSession, mult: Int): String = {
+  /** Build (once; stamped by _SUCCESS) the mult× synthetic corpus.
+    * Shared with [[CoreScale]] (the r22 core-count scaling receipt).
+    */
+  private[tools] def ensureCorpus(spark: SparkSession, mult: Int): String = {
     val out = s"${sys.props("java.io.tmpdir")}/graft-canary-x$mult"
     if (Files.exists(Paths.get(s"$out/_CANARY_SUCCESS"))) return out
     import spark.implicits._
