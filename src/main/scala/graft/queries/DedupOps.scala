@@ -418,13 +418,17 @@ object DedupOps {
     // At real corpus scale the scan already has thousands of partitions
     // and this hash exchange on doc_id is noise against the span stage.
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // drop null-text docs (w IS NULL) so the left-join reassembly tail
-    // stays row-identical to the oracle's unnest + GROUP BY, which never
-    // emits a row for them (ADVICE r21; generated corpora have no null
-    // text, so this is a latent-contract guard, not a result change)
-    val t = docs.repartition(par, col("doc_id"))
+    // drop null-text docs so the left-join reassembly tail stays
+    // row-identical to the oracle's unnest + GROUP BY, which never emits a
+    // row for them (ADVICE r21; generated corpora have no null text, so
+    // this is a latent-contract guard, not a result change). The guard is
+    // on TEXT, not on split(text): split of a non-null string is never
+    // null, the predicates are equivalent — and a w-side filter was
+    // measured to re-evaluate the split per row just to null-check it
+    // (plans/r22 interim dump), where isnotnull(text) pushes to the scan.
+    val t = docs.filter(col("text").isNotNull)
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(col("w").isNotNull)
     // occ feeds two consumers (duplicate-discovery build, removal probe) but
     // is deliberately NOT persisted: it is O(corpus tokens × k) wide — the
     // one relation here you must never materialize at 100 TB — and a

@@ -93,4 +93,25 @@ class TopKSpec extends SparkSpec {
       .select(explode(col("tk.id")).as("id")).collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L))
   }
+
+  test("q53 fused-arm assembly is row-identical to the per-arm Future assembly") {
+    // r22: the six recall-meter arms fuse into two tagged-union actions
+    // (q53FusedArms, default true). Grouping by (method, qid) must not
+    // change any arm's bounded selection — pinned here across the knob on
+    // real fixture data (both paths share the candidate-frame definitions,
+    // so this guards the assembly restructure specifically).
+    import queries.VectorOps
+    val prev = VectorOps.q53FusedArms
+    try {
+      VectorOps.q53FusedArms = true
+      val fused = SparkEntry.queries("q53_ann_recall")(spark, sf)
+        .collect().map(_.toString).toSeq
+      Caches.clearAll(spark)
+      VectorOps.q53FusedArms = false
+      val futures = SparkEntry.queries("q53_ann_recall")(spark, sf)
+        .collect().map(_.toString).toSeq
+      Caches.clearAll(spark)
+      assert(fused.nonEmpty && fused == futures)
+    } finally VectorOps.q53FusedArms = prev
+  }
 }
